@@ -1,0 +1,35 @@
+"""Test configuration: force CPU JAX with 8 virtual devices.
+
+Multi-chip hardware is not available in CI; sharding tests run on a virtual
+8-device CPU mesh per the project build rules.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+REF_TESTS = pathlib.Path("/root/reference/tests")
+REF_BIN = pathlib.Path("/tmp/refbin")
+
+
+def have_ref_binary(name: str) -> bool:
+    return (REF_BIN / name).exists()
+
+
+@pytest.fixture(scope="session")
+def ref_tests_dir():
+    if not REF_TESTS.is_dir():
+        pytest.skip("reference test fixtures unavailable")
+    return REF_TESTS

