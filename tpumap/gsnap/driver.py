@@ -1,0 +1,84 @@
+"""Host driver for the GSNAP-style engine: batching + output.
+
+Replaces the reference's pthread worker pool (1 read = 1 task,
+src/gsnap.c worker_thread) with fixed-shape read batches streamed through
+the jitted device pipeline; results are printed in input order (the
+Outbuffer ordered mode equivalent is trivial here because batches are
+processed in order).
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from tpumap.gsnap.engine import AlignConfig, align_batch, mapq_from_scores
+from tpumap.index.build import GenomeDB
+from tpumap.index.device import DeviceIndex
+from tpumap.io import sam
+from tpumap.io.fasta import Record, read_seqs
+from tpumap.utils import dna
+
+
+def pad_to_bucket(n: int, buckets=(32, 64, 96, 128, 160, 192, 256, 384, 512)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 511) // 512) * 512
+
+
+def make_batch(records: list[Record], batch_size: int, L: int):
+    codes = np.zeros((batch_size, L), dtype=np.uint8)
+    nmask = np.zeros((batch_size, L), dtype=bool)
+    lengths = np.zeros(batch_size, dtype=np.int32)
+    for i, rec in enumerate(records):
+        c, m = dna.encode(rec.sequence)
+        codes[i, :len(c)] = c
+        nmask[i, :len(c)] = m
+        lengths[i] = len(c)
+    return {"codes": codes, "nmask": nmask, "lengths": lengths}
+
+
+def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
+                  config: AlignConfig = AlignConfig(),
+                  batch_size: int = 1024) -> list[sam.SamRecord]:
+    out = []
+    for start in range(0, len(records), batch_size):
+        chunk = records[start:start + batch_size]
+        B = pad_to_bucket(len(chunk)) if len(chunk) < batch_size else batch_size
+        L = pad_to_bucket(max(len(r.sequence) for r in chunk))
+        batch = make_batch(chunk, B, L)
+        res = align_batch(index, batch, config)
+        res = {k: np.asarray(v) for k, v in res.items()}
+        mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
+                                res["n_best"], batch["lengths"])
+        for i, rec in enumerate(chunk):
+            if res["mapped"][i]:
+                out.append(sam.ungapped_record(
+                    db, rec.accession, rec.sequence, rec.quality,
+                    int(res["diag"][i]), int(res["strand"][i]),
+                    int(mapq[i]), int(res["nmismatch"][i])))
+            else:
+                out.append(sam.unmapped_record(rec.accession, rec.sequence,
+                                               rec.quality))
+    return out
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(prog="tpumap-gsnap")
+    ap.add_argument("-D", "--dir", required=True, help="database directory")
+    ap.add_argument("reads", help="FASTA/FASTQ file")
+    ap.add_argument("--batch-size", type=int, default=1024)
+    args = ap.parse_args(argv)
+    db = GenomeDB.load(args.dir)
+    index = DeviceIndex.from_host(db)
+    records = list(read_seqs(args.reads))
+    sys.stdout.write(sam.header(db, " ".join(argv or sys.argv)))
+    for r in align_records(db, index, records):
+        sys.stdout.write(r.line() + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Device-resident genome index.
+
+The HBM image of a GenomeDB: packed genome words, N-flag bitmap, k-mer
+offsets/positions, chromosome offsets — the TPU equivalent of the
+reference's mmap'd indexdb + genomebits (src/indexdb.c, src/genomebits.h),
+loaded once per process with jax.device_put (optionally with a sharding).
+
+All arrays are padded so downstream gathers can read one-past-the-end
+without bounds checks (the reference pads its genome blocks similarly).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumap.index.build import GenomeDB
+
+# univdiagonal convention: diag = genomic position of query base 0.
+# Candidates are stored as uint32; INVALID_DIAG marks padding lanes.
+INVALID_DIAG = np.uint32(0xFFFFFFFF)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceIndex:
+    genome_packed: jax.Array    # uint32[W16+pad] 16 bases/word
+    genome_nmask: jax.Array     # uint32[W32+pad] 1 bit/base
+    offsets: jax.Array          # uint32[4^k+1]
+    positions: jax.Array        # uint32[P+pad]
+    chrom_offsets: jax.Array    # uint32[nchrom+1]
+    genome_length: int          # static
+    k: int                      # static
+
+    def tree_flatten(self):
+        children = (self.genome_packed, self.genome_nmask, self.offsets,
+                    self.positions, self.chrom_offsets)
+        return children, (self.genome_length, self.k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, genome_length=aux[0], k=aux[1])
+
+    @classmethod
+    def from_host(cls, db: GenomeDB, device=None, pad_words: int = 64) -> "DeviceIndex":
+        put = partial(jax.device_put, device=device)
+        gp = np.concatenate([db.genome_packed,
+                             np.zeros(pad_words, dtype=np.uint32)])
+        nm = np.concatenate([db.genome_nmask,
+                             np.full(pad_words, 0xFFFFFFFF, dtype=np.uint32)])
+        pos = np.concatenate([db.positions,
+                              np.full(pad_words, INVALID_DIAG, dtype=np.uint32)])
+        return cls(
+            genome_packed=put(gp),
+            genome_nmask=put(nm),
+            offsets=put(db.offsets),
+            positions=put(pos),
+            chrom_offsets=put(db.chrom_offsets.astype(np.uint32)),
+            genome_length=db.genome_length,
+            k=db.k,
+        )
