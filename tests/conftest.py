@@ -5,11 +5,20 @@ Multi-chip hardware is not available in CI; sharding tests run on a virtual
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pre-sets JAX_PLATFORMS=axon (one real TPU chip);
+# tests must run on a virtual 8-device CPU mesh, so force-override it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The env vars are not honored once the axon TPU plugin registers itself,
+# so pin the platform/device count through jax.config before backend init.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 import subprocess

@@ -73,9 +73,15 @@ def align_batch(index: DeviceIndex, batch, config: AlignConfig):
     K = fdiags.shape[1]
     strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
                                jnp.ones((B, K), jnp.int32)], axis=1)
+    return select_best(all_diags, all_nmm, strands, lengths, config)
 
+
+def select_best(all_diags: jax.Array, all_nmm: jax.Array, strands: jax.Array,
+                lengths: jax.Array, config: AlignConfig):
+    """Rank candidates by mismatch count; emit best hit + MAPQ inputs."""
+    B, K2 = all_diags.shape
     # mask duplicate candidates (same strand+diag) so n_best is meaningful
-    sort_key = all_nmm * jnp.int32(2 ** 16) + jnp.arange(2 * K, dtype=jnp.int32)
+    sort_key = all_nmm * jnp.int32(2 ** 16) + jnp.arange(K2, dtype=jnp.int32)
     order = jnp.argsort(sort_key, axis=1)
     nmm_sorted = jnp.take_along_axis(all_nmm, order, axis=1)
     diag_sorted = jnp.take_along_axis(all_diags, order, axis=1)
