@@ -46,7 +46,7 @@ def main():
         db = build_db(gfa, name="bench", k=13, interval=3)
         db.save(str(dbdir))
     index = DeviceIndex.from_host(db)
-    config = AlignConfig(top_k=4, max_occ=32)
+    config = AlignConfig(top_k=4, max_occ=4)
 
     # load reads into one big [N, L] batch set
     reads = list(read_fasta(rfa))
