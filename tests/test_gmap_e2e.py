@@ -1,0 +1,95 @@
+"""GMAP cDNA->genome alignment: structure + GFF3 byte parity vs reference."""
+import io
+import pathlib
+import re
+import subprocess
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from tpumap.gmap.engine import GmapConfig, align_cdna_both
+from tpumap.utils import dna
+
+REF_TESTS = pathlib.Path("/root/reference/tests")
+REFBIN = pathlib.Path("/tmp/refbin")
+
+need_fixtures = pytest.mark.skipif(not REF_TESTS.is_dir(),
+                                   reason="reference fixtures unavailable")
+need_oracle = pytest.mark.skipif(not (REFBIN / "gmap").exists(),
+                                 reason="oracle gmap unavailable")
+
+
+def test_three_exon_synthetic():
+    rng = np.random.default_rng(3)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 12000))
+    e1, e2, e3 = g[1000:1180], g[2000:2250], g[4000:4100]
+    g = (g[:1180] + "GT" + g[1182:1998] + "AG" + g[2000:2250] + "GT"
+         + g[2252:3998] + "AG" + g[4000:])
+    query = e1 + e2 + e3
+    qc, qn = dna.encode(query)
+    gc_, gn = dna.encode(g)
+    res = align_cdna_both(qc, qn, gc_, gn, GmapConfig())
+    spans = [(e.qstart, e.qend, e.gstart, e.gend) for e in res.exons]
+    assert spans == [(0, 180, 1000, 1180), (180, 430, 2000, 2250),
+                     (430, 530, 4000, 4100)]
+    assert [i.canonical for i in res.introns] == ["GT-AG", "GT-AG"]
+    assert res.mismatches == 0
+    assert res.cdna_direction == 1
+
+
+def test_minus_strand_synthetic():
+    rng = np.random.default_rng(4)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+    e1, e2 = g[1000:1200], g[3000:3220]
+    g = g[:1200] + "GT" + g[1202:2998] + "AG" + g[3000:]
+    query = dna.revcomp(e1 + e2)
+    qc, qn = dna.encode(query)
+    gc_, gn = dna.encode(g)
+    res = align_cdna_both(qc, qn, gc_, gn, GmapConfig())
+    assert res.strand == 1
+    spans = [(e.gstart, e.gend) for e in res.exons]
+    assert spans == [(1000, 1200), (3000, 3220)]
+
+
+@need_fixtures
+def test_her2_exon_structure_matches_golden():
+    from tpumap.io.fasta import read_fasta
+    her2 = next(read_fasta(REF_TESTS / "ss.her2"))
+    chr17 = next(read_fasta(REF_TESTS / "ss.chr17test"))
+    qc, qn = dna.encode(her2.sequence)
+    gc_, gn = dna.encode(chr17.sequence)
+    res = align_cdna_both(qc, qn, gc_, gn, GmapConfig())
+    mine = [(e.gstart + 1, e.gend, e.qstart + 1, e.qend) for e in res.exons]
+    golden = []
+    for line in open(REF_TESTS / "align.test.ok"):
+        m = re.match(r"\s+(\d+)-(\d+)\s+\((\d+)-(\d+)\)\s+(\d+)%", line)
+        if m:
+            golden.append(tuple(int(x) for x in m.groups()[:4]))
+    assert len(golden) == 27
+    assert mine == golden
+    assert res.matches == 4624 and res.mismatches == 0
+
+
+def _run_mine(fmt, gseg, queries):
+    from tpumap.cli.gmap_cli import main
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["-g", str(gseg), "-f", fmt, str(queries)])
+    return [l for l in buf.getvalue().splitlines()
+            if not l.startswith("#") or l == "###"]
+
+
+def _run_ref(fmt, gseg, queries):
+    out = subprocess.run([str(REFBIN / "gmap"), "-g", str(gseg), "-f", fmt,
+                          str(queries)], capture_output=True, text=True).stdout
+    return [l for l in out.splitlines() if not l.startswith("#") or l == "###"]
+
+
+@need_fixtures
+@need_oracle
+@pytest.mark.parametrize("fmt", ["3", "2"])
+def test_gff3_byte_parity_her2(fmt):
+    gseg = REF_TESTS / "ss.chr17test"
+    queries = REF_TESTS / "ss.her2"
+    assert _run_mine(fmt, gseg, queries) == _run_ref(fmt, gseg, queries)

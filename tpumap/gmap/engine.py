@@ -1,0 +1,269 @@
+"""GMAP-style cDNA -> genomic-region spliced alignment.
+
+Pipeline (capability analog of src/stage2.c + src/stage3.c):
+  1. device: region 8-mer index -> query anchors -> diagonal segments ->
+     best collinear chain (ops/chain.py)
+  2. host: junction refinement between consecutive chained segments —
+     choose each exon boundary q* minimizing mismatches and maximizing
+     splice-site score (the Dynprog_genome_gap "bridge" concept,
+     src/dynprog_genome.c:Dynprog_genome_gap, restricted to
+     substitution-only junctions for now), plus end extension/trimming.
+
+The result is an ExonChain: per-exon query/genome spans and per-intron
+splice types — the equivalent of the reference's Pair_T array in segment
+form, consumed by the GFF3/alignment printers (tpumap.io.gff3 et al.).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumap.ops import chain as chain_ops
+from tpumap.ops.splice import splice_score_canonical
+from tpumap.utils import dna
+
+MIN_INTRON = 9           # genomic gaps >= this are introns (path-solve.c:14)
+JUNCTION_SLACK = 12      # boundary search slack around anchor-run limits
+MM_COST = 3              # mismatch cost in junction placement (FULLMATCH=3
+                         # match vs MISMATCH=-3 scoring, src/dynprog.h:43-59)
+
+
+@dataclass
+class Exon:
+    qstart: int   # query span [qstart, qend) 0-based
+    qend: int
+    gstart: int   # genomic span [gstart, gend) 0-based region coords
+    gend: int
+    matches: int = 0
+    mismatches: int = 0
+
+
+@dataclass
+class Intron:
+    # classification of the junction between exon i and i+1
+    kind: str           # "intron" | "deletion" | "insertion" | "gap"
+    length: int
+    canonical: str = "" # e.g. "GT-AG", "" if non-canonical
+    donor_prob: float = 0.0
+    acceptor_prob: float = 0.0
+
+
+@dataclass
+class ExonChain:
+    exons: list[Exon] = field(default_factory=list)
+    introns: list[Intron] = field(default_factory=list)
+    strand: int = 0          # 0: query aligns to + region orientation
+    cdna_direction: int = 0  # +1 sense, -1 antisense, 0 indeterminate
+
+    @property
+    def matches(self) -> int:
+        return sum(e.matches for e in self.exons)
+
+    @property
+    def mismatches(self) -> int:
+        return sum(e.mismatches for e in self.exons)
+
+    @property
+    def coverage(self) -> float:
+        return sum(e.qend - e.qstart for e in self.exons)
+
+
+@dataclass(frozen=True)
+class GmapConfig:
+    index_k: int = 8
+    max_occ: int = 64
+    n_segments: int = 64
+    max_intron: int = 500_000
+    max_qgap: int = 24
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _chain_pipeline(q_codes, q_valid, r_codes, r_valid, config: GmapConfig):
+    """Device part: anchors -> segments -> chain for one problem."""
+    k = config.index_k
+    so, sp = chain_ops.region_index(r_codes, r_valid, k)
+    Q = q_codes.shape[0]
+    acc = jnp.zeros(Q, dtype=jnp.uint32)
+    ok = jnp.ones(Q, dtype=jnp.bool_)
+    for j in range(k):
+        acc = (acc << 2) | jnp.roll(q_codes, -j).astype(jnp.uint32)
+        ok = ok & jnp.roll(q_valid, -j)
+    ok = ok & (jnp.arange(Q) < Q - k + 1)
+    diag, q, aok = chain_ops.anchors_from_query(so, sp, acc, ok, config.max_occ)
+    segs = chain_ops.anchors_to_segments(diag, q, aok, config.n_segments, k,
+                                         config.max_qgap)
+    order, in_chain = chain_ops.chain_segments(segs, config.max_intron)
+    return segs, order, in_chain
+
+
+def align_cdna(query_codes: np.ndarray, query_nmask: np.ndarray,
+               region_codes: np.ndarray, region_nmask: np.ndarray,
+               config: GmapConfig = GmapConfig()) -> ExonChain | None:
+    """Align one cDNA query against one genomic region (+ orientation).
+
+    Pads to shape buckets, runs the device chain pipeline, refines exon
+    boundaries on host. Returns None if no chain was found.
+    """
+    Q, R = len(query_codes), len(region_codes)
+    Qp, Rp = _bucket(Q), _bucket(R)
+    qc = np.zeros(Qp, np.uint8); qc[:Q] = query_codes
+    qv = np.zeros(Qp, bool); qv[:Q] = ~query_nmask.astype(bool)
+    rc = np.zeros(Rp, np.uint8); rc[:R] = region_codes
+    rv = np.zeros(Rp, bool); rv[:R] = ~region_nmask.astype(bool)
+
+    segs, order, in_chain = _chain_pipeline(
+        jnp.asarray(qc), jnp.asarray(qv), jnp.asarray(rc), jnp.asarray(rv),
+        config)
+    segs = {k: np.asarray(v) for k, v in segs.items()}
+    order = np.asarray(order)
+    in_chain = np.asarray(in_chain)
+
+    members = [s for s in order[in_chain] if segs["valid"][s]]
+    if not members:
+        return None
+    # order already q-sorted among chain members
+    chain = [(int(segs["diag"][s]) - chain_ops.DIAG_BIAS,
+              int(segs["qstart"][s]), int(segs["qend"][s])) for s in members]
+    return refine_chain(query_codes, query_nmask, region_codes, region_nmask,
+                        chain, config)
+
+
+def _bucket(n: int) -> int:
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
+def _mm(query_codes, query_nmask, region_codes, region_nmask, diag, q0, q1):
+    """bool[q1-q0] mismatch flags of query[q0:q1) on diagonal `diag`."""
+    q = np.arange(q0, q1)
+    g = q + diag
+    inb = (g >= 0) & (g < len(region_codes))
+    gg = np.clip(g, 0, len(region_codes) - 1)
+    mm = (query_codes[q] != region_codes[gg])
+    mm |= query_nmask[q].astype(bool) | region_nmask[gg].astype(bool) | ~inb
+    return mm
+
+
+def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
+                 chain, config: GmapConfig) -> ExonChain:
+    """Host refinement: junction placement + end extension/trimming."""
+    k = config.index_k
+    Q = len(query_codes)
+    R = len(region_codes)
+
+    # fuse chain entries on the same diagonal (continuation segments)
+    fused = [list(chain[0])]
+    for d, qs, qe in chain[1:]:
+        if d == fused[-1][0]:
+            fused[-1][2] = qe
+        else:
+            fused.append([d, qs, qe])
+    chain = fused
+
+    boundaries = []   # q* for each junction
+    introns = []
+    for (dA, qsA, qeA), (dB, qsB, qeB) in zip(chain, chain[1:]):
+        lo = max(qeA + 1, 1)
+        hi = min(qsB + k, Q - 1)
+        if hi < lo:
+            lo = hi = max(min(qsB, Q - 1), 1)
+        cand = np.arange(lo, hi + 1)
+        mmA = _mm(query_codes, query_nmask, region_codes, region_nmask,
+                  dA, lo - 1, hi + 1)
+        mmB = _mm(query_codes, query_nmask, region_codes, region_nmask,
+                  dB, lo - 1, hi + 1)
+        # mismatches if boundary at q*: A covers [lo-1, q*), B covers [q*, hi]
+        costA = np.cumsum(mmA)[:len(cand)]              # A mm in [lo-1, q*)
+        costB = np.cumsum(mmB[::-1])[::-1][1:len(cand) + 1]  # B mm in [q*, hi]
+        cost = (costA + costB).astype(np.float64) * MM_COST
+        bonus, kinds = splice_score_canonical(region_codes, dA, dB, cand)
+        score = bonus - cost
+        j = int(np.argmax(score))
+        qstar = int(cand[j])
+        boundaries.append(qstar)
+        glen = dB - dA
+        if dB > dA and glen >= MIN_INTRON:
+            introns.append(Intron("intron", glen, kinds[j]))
+        elif dB > dA:
+            introns.append(Intron("deletion", glen))
+        else:
+            introns.append(Intron("insertion", dA - dB))
+
+    # exon spans in query space
+    qspans = []
+    start = 0
+    for i, (d, qs, qe) in enumerate(chain):
+        qlo = boundaries[i - 1] if i > 0 else 0
+        qhi = boundaries[i] if i < len(boundaries) else Q
+        qspans.append((qlo, qhi, d))
+
+    # end trimming: maximize match-mismatch score of kept prefix/suffix
+    (qlo0, qhi0, d0) = qspans[0]
+    mm0 = _mm(query_codes, query_nmask, region_codes, region_nmask,
+              d0, 0, qhi0)
+    score = np.where(mm0, -MM_COST, 1)
+    # best trim t: keep [t, qhi0); maximize suffix sum
+    sufsum = np.cumsum(score[::-1])[::-1]
+    t0 = int(np.argmax(sufsum)) if len(sufsum) else 0
+    if sufsum[t0] <= 0:
+        t0 = qhi0
+    qspans[0] = (t0, qhi0, d0)
+
+    (qloN, qhiN, dN) = qspans[-1]
+    mmN = _mm(query_codes, query_nmask, region_codes, region_nmask,
+              dN, qloN, Q)
+    score = np.where(mmN, -MM_COST, 1)
+    prefsum = np.cumsum(score)
+    tN = int(np.argmax(prefsum)) + 1 if len(prefsum) else 0
+    if tN and prefsum[tN - 1] <= 0:
+        tN = 0
+    qspans[-1] = (qloN, qloN + tN, dN)
+
+    exons = []
+    for (qlo, qhi, d) in qspans:
+        if qhi <= qlo:
+            continue
+        mm = _mm(query_codes, query_nmask, region_codes, region_nmask,
+                 d, qlo, qhi)
+        exons.append(Exon(qstart=qlo, qend=qhi, gstart=qlo + d, gend=qhi + d,
+                          matches=int((~mm).sum()), mismatches=int(mm.sum())))
+    result = ExonChain(exons=exons, introns=introns)
+    _set_direction(result)
+    return result
+
+
+def _set_direction(result: ExonChain) -> None:
+    sense = sum(1 for i in result.introns if i.canonical in
+                ("GT-AG", "GC-AG", "AT-AC"))
+    anti = sum(1 for i in result.introns if i.canonical in
+               ("CT-AC", "CT-GC", "GT-AT"))
+    result.cdna_direction = (1 if sense > anti else
+                             -1 if anti > sense else 0)
+
+
+def align_cdna_both(query_codes, query_nmask, region_codes, region_nmask,
+                    config: GmapConfig = GmapConfig()):
+    """Try + and - query orientations; return (best chain, strand)."""
+    fwd = align_cdna(query_codes, query_nmask, region_codes, region_nmask,
+                     config)
+    rc = dna.revcomp_codes(query_codes)
+    rcn = query_nmask[::-1].copy()
+    rev = align_cdna(rc, rcn, region_codes, region_nmask, config)
+
+    def goodness(c):
+        if c is None:
+            return -1
+        return c.matches - 3 * c.mismatches
+
+    if goodness(fwd) >= goodness(rev):
+        if fwd is not None:
+            fwd.strand = 0
+        return fwd
+    rev.strand = 1
+    return rev
