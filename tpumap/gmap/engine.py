@@ -22,9 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpumap.gmap import maxent
 from tpumap.ops import chain as chain_ops
 from tpumap.ops.splice import splice_score_canonical
 from tpumap.utils import dna
+
+PROB_WEIGHT = 3.0   # maxent prob weight vs canonical bonus in bridge score
 
 MIN_INTRON = 9           # genomic gaps >= this are introns (path-solve.c:14)
 JUNCTION_SLACK = 12      # boundary search slack around anchor-run limits
@@ -183,13 +186,25 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         costB = np.cumsum(mmB[::-1])[::-1][1:len(cand) + 1]  # B mm in [q*, hi]
         cost = (costA + costB).astype(np.float64) * MM_COST
         bonus, kinds = splice_score_canonical(region_codes, dA, dB, cand)
+        glen = dB - dA
+        if glen >= MIN_INTRON:
+            # MaxEnt donor/acceptor probabilities refine the placement
+            # (the reference's bridge scoring, dynprog_genome.c)
+            dprob = maxent.donor_prob_at(region_codes, region_nmask,
+                                         cand + dA)
+            aprob = maxent.acceptor_prob_at(region_codes, region_nmask,
+                                            cand + dB - 1)
+            bonus = bonus + PROB_WEIGHT * (dprob + aprob)
+        else:
+            dprob = aprob = np.zeros(len(cand))
         score = bonus - cost
         j = int(np.argmax(score))
         qstar = int(cand[j])
         boundaries.append(qstar)
-        glen = dB - dA
         if dB > dA and glen >= MIN_INTRON:
-            introns.append(Intron("intron", glen, kinds[j]))
+            introns.append(Intron("intron", glen, kinds[j],
+                                  donor_prob=float(dprob[j]),
+                                  acceptor_prob=float(aprob[j])))
         elif dB > dA:
             introns.append(Intron("deletion", glen))
         else:
