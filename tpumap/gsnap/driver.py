@@ -40,9 +40,19 @@ def make_batch(records: list[Record], batch_size: int, L: int):
     return {"codes": codes, "nmask": nmask, "lengths": lengths}
 
 
+INDEL_NMM_TRIGGER = 4     # reads with >= this many mismatches get a DP pass
+INDEL_BAND = 32
+INDEL_MARGIN = 4
+
+
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(),
                   batch_size: int = 1024) -> list[sam.SamRecord]:
+    from tpumap.gsnap.engine import refine_indels
+    from tpumap.ops import dp as dp_ops
+    from tpumap.ops import pack as pack_ops
+    import jax.numpy as jnp
+
     out = []
     for start in range(0, len(records), batch_size):
         chunk = records[start:start + batch_size]
@@ -53,7 +63,53 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         res = {k: np.asarray(v) for k, v in res.items()}
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"])
+
+        # second stage: DP refinement of high-mismatch reads (the indel
+        # path; batch-compacted like the reference's method ladder)
+        need = [i for i in range(len(chunk))
+                if res["nmismatch"][i] >= INDEL_NMM_TRIGGER
+                and res["diag"][i] != 0xFFFFFFFF]
+        dp_result = {}
+        if need:
+            nb = pad_to_bucket(len(need))
+            codes = np.zeros((nb, L), dtype=np.uint8)
+            lengths = np.ones(nb, dtype=np.int32)
+            diags = np.zeros(nb, dtype=np.uint32)
+            for row, i in enumerate(need):
+                c = batch["codes"][i]
+                if res["strand"][i]:
+                    from tpumap.utils import dna as dna_utils
+                    li = batch["lengths"][i]
+                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                        np.zeros(L - li, np.uint8)])
+                codes[row] = c
+                lengths[row] = batch["lengths"][i]
+                diags[row] = res["diag"][i]
+            ref = refine_indels(index, jnp.asarray(codes),
+                                jnp.asarray(lengths), jnp.asarray(diags),
+                                INDEL_BAND, INDEL_MARGIN)
+            ref = {k: np.asarray(v) for k, v in ref.items()}
+            for row, i in enumerate(need):
+                li = int(batch["lengths"][i])
+                sub_score = 3 * li - 6 * int(res["nmismatch"][i])
+                if int(ref["score"][row]) > sub_score:
+                    ops = [o for o in ref["ops"][row][::-1]
+                           if o != dp_ops.T_END]
+                    dp_result[i] = (int(res["diag"][i])
+                                    + int(ref["start_off"][row]),
+                                    ops, int(ref["score"][row]))
+
         for i, rec in enumerate(chunk):
+            li = int(batch["lengths"][i])
+            max_equiv = int(li * config.max_mismatch_frac)
+            if i in dp_result:
+                pos0, ops, score = dp_result[i]
+                equiv_nmm = (3 * li - score) // 6
+                if equiv_nmm <= max_equiv:
+                    out.append(sam.gapped_record(
+                        db, rec.accession, rec.sequence, rec.quality,
+                        pos0, int(res["strand"][i]), int(mapq[i]), ops))
+                    continue
             if res["mapped"][i]:
                 out.append(sam.ungapped_record(
                     db, rec.accession, rec.sequence, rec.quality,

@@ -112,6 +112,36 @@ def select_best(all_diags: jax.Array, all_nmm: jax.Array, strands: jax.Array,
     }
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def refine_indels(index, codes: jax.Array, lengths: jax.Array,
+                  diags: jax.Array, band: int, margin: int = 8):
+    """Banded-DP refinement around candidate diagonals (indel discovery).
+
+    codes must be in the ALIGNED orientation (driver passes rc codes for
+    strand-1 reads). The genome window starts `margin` bases before the
+    diagonal so alignments whose true start precedes the seed diagonal
+    (reads with leading insertions) stay in band; net deletions up to
+    (band - margin) and insertions up to (band + margin) are reachable.
+
+    Returns dict: score int32[B], ops uint8[B, S] (reverse transcripts),
+    start_off int32[B] (alignment genome start relative to diag).
+    """
+    from tpumap.ops import dp
+
+    B, L = codes.shape
+    gstart = jnp.maximum(diags, jnp.uint32(margin)) - jnp.uint32(margin)
+    W = L + band + margin
+    gcodes = verify.extract_codes_window(index.genome_packed, gstart, W)
+    glens = jnp.minimum(
+        jnp.int32(W),
+        (jnp.uint32(index.genome_length) - gstart).astype(jnp.int32))
+    out = dp.banded_align(codes, lengths, gcodes, glens, band, mode="glocal")
+    ops, k_final = dp.traceback(out["dirs"], lengths, out["end_k"], band)
+    start_off = (k_final - band).astype(jnp.int32) + (
+        gstart.astype(jnp.int32) - diags.astype(jnp.int32))
+    return {"score": out["score"], "ops": ops, "start_off": start_off}
+
+
 def mapq_from_scores(nmm: np.ndarray, second: np.ndarray, n_best: np.ndarray,
                      lengths: np.ndarray) -> np.ndarray:
     """Simple MAPQ model: gap to the second-best alignment, capped at 40.

@@ -61,6 +61,80 @@ def md_and_nm(read_seq: str, genome_seq: str) -> tuple[str, int]:
     return "".join(md), nm
 
 
+def cigar_from_ops(ops) -> str:
+    """Edit transcript (0=M, 1=I, 2=D, forward order) -> CIGAR string."""
+    names = "MID"
+    out = []
+    run, n = None, 0
+    for o in ops:
+        c = names[o]
+        if c == run:
+            n += 1
+        else:
+            if run:
+                out.append(f"{n}{run}")
+            run, n = c, 1
+    if run:
+        out.append(f"{n}{run}")
+    return "".join(out) or "*"
+
+
+def md_nm_from_ops(ops, read_seq: str, genome_seq: str) -> tuple[str, int]:
+    """MD tag + NM for an alignment with indels.
+
+    genome_seq covers exactly the genome bases consumed by the alignment.
+    """
+    md, run, nm = [], 0, 0
+    i = j = 0
+    k = 0
+    n_ops = len(ops)
+    while k < n_ops:
+        o = ops[k]
+        if o == 0:      # match/mismatch
+            r, g = read_seq[i], genome_seq[j]
+            if r == g and r != "N":
+                run += 1
+            else:
+                md.append(f"{run}{g}")
+                run = 0
+                nm += 1
+            i += 1
+            j += 1
+            k += 1
+        elif o == 1:    # insertion (query only)
+            while k < n_ops and ops[k] == 1:
+                i += 1
+                nm += 1
+                k += 1
+        else:           # deletion (genome only)
+            md.append(f"{run}^")
+            run = 0
+            while k < n_ops and ops[k] == 2:
+                md.append(genome_seq[j])
+                j += 1
+                nm += 1
+                k += 1
+    md.append(str(run))
+    return "".join(md), nm
+
+
+def gapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
+                  pos0: int, strand: int, mapq: int, ops) -> SamRecord:
+    """SAM record from a DP edit transcript (forward order, M/I/D codes)."""
+    oriented = dna.revcomp(seq) if strand else seq
+    glen = sum(1 for o in ops if o != 1)
+    rname, chrpos = db.chrpos(pos0)
+    genome_seq = db.get_seq(pos0, glen)
+    md, nm = md_nm_from_ops(ops, oriented, genome_seq)
+    q = qual or "*"
+    if strand and qual:
+        q = qual[::-1]
+    return SamRecord(
+        qname=qname, flag=16 if strand else 0, rname=rname, pos=chrpos + 1,
+        mapq=mapq, cigar=cigar_from_ops(ops), seq=oriented, qual=q,
+        tags=[f"NM:i:{nm}", f"MD:Z:{md}"])
+
+
 def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
     return SamRecord(qname=qname, flag=4, seq=seq, qual=qual or "*")
 

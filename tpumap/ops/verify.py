@@ -80,6 +80,16 @@ def _spread16(x: jax.Array) -> jax.Array:
     return x
 
 
+def extract_codes_window(genome_packed: jax.Array, starts: jax.Array,
+                         L: int) -> jax.Array:
+    """Gather genome windows as per-base codes uint8[..., L] (unpacked)."""
+    W = (L + 15) // 16
+    words = extract_packed_window(genome_packed, starts, W)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
+    lanes = (words[..., :, None] >> shifts) & jnp.uint32(3)
+    return lanes.reshape(*words.shape[:-1], W * 16)[..., :L].astype(jnp.uint8)
+
+
 def mismatch_words(query_packed: jax.Array, genome_window: jax.Array,
                    query_nmask2: jax.Array | None = None,
                    genome_nmask2: jax.Array | None = None) -> jax.Array:
