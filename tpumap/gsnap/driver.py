@@ -43,14 +43,18 @@ def make_batch(records: list[Record], batch_size: int, L: int):
 INDEL_NMM_TRIGGER = 4     # reads with >= this many mismatches get a DP pass
 INDEL_BAND = 32
 INDEL_MARGIN = 4
+SPLICE_NMM_TRIGGER = 6    # and >= this many get the splice-junction pass
+MAX_CAND_PAIRS = 8
+MIN_INTRON = 9
 
 
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
-                  config: AlignConfig = AlignConfig(),
+                  config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
+                  max_intron: int = 200_000,
                   batch_size: int = 1024) -> list[sam.SamRecord]:
-    from tpumap.gsnap.engine import refine_indels
+    from tpumap.gsnap.engine import refine_indels, refine_splices
     from tpumap.ops import dp as dp_ops
-    from tpumap.ops import pack as pack_ops
+    from tpumap.utils import dna as dna_utils
     import jax.numpy as jnp
 
     out = []
@@ -78,7 +82,6 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             for row, i in enumerate(need):
                 c = batch["codes"][i]
                 if res["strand"][i]:
-                    from tpumap.utils import dna as dna_utils
                     li = batch["lengths"][i]
                     c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
                                         np.zeros(L - li, np.uint8)])
@@ -99,9 +102,102 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                                     + int(ref["start_off"][row]),
                                     ops, int(ref["score"][row]))
 
+        # third stage: novel splice junctions (RNA mode) for reads that are
+        # still bad — pair up same-strand candidate diagonals within the
+        # intron window and pick the best junction (Splice_resolve analog)
+        splice_result = {}
+        if novelsplicing:
+            sneed = []
+            for i in range(len(chunk)):
+                solved_by_dp = i in dp_result and (
+                    3 * int(batch["lengths"][i]) - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER
+                if res["nmismatch"][i] >= SPLICE_NMM_TRIGGER and not solved_by_dp:
+                    sneed.append(i)
+            pairs_per_read = []
+            for i in sneed:
+                # candidates grouped per strand, ranked by mismatches
+                cands = {0: [], 1: []}
+                for c in range(res["cand_diags"].shape[1]):
+                    dg = int(res["cand_diags"][i, c])
+                    st = int(res["cand_strands"][i, c])
+                    if dg != 0xFFFFFFFF and dg not in cands[st]:
+                        cands[st].append(dg)
+                pairs = []
+                for st in (0, 1):
+                    for a in cands[st]:
+                        for b in cands[st]:
+                            if MIN_INTRON <= b - a <= max_intron:
+                                pairs.append((a, b, st))
+                pairs_per_read.append(pairs[:MAX_CAND_PAIRS])
+            sneed = [i for i, p in zip(sneed, pairs_per_read) if p]
+            pairs_per_read = [p for p in pairs_per_read if p]
+            if sneed:
+                nb = pad_to_bucket(len(sneed))
+                codes = np.zeros((nb, L), dtype=np.uint8)
+                nmask = np.zeros((nb, L), dtype=bool)
+                lengths = np.ones(nb, dtype=np.int32)
+                dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+                dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+                strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
+                for row, (i, pairs) in enumerate(zip(sneed, pairs_per_read)):
+                    li = int(batch["lengths"][i])
+                    # orientation per pair strand; use strand of first pair
+                    st0 = pairs[0][2]
+                    c = batch["codes"][i]
+                    m = batch["nmask"][i]
+                    if st0:
+                        c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                            np.zeros(L - li, np.uint8)])
+                        m = np.concatenate([m[:li][::-1],
+                                            np.zeros(L - li, bool)])
+                    codes[row] = c
+                    nmask[row] = m
+                    lengths[row] = li
+                    for pcol, (a, b, st) in enumerate(pairs):
+                        if st != st0:
+                            continue
+                        dA[row, pcol] = a
+                        dB[row, pcol] = b
+                        strands[row, pcol] = st
+                sres = refine_splices(index, jnp.asarray(codes),
+                                      jnp.asarray(nmask),
+                                      jnp.asarray(lengths),
+                                      jnp.asarray(dA), jnp.asarray(dB))
+                sres = {k: np.asarray(v) for k, v in sres.items()}
+                for row, i in enumerate(sneed):
+                    li = int(batch["lengths"][i])
+                    pcol = int(np.argmin(np.where(sres["valid"][row],
+                                                  sres["nmm"][row], li + 1)))
+                    if not sres["valid"][row][pcol]:
+                        continue
+                    nmm = int(sres["nmm"][row][pcol])
+                    score = 3 * li - 6 * nmm - (0 if sres["bonus"][row][pcol] > 0
+                                                else 12)
+                    best_other = 3 * li - 6 * int(res["nmismatch"][i])
+                    if i in dp_result:
+                        best_other = max(best_other, dp_result[i][2])
+                    if score > best_other:
+                        splice_result[i] = {
+                            "dA": int(dA[row, pcol]),
+                            "dB": int(dB[row, pcol]),
+                            "qstar": int(sres["qstar"][row][pcol]),
+                            "strand": int(strands[row, pcol]),
+                            "sense": int(sres["sense"][row][pcol]),
+                            "nmm": nmm, "score": score,
+                        }
+
         for i, rec in enumerate(chunk):
             li = int(batch["lengths"][i])
             max_equiv = int(li * config.max_mismatch_frac)
+            if i in splice_result:
+                s = splice_result[i]
+                equiv_nmm = (3 * li - s["score"]) // 6
+                if equiv_nmm <= max_equiv:
+                    out.append(sam.spliced_record(
+                        db, rec.accession, rec.sequence, rec.quality,
+                        s["dA"], s["dB"], s["qstar"], li, s["strand"],
+                        int(mapq[i]), s["sense"]))
+                    continue
             if i in dp_result:
                 pos0, ops, score = dp_result[i]
                 equiv_nmm = (3 * li - score) // 6

@@ -109,6 +109,10 @@ def select_best(all_diags: jax.Array, all_nmm: jax.Array, strands: jax.Array,
         "second_nmismatch": second_nmm,
         "n_best": n_best,
         "mapped": mapped,
+        # ranked candidate lists for the downstream indel/splice stages
+        "cand_diags": diag_sorted,
+        "cand_strands": strand_sorted,
+        "cand_nmm": nmm_sorted,
     }
 
 
@@ -140,6 +144,83 @@ def refine_indels(index, codes: jax.Array, lengths: jax.Array,
     start_off = (k_final - band).astype(jnp.int32) + (
         gstart.astype(jnp.int32) - diags.astype(jnp.int32))
     return {"score": out["score"], "ops": ops, "start_off": start_off}
+
+
+@jax.jit
+def refine_splices(index, codes: jax.Array, nmask: jax.Array,
+                   lengths: jax.Array, diagsA: jax.Array, diagsB: jax.Array):
+    """Score splice junctions for candidate diagonal pairs.
+
+    Equivalent of the reference's Splice_resolve (src/splice.c): a read
+    spanning one intron aligns its prefix on diagonal A and suffix on
+    diagonal B (genomic; dB > dA); the exon boundary q* minimizes
+    mismatches while favoring canonical dinucleotides.
+
+    codes [B, L] aligned orientation; diagsA/diagsB [B, P] candidate pairs
+    (INVALID-padded). Returns per pair: qstar int32[B, P], nmm int32[B, P]
+    (total mismatches at the chosen boundary), bonus f32[B, P] (canonical
+    score at the boundary), sense int32[B, P] (+1 GT-AG-side, -1 antisense,
+    0 none).
+    """
+    B, L = codes.shape
+    P = diagsA.shape[1]
+    validp = (diagsA != jnp.uint32(0xFFFFFFFF)) & (diagsB != jnp.uint32(0xFFFFFFFF))
+    dA = jnp.where(validp, diagsA, 0)
+    dB = jnp.where(validp, diagsB, 0)
+
+    # genome code windows on both diagonals: [B, P, L+1]
+    gA = verify.extract_codes_window(index.genome_packed, dA, L + 1)
+    gB = verify.extract_codes_window(index.genome_packed, dB, L + 1)
+    q = codes[:, None, :]
+    mmA = (q != gA[..., :L]) | nmask[:, None, :]
+    mmB = (q != gB[..., :L]) | nmask[:, None, :]
+    inlen = (jnp.arange(L)[None, None, :] < lengths[:, None, None])
+    mmA = mmA & inlen
+    mmB = mmB & inlen
+
+    # boundary q* in [1, L-1]: prefix mm on A (q < q*), suffix mm on B
+    prefA = jnp.cumsum(mmA, axis=2)                       # mm in [0, q]
+    sufB_total = jnp.sum(mmB, axis=2, keepdims=True)
+    prefB = jnp.cumsum(mmB, axis=2)
+    # at boundary q*: cost = prefA[q*-1] + (total_B - prefB[q*-1])
+    costs = prefA + (sufB_total - prefB)                  # index q*-1
+    costs = costs[..., :L - 1].astype(jnp.float32)        # q* = 1..L-1
+
+    # canonical dinucleotides: donor at gA[q*], gA[q*+1]; acceptor at
+    # gB[q*-2], gB[q*-1]
+    qs = jnp.arange(1, L, dtype=jnp.int32)
+    don1 = gA[..., 1:L]
+    don2 = gA[..., 2:L + 1]
+    acc1 = jnp.where(qs[None, None, :] >= 2, gB[..., jnp.maximum(qs - 2, 0)], 4)
+    acc2 = gB[..., 0:L - 1]
+    # sense: GT..AG +2.0, GC..AG/AT..AC +1.2; antisense: CT..AC etc.
+    def canon(a, b, c, d):
+        gt_ag = (don1 == a) & (don2 == b) & (acc1 == c) & (acc2 == d)
+        return gt_ag
+    s_gtag = canon(2, 3, 0, 2)
+    s_gcag = canon(2, 1, 0, 2)
+    s_atac = canon(0, 3, 0, 1)
+    a_ctac = canon(1, 3, 0, 1)
+    a_ctgc = canon(1, 3, 2, 1)
+    a_gtat = canon(2, 3, 0, 3)
+    bonus = (jnp.where(s_gtag | a_ctac, 2.0,
+                       jnp.where(s_gcag | a_ctgc, 1.2,
+                                 jnp.where(s_atac | a_gtat, 0.8, 0.0)))
+             .astype(jnp.float32))
+    sense = jnp.where(s_gtag | s_gcag | s_atac, 1,
+                      jnp.where(a_ctac | a_ctgc | a_gtat, -1, 0))
+
+    in_read = (qs[None, None, :] >= 1) & (qs[None, None, :] < lengths[:, None, None])
+    score = jnp.where(in_read, bonus - 3.0 * costs, -jnp.inf)
+    jbest = jnp.argmax(score, axis=2)
+    qstar = jbest.astype(jnp.int32) + 1
+    take = lambda arr: jnp.take_along_axis(arr, jbest[..., None], axis=2)[..., 0]
+    nmm = take(costs).astype(jnp.int32)
+    out_bonus = take(bonus)
+    out_sense = take(sense).astype(jnp.int32)
+    nmm = jnp.where(validp, nmm, lengths[:, None])
+    return {"qstar": qstar, "nmm": nmm, "bonus": out_bonus,
+            "sense": out_sense, "valid": validp}
 
 
 def mapq_from_scores(nmm: np.ndarray, second: np.ndarray, n_best: np.ndarray,

@@ -135,6 +135,35 @@ def gapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
         tags=[f"NM:i:{nm}", f"MD:Z:{md}"])
 
 
+def spliced_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
+                   diagA: int, diagB: int, qstar: int, qlen: int,
+                   strand: int, mapq: int, sense: int) -> SamRecord:
+    """SAM record for a one-intron spliced read: qM nN (L-q)M.
+
+    diagA/diagB are univdiagonals of the left/right exon parts; the intron
+    spans genomic [diagA + qstar, diagB + qstar).
+    """
+    oriented = dna.revcomp(seq) if strand else seq
+    rname, chrpos = db.chrpos(diagA)
+    intron = diagB - diagA
+    left = db.get_seq(diagA, qstar)
+    right = db.get_seq(diagB + qstar, qlen - qstar)
+    md, nm = md_and_nm(oriented, left + right)
+    q = qual or "*"
+    if strand and qual:
+        q = qual[::-1]
+    # XS = transcript strand on the genome: the canonical dinucleotides are
+    # read from the + genome, so sense=+1 (GT..AG) means '+' regardless of
+    # the read's own orientation
+    tags = [f"NM:i:{nm}", f"MD:Z:{md}"]
+    if sense:
+        tags.append(f"XS:A:{'+' if sense == 1 else '-'}")
+    return SamRecord(
+        qname=qname, flag=16 if strand else 0, rname=rname, pos=chrpos + 1,
+        mapq=mapq, cigar=f"{qstar}M{intron}N{qlen - qstar}M",
+        seq=oriented, qual=q, tags=tags)
+
+
 def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
     return SamRecord(qname=qname, flag=4, seq=seq, qual=qual or "*")
 
