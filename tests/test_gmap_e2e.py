@@ -93,3 +93,69 @@ def test_gff3_byte_parity_her2(fmt):
     gseg = REF_TESTS / "ss.chr17test"
     queries = REF_TESTS / "ss.her2"
     assert _run_mine(fmt, gseg, queries) == _run_ref(fmt, gseg, queries)
+
+
+@pytest.fixture(scope="module")
+def dbmode_case(tmp_path_factory):
+    """Shared db-mode setup: our db + reference db on chr17test, plus an
+    rc (antisense) query and a synthetic minus-strand gene genome."""
+    import subprocess as sp
+
+    from tpumap.index import build_db
+    from tpumap.io.fasta import read_fasta
+
+    d = tmp_path_factory.mktemp("dbmode")
+    her2 = next(read_fasta(REF_TESTS / "ss.her2"))
+    rc = dna.revcomp(her2.sequence)
+    (d / "q_rc.fa").write_text(
+        ">NM_004448rc test\n"
+        + "\n".join(rc[i:i + 60] for i in range(0, len(rc), 60)) + "\n")
+    db = build_db(REF_TESTS / "ss.chr17test", name="chr17test", k=14,
+                  interval=3)
+    db.save(str(d / "db"))
+    gmap_build = pathlib.Path("/root/reference/bin/gmap_build")
+    if gmap_build.exists() and (REFBIN / "gmapindex").exists():
+        sp.run([str(gmap_build), "-B", str(REFBIN), "-D", str(d / "refdb"),
+                "-d", "chr17test", "-k", "14", "-q", "3", "--local=0",
+                str(REF_TESTS / "ss.chr17test")],
+               check=True, capture_output=True)
+    return d
+
+
+@need_fixtures
+@need_oracle
+@pytest.mark.parametrize("fmt", ["3", "2"])
+@pytest.mark.parametrize("query", ["fwd", "rc"])
+def test_gff3_db_mode_parity(dbmode_case, fmt, query):
+    from tpumap.cli.gmap_cli import main as gmap_main
+    d = dbmode_case
+    qfile = REF_TESTS / "ss.her2" if query == "fwd" else d / "q_rc.fa"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gmap_main(["-D", str(d / "db"), "-d", "chr17test", "-f", fmt,
+                   str(qfile)])
+    mine = [l for l in buf.getvalue().splitlines()
+            if not l.startswith("#") or l == "###"]
+    ref = subprocess.run([str(REFBIN / "gmap"), "-D", str(d / "refdb"),
+                          "-d", "chr17test", "-f", fmt, str(qfile)],
+                         capture_output=True, text=True).stdout
+    refl = [l for l in ref.splitlines() if not l.startswith("#") or l == "###"]
+    assert mine == refl
+
+
+@need_oracle
+@pytest.mark.parametrize("fmt", ["3", "2"])
+def test_gff3_minus_strand_gene_parity(tmp_path, fmt):
+    """Sense mRNA of a minus-strand gene (presented-strand conventions)."""
+    rng = np.random.default_rng(21)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 12000))
+    g = g[:2300] + "CT" + g[2302:3998] + "AC" + g[4000:]
+    mrna = dna.revcomp(g[4000:4360]) + dna.revcomp(g[2000:2300])
+    (tmp_path / "g.fa").write_text(
+        ">chrS\n" + "\n".join(g[i:i + 60] for i in range(0, len(g), 60)) + "\n")
+    (tmp_path / "q.fa").write_text(
+        ">mrna1\n" + "\n".join(mrna[i:i + 60] for i in range(0, len(mrna), 60))
+        + "\n")
+    mine = _run_mine(fmt, tmp_path / "g.fa", tmp_path / "q.fa")
+    ref = _run_ref(fmt, tmp_path / "g.fa", tmp_path / "q.fa")
+    assert mine == ref

@@ -2,7 +2,8 @@
 
 Mirrors the behaviorally-meaningful subset of the reference gmap flags
 (src/gmap.c:515-630): -g/--gseg (align against a raw genomic segment),
--D/-d (database), -f (output format: 2=gff3_gene, 3=gff3_match_cdna).
+-D/-d (genome database), -f (output format: 2=gff3_gene,
+3=gff3_match_cdna).
 """
 from __future__ import annotations
 
@@ -11,10 +12,45 @@ import sys
 
 import numpy as np
 
-from tpumap.gmap.engine import GmapConfig, align_cdna_both
+from tpumap.gmap.engine import GmapConfig, align_cdna, align_cdna_both
+from tpumap.gmap.stage1 import Stage1Config, find_regions
+from tpumap.index.build import GenomeDB
+from tpumap.index.device import DeviceIndex
 from tpumap.io import gff3
 from tpumap.io.fasta import read_fasta
 from tpumap.utils import dna
+
+
+def chain_goodness(chain) -> int:
+    if chain is None:
+        return -(10 ** 9)
+    return chain.matches - 3 * chain.mismatches
+
+
+def align_query_to_db(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
+                      config: GmapConfig = GmapConfig(),
+                      s1config: Stage1Config = Stage1Config()):
+    """Full GMAP pipeline for one query against a genome db.
+
+    Returns (chain, univ_offset) for the best region, or (None, 0).
+    Exon genome coordinates in the chain are region-relative; univ_offset
+    converts them to univcoords.
+    """
+    regions = find_regions(index, qcodes, qnmask, s1config)
+    best, best_off = None, 0
+    for (gstart, gend, weight, strand) in regions:
+        rcodes = db.get_codes(gstart, gend - gstart)
+        rnmask = db.get_nmask(gstart, gend - gstart).astype(bool)
+        qc = dna.revcomp_codes(qcodes) if strand else qcodes
+        qn = qnmask[::-1].copy() if strand else qnmask
+        chain = align_cdna(qc, qn, rcodes, rnmask, config)
+        if chain is not None:
+            chain.strand = strand
+        if chain_goodness(chain) > chain_goodness(best):
+            best, best_off = chain, gstart
+        if best is not None and best.mismatches == 0 and best.coverage == len(qcodes):
+            break
+    return best, best_off
 
 
 def main(argv=None):
@@ -22,6 +58,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-gmap")
     ap.add_argument("-g", "--gseg", help="align against this genomic segment FASTA")
     ap.add_argument("-D", "--dir", help="genome database directory")
+    ap.add_argument("-d", "--db", help="genome database name (informational)")
     ap.add_argument("-f", "--format", default="3",
                     choices=["2", "3", "gff3_gene", "gff3_match_cdna"])
     ap.add_argument("queries", help="query FASTA/FASTQ")
@@ -33,6 +70,17 @@ def main(argv=None):
                                                          args.format)
     out.write(gff3.header(cmdline))
 
+    def emit(chain, rec, qcodes, seqid, source, chrom_offset):
+        if fmt == "gff3_match_cdna":
+            out.write(gff3.match_cdna(chain, rec.accession, seqid, source,
+                                      chrom_offset=chrom_offset,
+                                      qlen=len(qcodes)))
+        else:
+            out.write(gff3.gene(chain, rec.accession, seqid, source,
+                                query_codes=qcodes,
+                                chrom_offset=chrom_offset,
+                                qlen=len(qcodes)))
+
     if args.gseg:
         region = next(read_fasta(args.gseg))
         rcodes, rnmask = dna.encode(region.sequence)
@@ -42,15 +90,22 @@ def main(argv=None):
             chain = align_cdna_both(qcodes, qnmask, rcodes, rnmask, config)
             if chain is None:
                 continue
-            if fmt == "gff3_match_cdna":
-                out.write(gff3.match_cdna(chain, rec.accession,
-                                          region.accession, region.accession))
-            else:
-                out.write(gff3.gene(chain, rec.accession, region.accession,
-                                    region.accession, query_codes=qcodes))
+            emit(chain, rec, qcodes, region.accession, region.accession, 0)
+    elif args.dir:
+        db = GenomeDB.load(args.dir)
+        index = DeviceIndex.from_host(db)
+        source = args.db or db.name
+        for rec in read_fasta(args.queries):
+            qcodes, qnmask = dna.encode(rec.sequence)
+            chain, univ_off = align_query_to_db(db, index, qcodes, qnmask)
+            if chain is None:
+                continue
+            chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
+            seqid = db.chrom_names[chrom_idx]
+            chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
+            emit(chain, rec, qcodes, seqid, source, chrom_offset)
     else:
-        ap.error("database mode (-D/-d) arrives with the GMAP stage-1 "
-                 "milestone; use -g for now")
+        ap.error("need -g or -D")
 
 
 if __name__ == "__main__":

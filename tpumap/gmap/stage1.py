@@ -1,0 +1,83 @@
+"""GMAP stage 1: candidate genomic region finding against a genome db.
+
+Capability analog of src/stage1.c Stage1_compute: sample the query's
+k-mers against the genome k-mer index and cluster the hit diagonals into
+candidate genomic regions (Gregion equivalents). Exons of one gene sit on
+increasing diagonals (separated by intron lengths), so clustering uses a
+large merge slop (max total intron span) — the existing sort-based
+prevalent-diagonal kernel with slop does exactly this.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumap.index.device import DeviceIndex
+from tpumap.ops import pack, seed
+from tpumap.utils import dna
+
+
+@dataclass(frozen=True)
+class Stage1Config:
+    sample_interval: int = 6      # query oligo sampling for region finding
+    max_occ: int = 16             # overabundant-oligo cap
+    top_regions: int = 5
+    maxtotallen: int = 500_000    # cluster slop ~ max gene span
+    region_pad: int = 2_000
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _region_diags(index, codes, nmask, lengths, config: Stage1Config):
+    oligos, valid = seed.query_oligos(codes, nmask, lengths, index.k)
+    NQ = oligos.shape[1]
+    qpos = jnp.arange(0, NQ, config.sample_interval, dtype=jnp.int32)
+    diags = seed.lookup_diagonals(index.offsets, index.positions,
+                                  oligos[:, ::config.sample_interval],
+                                  valid[:, ::config.sample_interval],
+                                  qpos, config.max_occ)
+    B = diags.shape[0]
+    return seed.prevalent_diagonals(diags.reshape(B, -1),
+                                    config.top_regions,
+                                    merge_slop=config.maxtotallen,
+                                    return_last=True)
+
+
+def find_regions(index: DeviceIndex, query_codes: np.ndarray,
+                 query_nmask: np.ndarray,
+                 config: Stage1Config = Stage1Config()):
+    """Candidate regions for ONE query (both orientations).
+
+    Returns list of (gstart, gend, weight, strand) sorted by weight desc.
+    gstart/gend are univcoords clipped to the genome.
+    """
+    Q = len(query_codes)
+    Qp = 256
+    while Qp < Q:
+        Qp *= 2
+    qc = np.zeros((2, Qp), np.uint8)
+    qn = np.zeros((2, Qp), bool)
+    qc[0, :Q] = query_codes
+    qn[0, :Q] = query_nmask
+    qc[1, :Q] = dna.revcomp_codes(query_codes)
+    qn[1, :Q] = query_nmask[::-1]
+    lengths = jnp.full((2,), Q, jnp.int32)
+
+    diags, counts, lasts = _region_diags(index, jnp.asarray(qc),
+                                         jnp.asarray(qn), lengths, config)
+    diags, counts, lasts = (np.asarray(diags), np.asarray(counts),
+                            np.asarray(lasts))
+    regions = []
+    for strand in (0, 1):
+        for r in range(diags.shape[1]):
+            if counts[strand, r] <= 1:
+                continue
+            d0, d1 = int(diags[strand, r]), int(lasts[strand, r])
+            gstart = max(d0 - config.region_pad, 0)
+            gend = min(d1 + Q + config.region_pad, index.genome_length)
+            regions.append((gstart, gend, int(counts[strand, r]), strand))
+    regions.sort(key=lambda t: -t[2])
+    return regions[:config.top_regions]

@@ -46,33 +46,49 @@ def translate_codes(codes: np.ndarray) -> str:
     return "".join(out)
 
 
-def best_orf(codes: np.ndarray) -> tuple[int, int, str]:
-    """Longest stop-free ORF across 3 frames.
+def best_orf(codes: np.ndarray,
+             fulllength: bool = False) -> tuple[int, int, str]:
+    """Best ORF per the reference's rules (translation.c
+    find_bounds_forward): in each frame the FIRST candidate ORF starts at
+    the frame's first codon (no Met required unless fulllength); after a
+    stop codon, subsequent ORFs must start at an initiation codon (M).
+    ORF length counts the stop codon. Across frames the longest wins, with
+    ties resolved frame2 > frame1 > frame0.
 
     Returns (qstart, qend) as a 0-based half-open query span covering whole
     codons plus the terminating stop codon if present, and the aa string
-    (stop excluded) — matching the reference's reported span (e.g.
-    "Translation: 2..4006 (1334 aa)" counts the stop codon in the span but
-    not in the aa count).
+    (stop excluded) — the reported span (e.g. "Translation: 2..4006
+    (1334 aa)") counts the stop codon in the span but not in the aa count.
     """
-    best = (0, 0, "")
-    L = len(codes)
+    per_frame = []
     for frame in range(3):
         aa = translate_codes(codes[frame:])
-        # longest run without '*'
+        needmet = fulllength
+        orf = 0
         start = 0
-        i = 0
-        runs = []
-        for i, c in enumerate(aa + "*"):
-            if c == "*":
-                if i > start:
-                    runs.append((start, i))
-                start = i + 1
-        for (s, e) in runs:
-            qs = frame + 3 * s
-            qe = frame + 3 * e
-            has_stop = e < len(aa) and aa[e] == "*"
-            qe_span = qe + 3 if has_stop else qe
-            if (e - s) > (len(best[2])):
-                best = (qs, qe_span, aa[s:e])
-    return best
+        bestorf, beststart, bestend, endstop = 0, 0, max(len(aa) - 1, 0), False
+        for i, c in enumerate(aa):
+            if needmet:
+                if c == "M":
+                    orf = 1
+                    start = i
+                    needmet = False
+            elif c == "*":
+                orf += 1
+                if orf > bestorf:
+                    bestorf, beststart, bestend, endstop = orf, start, i, True
+                needmet = True
+            else:
+                orf += 1
+        if orf > bestorf:
+            bestorf, beststart, bestend, endstop = orf, start, len(aa) - 1, False
+        per_frame.append((bestorf, frame, beststart, bestend, endstop, aa))
+    length = max(p[0] for p in per_frame)
+    for p in reversed(per_frame):     # frame2 > frame1 > frame0 on ties
+        if p[0] == length:
+            bestorf, frame, s, e, endstop, aa = p
+            break
+    qs = frame + 3 * s
+    qe = frame + 3 * e + 3
+    aas = aa[s:e] if endstop else aa[s:e + 1]
+    return (qs, qe, aas)

@@ -66,12 +66,14 @@ def lookup_diagonals(offsets: jax.Array, positions: jax.Array,
     return jnp.where(bad, INVALID, diag)
 
 
-def prevalent_diagonals(diags: jax.Array, top_k: int,
-                        merge_slop: int = 0) -> tuple[jax.Array, jax.Array]:
+def prevalent_diagonals(diags: jax.Array, top_k: int, merge_slop: int = 0,
+                        return_last: bool = False):
     """Top-K diagonals per read by k-mer support.
 
     diags: uint32[B, N] (INVALID padding). Returns (uint32[B, top_k]
-    diagonals, int32[B, top_k] support counts), count-descending.
+    diagonals, int32[B, top_k] support counts), count-descending; with
+    return_last=True also the run's LAST (largest) diagonal — used by
+    stage-1 region finding to bound the genomic window.
     With merge_slop > 0, diagonals within slop of a run's start are counted
     into that run (cheap stand-in for the reference's approx-intersection
     slop; exact for slop=0).
@@ -100,6 +102,12 @@ def prevalent_diagonals(diags: jax.Array, top_k: int,
     top_counts, top_idx = jax.lax.top_k(count, top_k)
     top_diags = jnp.take_along_axis(rep, top_idx, axis=1)
     top_diags = jnp.where(top_counts > 0, top_diags, INVALID)
+    if return_last:
+        # count is nonzero only at run-last positions, so top_idx points at
+        # the last (largest) diagonal of each selected run
+        top_last = jnp.take_along_axis(d, top_idx, axis=1)
+        top_last = jnp.where(top_counts > 0, top_last, INVALID)
+        return top_diags, top_counts, top_last
     return top_diags, top_counts
 
 
