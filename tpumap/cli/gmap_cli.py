@@ -59,27 +59,46 @@ def main(argv=None):
     ap.add_argument("-g", "--gseg", help="align against this genomic segment FASTA")
     ap.add_argument("-D", "--dir", help="genome database directory")
     ap.add_argument("-d", "--db", help="genome database name (informational)")
-    ap.add_argument("-f", "--format", default="3",
+    ap.add_argument("-f", "--format", default=None,
                     choices=["2", "3", "gff3_gene", "gff3_match_cdna"])
+    ap.add_argument("-A", "--align", action="store_true",
+                    help="show alignment (text format)")
+    ap.add_argument("-S", "--summary", action="store_true",
+                    help="show summary of alignments (text format)")
     ap.add_argument("queries", help="query FASTA/FASTQ")
     args = ap.parse_args(argv)
 
     out = sys.stdout
     cmdline = "tpumap-gmap " + " ".join(argv)
-    fmt = {"2": "gff3_gene", "3": "gff3_match_cdna"}.get(args.format,
-                                                         args.format)
-    out.write(gff3.header(cmdline))
+    if args.align:
+        fmt = "align"
+    elif args.summary:
+        fmt = "summary"
+    else:
+        fmt = {"2": "gff3_gene", "3": "gff3_match_cdna", None: "gff3_match_cdna"
+               }.get(args.format, args.format)
+    if fmt.startswith("gff3"):
+        out.write(gff3.header(cmdline))
 
-    def emit(chain, rec, qcodes, seqid, source, chrom_offset):
+    def emit(chain, rec, qcodes, seqid, source, chrom_offset,
+             region_codes=None, chrname=None):
         if fmt == "gff3_match_cdna":
             out.write(gff3.match_cdna(chain, rec.accession, seqid, source,
                                       chrom_offset=chrom_offset,
                                       qlen=len(qcodes)))
-        else:
+        elif fmt == "gff3_gene":
             out.write(gff3.gene(chain, rec.accession, seqid, source,
                                 query_codes=qcodes,
                                 chrom_offset=chrom_offset,
                                 qlen=len(qcodes)))
+        else:
+            from tpumap.io.alignfmt import print_alignment
+            aligned = dna.revcomp_codes(qcodes) if chain.strand else qcodes
+            out.write(print_alignment(rec.header, chain, aligned,
+                                      region_codes, len(qcodes),
+                                      chrname=chrname,
+                                      genome_offset=chrom_offset,
+                                      summary_only=(fmt == "summary")))
 
     if args.gseg:
         region = next(read_fasta(args.gseg))
@@ -90,7 +109,8 @@ def main(argv=None):
             chain = align_cdna_both(qcodes, qnmask, rcodes, rnmask, config)
             if chain is None:
                 continue
-            emit(chain, rec, qcodes, region.accession, region.accession, 0)
+            emit(chain, rec, qcodes, region.accession, region.accession, 0,
+                 region_codes=rcodes)
     elif args.dir:
         db = GenomeDB.load(args.dir)
         index = DeviceIndex.from_host(db)
@@ -103,7 +123,13 @@ def main(argv=None):
             chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
             seqid = db.chrom_names[chrom_idx]
             chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
-            emit(chain, rec, qcodes, seqid, source, chrom_offset)
+            g_lo = chain.exons[0].gstart
+            g_hi = chain.exons[-1].gend
+            emit(chain, rec, qcodes, seqid, source, chrom_offset,
+                 region_codes=db.get_codes(univ_off,
+                                           g_hi + 16).astype(np.uint8)
+                 if fmt in ("align", "summary") else None,
+                 chrname=seqid)
     else:
         ap.error("need -g or -D")
 
