@@ -1,0 +1,57 @@
+"""tpumap-get-genome: extract genomic segments from a db (get-genome.c).
+
+Output format matches the reference:
+  >chr:start..end dbname:start..end
+  sequence wrapped at 60 columns
+Reverse-complement segments are requested as chr:end..start (start > end),
+like the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+from tpumap.index.build import GenomeDB
+from tpumap.utils import dna
+
+
+def parse_region(db: GenomeDB, text: str):
+    m = re.fullmatch(r"([^:]+):(\d+)(?:\.\.(\d+))?", text)
+    if m:
+        chrom, a, b = m.group(1), int(m.group(2)), m.group(3)
+        b = int(b) if b else int(a)
+    else:
+        chrom, a, b = text, 1, None
+    if chrom not in db.chrom_names:
+        raise SystemExit(f"chromosome {chrom} not found")
+    ci = db.chrom_names.index(chrom)
+    clen = int(db.chrom_offsets[ci + 1] - db.chrom_offsets[ci])
+    if b is None:
+        b = clen
+    return chrom, int(db.chrom_offsets[ci]), a, b
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    ap = argparse.ArgumentParser(prog="tpumap-get-genome")
+    ap.add_argument("-D", "--dir", required=True)
+    ap.add_argument("-d", "--db", help="database name (informational)")
+    ap.add_argument("region", help="chr | chr:pos | chr:start..end "
+                    "(start > end = reverse complement)")
+    args = ap.parse_args(argv)
+    db = GenomeDB.load(args.dir)
+    chrom, coff, a, b = parse_region(db, args.region)
+    revcomp = a > b
+    lo, hi = (b, a) if revcomp else (a, b)
+    seq = db.get_seq(coff + lo - 1, hi - lo + 1)
+    if revcomp:
+        seq = dna.revcomp(seq)
+    name = args.db or db.name
+    sys.stdout.write(f">{chrom}:{a}..{b} {name}:{a}..{b}\n")
+    for i in range(0, len(seq), 60):
+        sys.stdout.write(seq[i:i + 60] + "\n")
+
+
+if __name__ == "__main__":
+    main()
