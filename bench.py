@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from tools import bench_data
-    from tpumap.gsnap.engine import AlignConfig, align_batch
+    from tpumap.gsnap.engine import AlignConfig, align_batch_cascaded
     from tpumap.index import GenomeDB, build_db
     from tpumap.index.device import DeviceIndex
     from tpumap.io.fasta import read_fasta
@@ -59,7 +59,7 @@ def main():
         codes[i, :len(c)] = c
         nmask[i, :len(c)] = m
 
-    B = 4096
+    B = 8192
     nbatch = N // B
 
     def run_batch(i):
@@ -67,7 +67,7 @@ def main():
         batch = {"codes": jnp.asarray(codes[sl]),
                  "nmask": jnp.asarray(nmask[sl]),
                  "lengths": jnp.asarray(lengths[sl])}
-        return align_batch(index, batch, config)
+        return align_batch_cascaded(index, batch, config, 3, 256)
 
     # warmup/compile
     out = run_batch(0)

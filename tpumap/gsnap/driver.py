@@ -13,7 +13,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from tpumap.gsnap.engine import AlignConfig, align_batch, mapq_from_scores
+from tpumap.gsnap.engine import (AlignConfig, align_batch_cascaded,
+                                 mapq_from_scores)
 from tpumap.index.build import GenomeDB
 from tpumap.index.device import DeviceIndex
 from tpumap.io import sam
@@ -63,7 +64,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         B = pad_to_bucket(len(chunk)) if len(chunk) < batch_size else batch_size
         L = pad_to_bucket(max(len(r.sequence) for r in chunk))
         batch = make_batch(chunk, B, L)
-        res = align_batch(index, batch, config)
+        res = align_batch_cascaded(
+            index, {k: jnp.asarray(v) for k, v in batch.items()}, config)
         res = {k: np.asarray(v) for k, v in res.items()}
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"])

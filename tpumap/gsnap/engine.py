@@ -102,6 +102,7 @@ def select_best(all_diags: jax.Array, all_nmm: jax.Array, strands: jax.Array,
     max_nmm = (lengths.astype(jnp.float32) * config.max_mismatch_frac).astype(jnp.int32)
     mapped = (best_diag != INVALID_DIAG) & (best_nmm <= max_nmm)
 
+    CAND_K = 8   # fixed width so cascade rungs can merge result dicts
     return {
         "diag": best_diag,
         "strand": best_strand,
@@ -110,10 +111,133 @@ def select_best(all_diags: jax.Array, all_nmm: jax.Array, strands: jax.Array,
         "n_best": n_best,
         "mapped": mapped,
         # ranked candidate lists for the downstream indel/splice stages
-        "cand_diags": diag_sorted,
-        "cand_strands": strand_sorted,
-        "cand_nmm": nmm_sorted,
+        "cand_diags": _pad_to(diag_sorted, CAND_K, jnp.uint32(0xFFFFFFFF)),
+        "cand_strands": _pad_to(strand_sorted, CAND_K, jnp.int32(0)),
+        "cand_nmm": _pad_to(nmm_sorted, CAND_K, jnp.int32(2 ** 15)),
     }
+
+
+def _pad_to(arr: jax.Array, k: int, fill) -> jax.Array:
+    B, n = arr.shape
+    if n >= k:
+        return arr[:, :k]
+    return jnp.concatenate(
+        [arr, jnp.full((B, k - n), fill, dtype=arr.dtype)], axis=1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
+    """Fast first rung of the cascade: end-oligo anchored candidates only.
+
+    The KMER_EXACT1 analog (src/kmer-search.c Kmer_exact1): candidate
+    diagonals come only from the first and last k-mers of the read (both
+    strands), skipping the full per-position gather and the sort. Solves
+    the overwhelming majority of DNA reads at a fraction of the cost; the
+    remainder escalates to align_batch (the prevalent-diagonal rung) via
+    align_batch_cascaded.
+    """
+    codes, nmask, lengths = batch["codes"], batch["nmask"], batch["lengths"]
+    B, L = codes.shape
+    k = index.k
+    occ = config.max_occ
+
+    rc_codes = pack.revcomp_codes(codes, lengths)
+    rc_nmask = pack.revcomp_codes(jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
+                                  lengths) == jnp.uint8(3)
+
+    def end_candidates(c, m):
+        # oligos at q in {0,1,2} and {qlast-2, qlast-1, qlast}: one of each
+        # trio lands on an index-sampled genome position (interval 3)
+        qlast = jnp.maximum(lengths - k, 0)
+        qpos_list = [jnp.zeros_like(qlast), jnp.minimum(1, qlast),
+                     jnp.minimum(2, qlast), jnp.maximum(qlast - 2, 0),
+                     jnp.maximum(qlast - 1, 0), qlast]
+        oligo_list = []
+        for qp in qpos_list:
+            o = jnp.zeros((B,), jnp.uint32)
+            for j in range(k):
+                idx = jnp.minimum(qp + j, L - 1)
+                o = (o << 2) | jnp.take_along_axis(
+                    c, idx[:, None].astype(jnp.int32), axis=1)[:, 0].astype(jnp.uint32)
+            oligo_list.append(o)
+        oligos = jnp.stack(oligo_list, axis=1)                 # [B, 6]
+        valid = jnp.ones((B, 6), jnp.bool_) & (lengths >= k)[:, None]
+        qpos = jnp.stack(qpos_list, axis=1)
+        # per-read qpos: lookup_diagonals wants shared qpos[NQ]; inline here
+        start = jnp.take(index.offsets, oligos.astype(jnp.int32), mode="clip")
+        end = jnp.take(index.offsets, oligos.astype(jnp.int32) + 1, mode="clip")
+        count = (end - start).astype(jnp.int32)
+        lane = jnp.arange(occ, dtype=jnp.int32)[None, None, :]
+        idx = start.astype(jnp.int32)[..., None] + lane
+        pos = jnp.take(index.positions, idx, mode="clip")
+        ok = valid[..., None] & (lane < count[..., None]) & (count <= occ)[..., None]
+        diag = pos - qpos[..., None].astype(jnp.uint32)
+        bad = ~ok | (pos < qpos[..., None].astype(jnp.uint32))
+        return jnp.where(bad, jnp.uint32(0xFFFFFFFF), diag).reshape(B, 6 * occ)
+
+    fcands = end_candidates(codes, nmask)
+    rcands = end_candidates(rc_codes, rc_nmask)
+
+    def verify_strand(c, m, cands):
+        packed = pack.pack_reads(c)
+        nmask2 = pack.pack_reads(m.astype(jnp.uint8))
+        return verify.verify_diagonals(index, packed, nmask2, lengths, cands)
+
+    fnmm = verify_strand(codes, nmask, fcands)
+    rnmm = verify_strand(rc_codes, rc_nmask, rcands)
+    K = fcands.shape[1]
+    all_diags = jnp.concatenate([fcands, rcands], axis=1)
+    all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
+    strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
+                               jnp.ones((B, K), jnp.int32)], axis=1)
+    return select_best(all_diags, all_nmm, strands, lengths, config)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def align_batch_cascaded(index: DeviceIndex, batch, config: AlignConfig,
+                         solved_nmm: int = 3, stage2_rows: int = 512):
+    """Two-rung cascade in ONE jit: end-anchored fast path, then the full
+    seed stage on a fixed-size on-device compaction of the unsolved reads.
+
+    The TPU re-expression of the reference's per-read method ladder —
+    no host round trip between rungs (device syncs are expensive on this
+    backend), so up to `stage2_rows` unsolved reads per batch are gathered
+    with top_k, re-aligned with the prevalent-diagonal rung, and scattered
+    back where they improved. Batches with more unsolved rows than
+    stage2_rows keep the fast-path result for the overflow (rare; size the
+    constant for the workload's error profile).
+    """
+    codes, nmask, lengths = batch["codes"], batch["nmask"], batch["lengths"]
+    B, L = codes.shape
+    S = min(stage2_rows, B)
+    res = align_batch_ends(index, batch, config)
+
+    unsolved = res["nmismatch"] > solved_nmm
+    # indices of up to S unsolved rows (priority by how bad they are)
+    prio = jnp.where(unsolved, res["nmismatch"], -1)
+    _, idx = jax.lax.top_k(prio, S)
+    selected = jnp.take(unsolved, idx)
+
+    sub = {
+        "codes": jnp.take(codes, idx, axis=0),
+        "nmask": jnp.take(nmask, idx, axis=0),
+        "lengths": jnp.take(lengths, idx),
+    }
+    res2 = align_batch(index, sub, config)
+
+    better = selected & (res2["nmismatch"] < jnp.take(res["nmismatch"], idx))
+    out = {}
+    for key in res:
+        upd = jnp.where(_bcast(better, res2[key]), res2[key],
+                        jnp.take(res[key], idx, axis=0))
+        out[key] = res[key].at[idx].set(upd)
+    return out
+
+
+def _bcast(mask: jax.Array, like: jax.Array) -> jax.Array:
+    while mask.ndim < like.ndim:
+        mask = mask[..., None]
+    return mask
 
 
 @partial(jax.jit, static_argnums=(4, 5))

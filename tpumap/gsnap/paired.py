@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpumap.gsnap.engine import AlignConfig, align_batch, mapq_from_scores
+from tpumap.gsnap.engine import (AlignConfig, align_batch_cascaded,
+                                 mapq_from_scores)
 from tpumap.index.build import GenomeDB
 from tpumap.index.device import DeviceIndex
 from tpumap.io import sam
@@ -91,7 +92,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         L = pad_to_bucket(max(len(r.sequence) for r in flat))
         batch = make_batch(flat, B, L)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        res = {k: np.asarray(v) for k, v in align_batch(index, jbatch, config).items()}
+        res = {k: np.asarray(v)
+               for k, v in align_batch_cascaded(index, jbatch, config).items()}
 
         # mate rescue where exactly one end has candidates
         rescue_rows = []
