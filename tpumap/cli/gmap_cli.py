@@ -60,11 +60,18 @@ def main(argv=None):
     ap.add_argument("-D", "--dir", help="genome database directory")
     ap.add_argument("-d", "--db", help="genome database name (informational)")
     ap.add_argument("-f", "--format", default=None,
-                    choices=["2", "3", "gff3_gene", "gff3_match_cdna"])
+                    choices=["1", "psl", "2", "gff3_gene", "3",
+                             "gff3_match_cdna", "4", "gff3_match_est",
+                             "6", "splicesites", "introns", "samse", "sampe"])
     ap.add_argument("-A", "--align", action="store_true",
                     help="show alignment (text format)")
     ap.add_argument("-S", "--summary", action="store_true",
                     help="show summary of alignments (text format)")
+    ap.add_argument("-E", "--exons", choices=["cdna", "genomic",
+                                              "cdna+introns",
+                                              "genomic+introns"])
+    ap.add_argument("-P", "--protein_dna", action="store_true")
+    ap.add_argument("-Q", "--protein_gen", action="store_true")
     ap.add_argument("queries", help="query FASTA/FASTQ")
     args = ap.parse_args(argv)
 
@@ -74,14 +81,23 @@ def main(argv=None):
         fmt = "align"
     elif args.summary:
         fmt = "summary"
+    elif args.exons:
+        fmt = "exons:" + args.exons
+    elif args.protein_dna:
+        fmt = "protein_dna"
+    elif args.protein_gen:
+        fmt = "protein_gen"
     else:
-        fmt = {"2": "gff3_gene", "3": "gff3_match_cdna", None: "gff3_match_cdna"
-               }.get(args.format, args.format)
+        fmt = {"1": "psl", "2": "gff3_gene", "3": "gff3_match_cdna",
+               "4": "gff3_match_est", "6": "splicesites",
+               None: "gff3_match_cdna"}.get(args.format, args.format)
     if fmt.startswith("gff3"):
         out.write(gff3.header(cmdline))
 
     def emit(chain, rec, qcodes, seqid, source, chrom_offset,
-             region_codes=None, chrname=None):
+             region_codes=None, chrname=None, tsize=0):
+        from tpumap.io import gmapfmt
+        aligned = dna.revcomp_codes(qcodes) if chain.strand else qcodes
         if fmt == "gff3_match_cdna":
             out.write(gff3.match_cdna(chain, rec.accession, seqid, source,
                                       chrom_offset=chrom_offset,
@@ -91,6 +107,38 @@ def main(argv=None):
                                 query_codes=qcodes,
                                 chrom_offset=chrom_offset,
                                 qlen=len(qcodes)))
+        elif fmt == "gff3_match_est":
+            out.write(gmapfmt.est_match(chain, rec.accession, seqid, source,
+                                        qlen=len(qcodes),
+                                        chrom_offset=chrom_offset))
+        elif fmt == "psl":
+            out.write(gmapfmt.psl(chain, rec.accession, len(qcodes), seqid,
+                                  tsize, chrom_offset=chrom_offset))
+        elif fmt == "splicesites":
+            out.write(gmapfmt.splicesites(chain, rec.accession,
+                                          chrname or "",
+                                          chrom_offset=chrom_offset))
+        elif fmt == "introns":
+            out.write(gmapfmt.introns_fmt(chain, rec.accession,
+                                          chrname or "",
+                                          chrom_offset=chrom_offset))
+        elif fmt in ("samse", "sampe"):
+            out.write(gmapfmt.sam_se(chain, rec.accession, rec.sequence,
+                                     rec.quality, seqid,
+                                     chrom_offset=chrom_offset,
+                                     qlen=len(qcodes),
+                                     paired_flag=(fmt == "sampe"),
+                                     region_codes=region_codes))
+        elif fmt.startswith("exons:"):
+            kind = fmt.split(":")[1]
+            out.write(gmapfmt.exons_fmt(chain, rec.header, aligned,
+                                        region_codes,
+                                        genomic=kind.startswith("genomic"),
+                                        with_introns="+introns" in kind))
+        elif fmt in ("protein_dna", "protein_gen"):
+            out.write(gmapfmt.protein_fmt(chain, rec.header, aligned,
+                                          region_codes,
+                                          genomic=(fmt == "protein_gen")))
         else:
             from tpumap.io.alignfmt import print_alignment
             aligned = dna.revcomp_codes(qcodes) if chain.strand else qcodes
@@ -110,7 +158,7 @@ def main(argv=None):
             if chain is None:
                 continue
             emit(chain, rec, qcodes, region.accession, region.accession, 0,
-                 region_codes=rcodes)
+                 region_codes=rcodes, tsize=len(rcodes))
     elif args.dir:
         db = GenomeDB.load(args.dir)
         index = DeviceIndex.from_host(db)
@@ -123,13 +171,16 @@ def main(argv=None):
             chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
             seqid = db.chrom_names[chrom_idx]
             chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
-            g_lo = chain.exons[0].gstart
             g_hi = chain.exons[-1].gend
+            tsize = int(db.chrom_offsets[chrom_idx + 1]
+                        - db.chrom_offsets[chrom_idx])
+            need_region = fmt in ("align", "summary", "samse", "sampe",
+                                  "protein_gen") or fmt.startswith("exons:")
             emit(chain, rec, qcodes, seqid, source, chrom_offset,
                  region_codes=db.get_codes(univ_off,
                                            g_hi + 16).astype(np.uint8)
-                 if fmt in ("align", "summary") else None,
-                 chrname=seqid)
+                 if need_region else None,
+                 chrname=seqid, tsize=tsize)
     else:
         ap.error("need -g or -D")
 
