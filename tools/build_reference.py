@@ -103,6 +103,9 @@ DEFAULT_TARGETS = {
     "iit_get": ("iit_get_SOURCES", ["-DUTILITYP=1"]),
     "iit_dump": ("iit_dump_SOURCES", ["-DUTILITYP=1"]),
     "get-genome": ("get_genome_SOURCES", ["-DUTILITYP=1"]),
+    "cmetindex": ("cmetindex_SOURCES", ["-DUTILITYP=1"]),
+    "atoiindex": ("atoiindex_SOURCES", ["-DUTILITYP=1"]),
+    "snpindex": ("snpindex_SOURCES", ["-DUTILITYP=1"]),
 }
 
 

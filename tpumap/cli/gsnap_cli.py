@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("-d", "--db", help="database name (informational)")
     ap.add_argument("-A", "--format", default="sam", choices=["sam", "m8"])
     ap.add_argument("-N", "--novelsplicing", type=int, default=0)
+    ap.add_argument("--mode", default="standard",
+                    choices=["standard", "cmet-stranded", "atoi-stranded",
+                             "ttoc-stranded"])
     ap.add_argument("--pairmax", type=int, default=2000)
     ap.add_argument("--max-intron", type=int, default=200_000)
     ap.add_argument("--batch-size", type=int, default=1024)
@@ -37,7 +40,7 @@ def main(argv=None):
     db = GenomeDB.load(args.dir)
     index = DeviceIndex.from_host(db)
     out = sys.stdout
-    config = AlignConfig()
+    config = AlignConfig(mode=args.mode)
 
     if args.format == "sam" and not args.no_sam_headers:
         out.write(sam.header(db, "tpumap-gsnap " + " ".join(argv)))

@@ -209,10 +209,12 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                         pos0, int(res["strand"][i]), int(mapq[i]), ops))
                     continue
             if res["mapped"][i]:
+                from tpumap.ops.mode import MODE_SPACES
+                space = MODE_SPACES[config.mode][int(res["strand"][i])]
                 out.append(sam.ungapped_record(
                     db, rec.accession, rec.sequence, rec.quality,
                     int(res["diag"][i]), int(res["strand"][i]),
-                    int(mapq[i]), int(res["nmismatch"][i])))
+                    int(mapq[i]), int(res["nmismatch"][i]), space=space))
             else:
                 out.append(sam.unmapped_record(rec.accession, rec.sequence,
                                                rec.quality))

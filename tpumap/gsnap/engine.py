@@ -33,6 +33,9 @@ class AlignConfig:
     # positions can miss alignments entirely (the reference also reads all
     # query oligos, src/stage1hr.c).
     qinterval: int = 1
+    # alignment mode (src/mode.h Mode_T): standard | cmet-stranded |
+    # atoi-stranded | ttoc-stranded; see ops/mode.py
+    mode: str = "standard"
     max_mismatch_frac: float = 0.10   # unaligned if worse
 
 
@@ -55,18 +58,23 @@ def align_batch(index: DeviceIndex, batch, config: AlignConfig):
     rc_nmask = pack.revcomp_codes(jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
                                   lengths) == jnp.uint8(3)
 
-    def one_strand(c, m):
+    from tpumap.ops.mode import MODE_SPACES
+    space_fwd, space_rc = MODE_SPACES[config.mode]
+
+    def one_strand(c, m, space):
         packed = pack.pack_reads(c)
         nmask2 = pack.pack_reads(m.astype(jnp.uint8))
         diags, _counts = seed.seed_reads(index, c, m, lengths,
                                          max_occ=config.max_occ,
                                          top_k=config.top_k,
-                                         qinterval=config.qinterval)
-        nmm = verify.verify_diagonals(index, packed, nmask2, lengths, diags)
+                                         qinterval=config.qinterval,
+                                         space=space)
+        nmm = verify.verify_diagonals(index, packed, nmask2, lengths, diags,
+                                      space=space)
         return diags, nmm
 
-    fdiags, fnmm = one_strand(codes, nmask)
-    rdiags, rnmm = one_strand(rc_codes, rc_nmask)
+    fdiags, fnmm = one_strand(codes, nmask, space_fwd)
+    rdiags, rnmm = one_strand(rc_codes, rc_nmask, space_rc)
 
     all_diags = jnp.concatenate([fdiags, rdiags], axis=1)
     all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
@@ -140,12 +148,17 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
     B, L = codes.shape
     k = index.k
     occ = config.max_occ
+    from tpumap.ops.mode import CODE_MAPS, MODE_SPACES
+    space_fwd, space_rc = MODE_SPACES[config.mode]
 
     rc_codes = pack.revcomp_codes(codes, lengths)
     rc_nmask = pack.revcomp_codes(jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
                                   lengths) == jnp.uint8(3)
 
-    def end_candidates(c, m):
+    def end_candidates(c, m, space):
+        if space is not None:
+            c = jnp.take(jnp.asarray(CODE_MAPS[space]), c.astype(jnp.int32))
+        offsets_a, positions_a = index.mode_index(space)
         # oligos at q in {0,1,2} and {qlast-2, qlast-1, qlast}: one of each
         # trio lands on an index-sampled genome position (interval 3)
         qlast = jnp.maximum(lengths - k, 0)
@@ -164,27 +177,28 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
         valid = jnp.ones((B, 6), jnp.bool_) & (lengths >= k)[:, None]
         qpos = jnp.stack(qpos_list, axis=1)
         # per-read qpos: lookup_diagonals wants shared qpos[NQ]; inline here
-        start = jnp.take(index.offsets, oligos.astype(jnp.int32), mode="clip")
-        end = jnp.take(index.offsets, oligos.astype(jnp.int32) + 1, mode="clip")
+        start = jnp.take(offsets_a, oligos.astype(jnp.int32), mode="clip")
+        end = jnp.take(offsets_a, oligos.astype(jnp.int32) + 1, mode="clip")
         count = (end - start).astype(jnp.int32)
         lane = jnp.arange(occ, dtype=jnp.int32)[None, None, :]
         idx = start.astype(jnp.int32)[..., None] + lane
-        pos = jnp.take(index.positions, idx, mode="clip")
+        pos = jnp.take(positions_a, idx, mode="clip")
         ok = valid[..., None] & (lane < count[..., None]) & (count <= occ)[..., None]
         diag = pos - qpos[..., None].astype(jnp.uint32)
         bad = ~ok | (pos < qpos[..., None].astype(jnp.uint32))
         return jnp.where(bad, jnp.uint32(0xFFFFFFFF), diag).reshape(B, 6 * occ)
 
-    fcands = end_candidates(codes, nmask)
-    rcands = end_candidates(rc_codes, rc_nmask)
+    fcands = end_candidates(codes, nmask, space_fwd)
+    rcands = end_candidates(rc_codes, rc_nmask, space_rc)
 
-    def verify_strand(c, m, cands):
+    def verify_strand(c, m, cands, space):
         packed = pack.pack_reads(c)
         nmask2 = pack.pack_reads(m.astype(jnp.uint8))
-        return verify.verify_diagonals(index, packed, nmask2, lengths, cands)
+        return verify.verify_diagonals(index, packed, nmask2, lengths, cands,
+                                       space=space)
 
-    fnmm = verify_strand(codes, nmask, fcands)
-    rnmm = verify_strand(rc_codes, rc_nmask, rcands)
+    fnmm = verify_strand(codes, nmask, fcands, space_fwd)
+    rnmm = verify_strand(rc_codes, rc_nmask, rcands, space_rc)
     K = fcands.shape[1]
     all_diags = jnp.concatenate([fcands, rcands], axis=1)
     all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)

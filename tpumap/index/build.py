@@ -51,10 +51,26 @@ class GenomeDB:
     interval: int
     offsets: np.ndarray         # uint32[4^k+1]
     positions: np.ndarray       # uint32[n] genomic start positions, sorted per k-mer
+    # mode-transformed k-mer indexes (cmet/atoi; cmetindex/atoiindex analog):
+    # space name ("ct"/"ga"/"ag"/"tc") -> (offsets, positions)
+    mode_indexes: dict = None
 
     @property
     def genome_length(self) -> int:
         return int(self.chrom_offsets[-1])
+
+    def add_mode_index(self, space: str) -> None:
+        """Build a base-space-transformed k-mer index (cmetindex/atoiindex
+        equivalent): k-mers hashed in the reduced alphabet so converted
+        reads still seed (src/cmetindex.c, src/atoiindex.c)."""
+        from tpumap.ops.mode import CODE_MAPS
+        if self.mode_indexes is None:
+            self.mode_indexes = {}
+        codes = dna.unpack_2bit(self.genome_packed, self.genome_length)
+        nmask = self.get_nmask(0, self.genome_length).astype(bool)
+        tcodes = CODE_MAPS[space][codes]
+        self.mode_indexes[space] = build_kmer_index(tcodes, nmask, self.k,
+                                                    self.interval)
 
     # --- host-side sequence access (for output printers / splice models) ---
 
@@ -102,13 +118,23 @@ class GenomeDB:
                  genome_nmask=self.genome_nmask,
                  offsets=self.offsets,
                  positions=self.positions)
+        for space, (off, pos) in (self.mode_indexes or {}).items():
+            np.savez(os.path.join(directory, f"mode_{space}.npz"),
+                     offsets=off, positions=pos)
 
     @classmethod
     def load(cls, directory: str) -> "GenomeDB":
         with open(os.path.join(directory, "meta.json")) as f:
             meta = json.load(f)
         z = np.load(os.path.join(directory, "arrays.npz"))
-        return cls(name=meta["name"],
+        mode_indexes = {}
+        import glob
+        for path in glob.glob(os.path.join(directory, "mode_*.npz")):
+            space = os.path.basename(path)[5:-4]
+            mz = np.load(path)
+            mode_indexes[space] = (mz["offsets"], mz["positions"])
+        return cls(mode_indexes=mode_indexes or None,
+                   name=meta["name"],
                    chrom_names=meta["chrom_names"],
                    chrom_offsets=z["chrom_offsets"],
                    circularp=np.array(meta["circularp"], dtype=bool),

@@ -34,15 +34,32 @@ class DeviceIndex:
     chrom_offsets: jax.Array    # uint32[nchrom+1]
     genome_length: int          # static
     k: int                      # static
+    # mode-transformed (offsets, positions) pairs, space -> arrays
+    alt_offsets: dict = None
+    alt_positions: dict = None
 
     def tree_flatten(self):
+        alt_keys = tuple(sorted(self.alt_offsets or {}))
         children = (self.genome_packed, self.genome_nmask, self.offsets,
-                    self.positions, self.chrom_offsets)
-        return children, (self.genome_length, self.k)
+                    self.positions, self.chrom_offsets,
+                    tuple((self.alt_offsets or {})[s] for s in alt_keys),
+                    tuple((self.alt_positions or {})[s] for s in alt_keys))
+        return children, (self.genome_length, self.k, alt_keys)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, genome_length=aux[0], k=aux[1])
+        *main, alt_off, alt_pos = children
+        alt_keys = aux[2]
+        return cls(*main,
+                   genome_length=aux[0], k=aux[1],
+                   alt_offsets=dict(zip(alt_keys, alt_off)) or None,
+                   alt_positions=dict(zip(alt_keys, alt_pos)) or None)
+
+    def mode_index(self, space: str | None):
+        """(offsets, positions) for a base space (None = standard)."""
+        if space is None or not self.alt_offsets or space not in self.alt_offsets:
+            return self.offsets, self.positions
+        return self.alt_offsets[space], self.alt_positions[space]
 
     @classmethod
     def from_host(cls, db: GenomeDB, device=None, pad_words: int = 64) -> "DeviceIndex":
@@ -53,6 +70,11 @@ class DeviceIndex:
                              np.full(pad_words, 0xFFFFFFFF, dtype=np.uint32)])
         pos = np.concatenate([db.positions,
                               np.full(pad_words, INVALID_DIAG, dtype=np.uint32)])
+        alt_off, alt_pos = {}, {}
+        for space, (off, p) in (db.mode_indexes or {}).items():
+            alt_off[space] = put(off)
+            alt_pos[space] = put(np.concatenate(
+                [p, np.full(pad_words, INVALID_DIAG, dtype=np.uint32)]))
         return cls(
             genome_packed=put(gp),
             genome_nmask=put(nm),
@@ -61,4 +83,6 @@ class DeviceIndex:
             chrom_offsets=put(db.chrom_offsets.astype(np.uint32)),
             genome_length=db.genome_length,
             k=db.k,
+            alt_offsets=alt_off or None,
+            alt_positions=alt_pos or None,
         )

@@ -46,11 +46,27 @@ def header(db: GenomeDB, program_args: str = "", rg: str | None = None,
     return "\n".join(lines) + "\n"
 
 
-def md_and_nm(read_seq: str, genome_seq: str) -> tuple[str, int]:
-    """MD tag + NM count for an ungapped alignment."""
+_SPACE_MAPS = {
+    None: {},
+    "ct": {"C": "T"},
+    "ga": {"G": "A"},
+    "ag": {"A": "G"},
+    "tc": {"T": "C"},
+}
+
+
+def md_and_nm(read_seq: str, genome_seq: str,
+              space: str | None = None) -> tuple[str, int]:
+    """MD tag + NM count for an ungapped alignment.
+
+    With `space` set (cmet/atoi modes), mode conversions (e.g. genome C
+    read as T in bisulfite data) are counted as matches, like the
+    reference's mode-aware mismatch kernels.
+    """
+    conv = _SPACE_MAPS.get(space, {})
     md, run, nm = [], 0, 0
     for r, g in zip(read_seq, genome_seq):
-        if r == g and r != "N" and g != "N":
+        if (r == g or conv.get(g) == r) and r != "N" and g != "N":
             run += 1
         else:
             md.append(str(run))
@@ -170,7 +186,7 @@ def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
 
 def ungapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
                     diag: int, strand: int, mapq: int,
-                    nmismatch: int) -> SamRecord:
+                    nmismatch: int, space: str | None = None) -> SamRecord:
     """SAM record for a full-length ungapped (substitution-only) alignment.
 
     diag = univcoord of query base 0 in the aligned orientation; strand 1
@@ -180,7 +196,7 @@ def ungapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
     rname, chrpos = db.chrpos(diag)
     oriented = dna.revcomp(seq) if strand else seq
     genome_seq = db.get_seq(diag, L)
-    md, nm = md_and_nm(oriented, genome_seq)
+    md, nm = md_and_nm(oriented, genome_seq, space)
     flag = 16 if strand else 0
     q = qual or "*"
     if strand and qual:

@@ -131,12 +131,16 @@ def mismatch_base_mask(mm_words: jax.Array, L: int) -> jax.Array:
 
 
 def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
-                     lengths: jax.Array, diagonals: jax.Array) -> jax.Array:
+                     lengths: jax.Array, diagonals: jax.Array,
+                     space: str | None = None) -> jax.Array:
     """Count mismatches of each read against each candidate univdiagonal.
 
     read_packed: uint32[B, W]; read_nmask2: uint32[B, W] (spread bits);
     lengths: int32[B]; diagonals: uint32[B, C] (univdiagonal = genome coord
     of query base 0; INVALID_DIAG lanes return length, i.e. all-mismatch).
+
+    With `space` set (see ops/mode.py), both sides are transformed to the
+    reduced base space before comparison (bisulfite / RNA-editing modes).
 
     Returns int32[B, C] mismatch counts.
     """
@@ -146,6 +150,11 @@ def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
     starts = jnp.where(valid, diagonals, 0)
     gwin = extract_packed_window(index.genome_packed, starts, W)
     gn2 = extract_bit_window(index.genome_nmask, starts, W)
+    if space is not None:
+        # mode-aware comparison (cmet/atoi): reduce both sides' base space
+        from tpumap.ops.mode import transform_packed
+        read_packed = transform_packed(read_packed, space)
+        gwin = transform_packed(gwin, space)
     mm = mismatch_words(read_packed[:, None, :], gwin,
                         read_nmask2[:, None, :], gn2)
     lmask = length_mask_words(lengths, W)[:, None, :]
