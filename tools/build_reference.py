@@ -127,6 +127,21 @@ def parse_makefile_am(path):
     return variables
 
 
+
+def copy_scripts(outdir):
+    """Copy the reference's arch-independent Perl tools (gmap_build,
+    fa_coords, converters...) next to the rebuilt binaries so gmap_build
+    works out of /tmp/refbin."""
+    import pathlib
+    refbin = pathlib.Path("/root/reference/bin")
+    for f in refbin.iterdir():
+        try:
+            if f.read_bytes()[:2] == b"#!":
+                shutil.copy2(f, pathlib.Path(outdir) / f.name)
+        except OSError:
+            pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
@@ -154,6 +169,7 @@ def main():
                 out.append(t)
         return out
     os.makedirs(args.out, exist_ok=True)
+    copy_scripts(args.out)
     objroot = os.path.join(args.work, "obj")
 
     base_flags = ["-O2", "-pthread", "-fgnu89-inline", "-DHAVE_CONFIG_H", "-DTARGET=\"linux\"",

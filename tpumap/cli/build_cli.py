@@ -18,8 +18,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-build")
     ap.add_argument("-D", "--dir", default=".", help="destination directory")
     ap.add_argument("-d", "--db", required=True, help="genome name")
-    ap.add_argument("-k", "--kmer", type=int, default=15,
-                    help="k-mer size for the genome index (<=16)")
+    ap.add_argument("-k", "--kmer", type=int, default=0,
+                    help="k-mer size for the genome index (<=16; default: "
+                         "auto from genome size, 15 for >=1 Gbp)")
     ap.add_argument("-q", "--sampling", type=int, default=3,
                     help="k-mer sampling interval")
     ap.add_argument("-c", "--circular", default="",
@@ -30,7 +31,17 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     circular = set(filter(None, args.circular.split(",")))
-    db = build_db(args.fasta, name=args.db, k=args.kmer,
+    k = args.kmer
+    if k == 0:
+        # auto-size: the dense offsets array has 4^k entries; pick the
+        # smallest k whose k-mer space is ~16x the genome size (seed
+        # specificity) capped at the reference default 15
+        import math
+        total = sum(os.path.getsize(f) for f in args.fasta)
+        k = max(8, min(15, math.ceil(math.log(max(total, 2) * 16, 4))))
+        sys.stderr.write(f"Auto-selected k={k} for ~{total} bp genome "
+                         f"(override with -k)\n")
+    db = build_db(args.fasta, name=args.db, k=k,
                   interval=args.sampling, circular=circular)
     dbdir = os.path.join(args.dir, args.db)
     db.save(dbdir)

@@ -26,9 +26,22 @@ def main(argv=None):
     ap.add_argument("-d", "--db", help="database name (informational)")
     ap.add_argument("-A", "--format", default="sam", choices=["sam", "m8"])
     ap.add_argument("-N", "--novelsplicing", type=int, default=0)
+    ap.add_argument("-c", "--use-transcriptome", dest="use_transcriptome",
+                    help="transcriptome index name (built with "
+                         "tpumap-trindex) for transcriptome-guided "
+                         "alignment")
+    ap.add_argument("-s", "--use-splicing", dest="use_splicing",
+                    help="known splice sites/introns map (.iit from "
+                         "iit_store, or .npz from --splices-dump)")
     ap.add_argument("--mode", default="standard",
                     choices=["standard", "cmet-stranded", "atoi-stranded",
                              "ttoc-stranded"])
+    ap.add_argument("--two-pass", action="store_true", dest="two_pass",
+                    help="learn splice sites in pass 1, realign in pass 2")
+    ap.add_argument("--splices-dump", dest="splices_dump",
+                    help="write learned splice sites (.npz) after pass 1")
+    ap.add_argument("--splices-read", dest="splices_read",
+                    help="read previously learned splice sites (.npz)")
     ap.add_argument("--pairmax", type=int, default=2000)
     ap.add_argument("--max-intron", type=int, default=200_000)
     ap.add_argument("--batch-size", type=int, default=1024)
@@ -41,6 +54,28 @@ def main(argv=None):
     index = DeviceIndex.from_host(db)
     out = sys.stdout
     config = AlignConfig(mode=args.mode)
+
+    tr = None
+    if args.use_transcriptome:
+        import os
+        from tpumap.gsnap.transcriptome import Transcriptome
+        trdir = os.path.join(args.dir, f"{db.name}.transcripts",
+                             args.use_transcriptome)
+        transcriptome = Transcriptome.load(trdir)
+        tr = (transcriptome, DeviceIndex.from_host(transcriptome.trdb))
+
+    known = None
+    if args.splices_read:
+        from tpumap.gsnap.knownsplicing import KnownSplicing
+        known = KnownSplicing.load(args.splices_read)
+    if args.use_splicing:
+        from tpumap.gsnap.knownsplicing import KnownSplicing
+        if args.use_splicing.endswith(".npz"):
+            ks = KnownSplicing.load(args.use_splicing)
+        else:
+            from tpumap.io.iit import IIT
+            ks = KnownSplicing.from_splicing_iit(IIT.read(args.use_splicing), db)
+        known = ks
 
     if args.format == "sam" and not args.no_sam_headers:
         out.write(sam.header(db, "tpumap-gsnap " + " ".join(argv)))
@@ -55,10 +90,18 @@ def main(argv=None):
         return
 
     records = list(read_seqs(args.reads))
-    results = align_records(db, index, records, config,
-                            novelsplicing=bool(args.novelsplicing),
-                            max_intron=args.max_intron,
-                            batch_size=args.batch_size)
+    if args.two_pass:
+        from tpumap.gsnap.twopass import two_pass_align
+        results, _ks = two_pass_align(db, index, records, config,
+                                      max_intron=args.max_intron,
+                                      batch_size=args.batch_size,
+                                      splices_dump=args.splices_dump, tr=tr)
+    else:
+        results = align_records(db, index, records, config,
+                                novelsplicing=bool(args.novelsplicing),
+                                max_intron=args.max_intron,
+                                batch_size=args.batch_size, known=known,
+                                tr=tr)
     if args.format == "m8":
         from tpumap.io.m8 import m8_line
         for rec, s in zip(records, results):

@@ -52,11 +52,24 @@ MIN_INTRON = 9
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
                   max_intron: int = 200_000,
-                  batch_size: int = 1024) -> list[sam.SamRecord]:
+                  batch_size: int = 1024, known=None,
+                  tr=None) -> list[sam.SamRecord]:
+    """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
+    known-site bonus in splice scoring AND derives partner diagonals from
+    known junction pairs for reads whose second exon anchor is too short
+    to seed.
+
+    tr: optional (Transcriptome, DeviceIndex-over-trdb) pair enabling the
+    transcriptome-guided rung (TR_EXACT1/TR_EXT analog) ahead of genomic
+    search — reads solved on a transcript get their multi-intron junction
+    structure from the exon table (src/stage1hr-single.c:202-260,
+    src/trpath-convert.c)."""
     from tpumap.gsnap.engine import refine_indels, refine_splices
     from tpumap.ops import dp as dp_ops
     from tpumap.utils import dna as dna_utils
     import jax.numpy as jnp
+
+    known_dev = known.to_device() if known is not None else None
 
     out = []
     for start in range(0, len(records), batch_size):
@@ -64,6 +77,11 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         B = pad_to_bucket(len(chunk)) if len(chunk) < batch_size else batch_size
         L = pad_to_bucket(max(len(r.sequence) for r in chunk))
         batch = make_batch(chunk, B, L)
+
+        # transcriptome-first rung
+        tr_records = {}
+        if tr is not None:
+            tr_records = _tr_rung(db, tr, chunk, batch, config)
         res = align_batch_cascaded(
             index, {k: jnp.asarray(v) for k, v in batch.items()}, config)
         res = {k: np.asarray(v) for k, v in res.items()}
@@ -74,7 +92,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         # path; batch-compacted like the reference's method ladder)
         need = [i for i in range(len(chunk))
                 if res["nmismatch"][i] >= INDEL_NMM_TRIGGER
-                and res["diag"][i] != 0xFFFFFFFF]
+                and res["diag"][i] != 0xFFFFFFFF and i not in tr_records]
         dp_result = {}
         if need:
             nb = pad_to_bucket(len(need))
@@ -108,15 +126,17 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         # still bad — pair up same-strand candidate diagonals within the
         # intron window and pick the best junction (Splice_resolve analog)
         splice_result = {}
-        if novelsplicing:
+        if novelsplicing or known is not None:
             sneed = []
             for i in range(len(chunk)):
                 solved_by_dp = i in dp_result and (
                     3 * int(batch["lengths"][i]) - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER
-                if res["nmismatch"][i] >= SPLICE_NMM_TRIGGER and not solved_by_dp:
+                if (res["nmismatch"][i] >= SPLICE_NMM_TRIGGER
+                        and not solved_by_dp and i not in tr_records):
                     sneed.append(i)
             pairs_per_read = []
             for i in sneed:
+                li = int(batch["lengths"][i])
                 # candidates grouped per strand, ranked by mismatches
                 cands = {0: [], 1: []}
                 for c in range(res["cand_diags"].shape[1]):
@@ -130,6 +150,13 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                         for b in cands[st]:
                             if MIN_INTRON <= b - a <= max_intron:
                                 pairs.append((a, b, st))
+                        # partner diagonals implied by known junctions
+                        # (no second seed required)
+                        if known is not None:
+                            for (da, db_) in known.derived_pairs(
+                                    a, li, max_intron):
+                                if (da, db_, st) not in pairs:
+                                    pairs.append((da, db_, st))
                 pairs_per_read.append(pairs[:MAX_CAND_PAIRS])
             sneed = [i for i, p in zip(sneed, pairs_per_read) if p]
             pairs_per_read = [p for p in pairs_per_read if p]
@@ -164,7 +191,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                 sres = refine_splices(index, jnp.asarray(codes),
                                       jnp.asarray(nmask),
                                       jnp.asarray(lengths),
-                                      jnp.asarray(dA), jnp.asarray(dB))
+                                      jnp.asarray(dA), jnp.asarray(dB),
+                                      known=known_dev)
                 sres = {k: np.asarray(v) for k, v in sres.items()}
                 for row, i in enumerate(sneed):
                     li = int(batch["lengths"][i])
@@ -191,6 +219,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         for i, rec in enumerate(chunk):
             li = int(batch["lengths"][i])
             max_equiv = int(li * config.max_mismatch_frac)
+            if i in tr_records:
+                out.append(tr_records[i])
+                continue
             if i in splice_result:
                 s = splice_result[i]
                 equiv_nmm = (3 * li - s["score"]) // 6
@@ -218,6 +249,43 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             else:
                 out.append(sam.unmapped_record(rec.accession, rec.sequence,
                                                rec.quality))
+    return out
+
+
+def _tr_rung(db, tr, chunk, batch, config):
+    """Align the chunk against the transcriptome index and convert solved
+    reads to genome-coordinate multi-exon SAM records."""
+    import jax.numpy as jnp
+
+    transcriptome, tr_index = tr
+    res = align_batch_cascaded(
+        tr_index, {k: jnp.asarray(v) for k, v in batch.items()}, config)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
+                            res["n_best"], batch["lengths"])
+    trdb = transcriptome.trdb
+    out = {}
+    for i, rec in enumerate(chunk):
+        li = int(batch["lengths"][i])
+        if not res["mapped"][i]:
+            continue
+        if int(res["nmismatch"][i]) > int(li * config.max_mismatch_frac):
+            continue
+        diag = int(res["diag"][i])
+        st = int(res["strand"][i])
+        trnum = trdb.chrnum(diag)
+        tpos = diag - int(trdb.chrom_offsets[trnum])
+        trlen = int(trdb.chrom_offsets[trnum + 1] - trdb.chrom_offsets[trnum])
+        if tpos + li > trlen:
+            continue            # overhangs the transcript end
+        segs, minus = transcriptome.map_to_genome(trnum, tpos, li)
+        genome_strand = st ^ (1 if minus else 0)
+        sense = -1 if minus else 1
+        out[i] = sam.multi_exon_record(
+            db, rec.accession, rec.sequence, rec.quality, segs,
+            genome_strand, int(mapq[i]),
+            sense if len(segs) > 1 else 0,
+            extra_tags=[f"XG:Z:{transcriptome.labels[trnum]}"])
     return out
 
 

@@ -286,7 +286,8 @@ def refine_indels(index, codes: jax.Array, lengths: jax.Array,
 
 @jax.jit
 def refine_splices(index, codes: jax.Array, nmask: jax.Array,
-                   lengths: jax.Array, diagsA: jax.Array, diagsB: jax.Array):
+                   lengths: jax.Array, diagsA: jax.Array, diagsB: jax.Array,
+                   known=None):
     """Score splice junctions for candidate diagonal pairs.
 
     Equivalent of the reference's Splice_resolve (src/splice.c): a read
@@ -295,7 +296,12 @@ def refine_splices(index, codes: jax.Array, nmask: jax.Array,
     mismatches while favoring canonical dinucleotides.
 
     codes [B, L] aligned orientation; diagsA/diagsB [B, P] candidate pairs
-    (INVALID-padded). Returns per pair: qstar int32[B, P], nmm int32[B, P]
+    (INVALID-padded). known: optional dict of sorted uint32 device arrays
+    {donor, acceptor, antidonor, antiacceptor} (0-based univcoords; see
+    gsnap/knownsplicing.py) — boundaries landing on known sites get a
+    bonus that outranks canonical dinucleotides, the Splice_resolve
+    known-splice preference (src/splice.c, src/knownsplicing.c).
+    Returns per pair: qstar int32[B, P], nmm int32[B, P]
     (total mismatches at the chosen boundary), bonus f32[B, P] (canonical
     score at the boundary), sense int32[B, P] (+1 GT-AG-side, -1 antisense,
     0 none).
@@ -347,6 +353,19 @@ def refine_splices(index, codes: jax.Array, nmask: jax.Array,
              .astype(jnp.float32))
     sense = jnp.where(s_gtag | s_gcag | s_atac, 1,
                       jnp.where(a_ctac | a_ctgc | a_gtat, -1, 0))
+
+    if known is not None:
+        from tpumap.gsnap.knownsplicing import coords_in_set
+        # boundary univcoords at q*: left = first intron base on diagonal
+        # A, right = first exon base on diagonal B
+        left = dA[..., None] + qs[None, None, :].astype(jnp.uint32)
+        right = dB[..., None] + qs[None, None, :].astype(jnp.uint32)
+        known_s = (coords_in_set(known["donor"], left)
+                   & coords_in_set(known["acceptor"], right))
+        known_a = (coords_in_set(known["antiacceptor"], left)
+                   & coords_in_set(known["antidonor"], right))
+        bonus = jnp.where(known_s | known_a, bonus + 4.0, bonus)
+        sense = jnp.where(known_s, 1, jnp.where(known_a, -1, sense))
 
     in_read = (qs[None, None, :] >= 1) & (qs[None, None, :] < lengths[:, None, None])
     score = jnp.where(in_read, bonus - 3.0 * costs, -jnp.inf)

@@ -33,6 +33,34 @@ from tpumap.utils import dna
 
 FORMAT_VERSION = 1
 
+# sparse on-disk offsets: the dense cumulative-offsets array has 4^k+1
+# entries (4.3 GB at k=15) but for all but pod-scale genomes almost every
+# k-mer is absent — store (present-kmer ids, counts) instead when sparse
+# (the role bitpack64 differential compression plays in the reference,
+# src/bitpack64-write.c; here the dense array is rebuilt at load and lives
+# dense only in RAM/HBM where gather needs it)
+_SPARSE_DISK_DENSITY = 0.25
+
+
+def _offsets_fields(prefix: str, offsets: np.ndarray) -> dict:
+    counts = np.diff(offsets.astype(np.int64))
+    present = np.nonzero(counts)[0]
+    if len(present) < _SPARSE_DISK_DENSITY * len(counts):
+        return {prefix + "_sparse_kmers": present.astype(np.uint32),
+                prefix + "_sparse_counts": counts[present].astype(np.uint32),
+                prefix + "_len": np.asarray(len(offsets), dtype=np.int64)}
+    return {prefix: offsets}
+
+
+def _offsets_restore(prefix: str, z) -> np.ndarray:
+    if prefix in z:
+        return z[prefix]
+    n = int(z[prefix + "_len"])
+    counts = np.zeros(n, dtype=np.uint32)
+    counts[z[prefix + "_sparse_kmers"].astype(np.int64) + 1] = \
+        z[prefix + "_sparse_counts"]
+    return np.cumsum(counts, dtype=np.uint32)
+
 
 @dataclass
 class GenomeDB:
@@ -116,11 +144,11 @@ class GenomeDB:
                  chrom_offsets=self.chrom_offsets,
                  genome_packed=self.genome_packed,
                  genome_nmask=self.genome_nmask,
-                 offsets=self.offsets,
+                 **_offsets_fields("offsets", self.offsets),
                  positions=self.positions)
         for space, (off, pos) in (self.mode_indexes or {}).items():
             np.savez(os.path.join(directory, f"mode_{space}.npz"),
-                     offsets=off, positions=pos)
+                     **_offsets_fields("offsets", off), positions=pos)
 
     @classmethod
     def load(cls, directory: str) -> "GenomeDB":
@@ -132,7 +160,8 @@ class GenomeDB:
         for path in glob.glob(os.path.join(directory, "mode_*.npz")):
             space = os.path.basename(path)[5:-4]
             mz = np.load(path)
-            mode_indexes[space] = (mz["offsets"], mz["positions"])
+            mode_indexes[space] = (_offsets_restore("offsets", mz),
+                                   mz["positions"])
         return cls(mode_indexes=mode_indexes or None,
                    name=meta["name"],
                    chrom_names=meta["chrom_names"],
@@ -141,7 +170,8 @@ class GenomeDB:
                    genome_packed=z["genome_packed"],
                    genome_nmask=z["genome_nmask"],
                    k=meta["k"], interval=meta["interval"],
-                   offsets=z["offsets"], positions=z["positions"])
+                   offsets=_offsets_restore("offsets", z),
+                   positions=z["positions"])
 
     # --- reference-format parity writer ---
 
@@ -179,14 +209,28 @@ def build_db(fasta_paths, name: str = "genome", k: int = 15, interval: int = 3,
     """Build a GenomeDB from FASTA file(s) (gmap_build equivalent)."""
     if isinstance(fasta_paths, (str, os.PathLike)):
         fasta_paths = [fasta_paths]
+
+    def records():
+        for path in fasta_paths:
+            for rec in read_fasta(path):
+                yield rec.accession, rec.sequence
+
+    return build_db_from_seqs(records(), name=name, k=k, interval=interval,
+                              circular=circular)
+
+
+def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
+                       interval: int = 3,
+                       circular: set[str] | None = None) -> GenomeDB:
+    """Build a GenomeDB from (name, sequence) pairs (used for the
+    transcriptome-as-genome index, where each transcript is a contig)."""
     names, lengths, code_chunks, nmask_chunks = [], [], [], []
-    for path in fasta_paths:
-        for rec in read_fasta(path):
-            codes, nmask = dna.encode(rec.sequence)
-            names.append(rec.accession)
-            lengths.append(len(codes))
-            code_chunks.append(codes)
-            nmask_chunks.append(nmask)
+    for acc, seq in named_seqs:
+        codes, nmask = dna.encode(seq)
+        names.append(acc)
+        lengths.append(len(codes))
+        code_chunks.append(codes)
+        nmask_chunks.append(nmask)
     if not names:
         raise ValueError("no sequences found")
     codes = np.concatenate(code_chunks)

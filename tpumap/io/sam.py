@@ -180,6 +180,43 @@ def spliced_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
         seq=oriented, qual=q, tags=tags)
 
 
+def multi_exon_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
+                      segs: list[tuple[int, int, int]], genome_strand: int,
+                      mapq: int, sense: int,
+                      extra_tags: list[str] | None = None) -> SamRecord:
+    """SAM record for a multi-exon alignment with KNOWN junction structure
+    (the transcriptome-guided path, src/trpath-convert.c + Path_print_sam).
+
+    segs: [(genome_univcoord_leftmost, query_offset, length)] in ascending
+    genome order, query offsets referring to the genome-plus-oriented read;
+    gaps between segments become N (intron) CIGAR ops.
+    """
+    oriented = dna.revcomp(seq) if genome_strand else seq
+    rname, chrpos = db.chrpos(segs[0][0])
+    cigar_parts = []
+    gseq_parts = []
+    prev_end = None
+    for (g, qoff, n) in segs:
+        if prev_end is not None:
+            intron = g - prev_end
+            cigar_parts.append(f"{intron}N")
+        cigar_parts.append(f"{n}M")
+        gseq_parts.append(db.get_seq(g, n))
+        prev_end = g + n
+    md, nm = md_and_nm(oriented, "".join(gseq_parts))
+    q = qual or "*"
+    if genome_strand and qual:
+        q = qual[::-1]
+    tags = [f"NM:i:{nm}", f"MD:Z:{md}"]
+    if sense:
+        tags.append(f"XS:A:{'+' if sense > 0 else '-'}")
+    tags.extend(extra_tags or [])
+    return SamRecord(
+        qname=qname, flag=16 if genome_strand else 0, rname=rname,
+        pos=chrpos + 1, mapq=mapq, cigar="".join(cigar_parts),
+        seq=oriented, qual=q, tags=tags)
+
+
 def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
     return SamRecord(qname=qname, flag=4, seq=seq, qual=qual or "*")
 
