@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("-s", "--use-splicing", dest="use_splicing",
                     help="known splice sites/introns map (.iit from "
                          "iit_store, or .npz from --splices-dump)")
+    ap.add_argument("-v", "--use-snps", dest="use_snps", action="store_true",
+                    help="SNP-tolerant alignment (db must be prepared with "
+                         "tpumap-snpindex)")
     ap.add_argument("--mode", default="standard",
                     choices=["standard", "cmet-stranded", "atoi-stranded",
                              "ttoc-stranded"])
@@ -53,7 +56,12 @@ def main(argv=None):
     db = GenomeDB.load(args.dir)
     index = DeviceIndex.from_host(db)
     out = sys.stdout
-    config = AlignConfig(mode=args.mode)
+    if args.use_snps and (db.mode_indexes is None
+                          or "snp" not in db.mode_indexes):
+        sys.stderr.write("error: -v requires a SNP-tolerant database "
+                         "(run tpumap-snpindex first)\n")
+        return 2
+    config = AlignConfig(mode=args.mode, snp_tolerant=args.use_snps)
 
     tr = None
     if args.use_transcriptome:

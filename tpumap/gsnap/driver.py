@@ -245,7 +245,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                 out.append(sam.ungapped_record(
                     db, rec.accession, rec.sequence, rec.quality,
                     int(res["diag"][i]), int(res["strand"][i]),
-                    int(mapq[i]), int(res["nmismatch"][i]), space=space))
+                    int(mapq[i]), int(res["nmismatch"][i]), space=space,
+                    snp=config.snp_tolerant))
             else:
                 out.append(sam.unmapped_record(rec.accession, rec.sequence,
                                                rec.quality))

@@ -36,6 +36,10 @@ class AlignConfig:
     # alignment mode (src/mode.h Mode_T): standard | cmet-stranded |
     # atoi-stranded | ttoc-stranded; see ops/mode.py
     mode: str = "standard"
+    # SNP-tolerant alignment (gsnap -v; requires a db prepared with
+    # tpumap-snpindex): seeds from the snp-augmented index, mismatches
+    # counted against ref OR alt allele
+    snp_tolerant: bool = False
     max_mismatch_frac: float = 0.10   # unaligned if worse
 
 
@@ -61,6 +65,8 @@ def align_batch(index: DeviceIndex, batch, config: AlignConfig):
     from tpumap.ops.mode import MODE_SPACES
     space_fwd, space_rc = MODE_SPACES[config.mode]
 
+    snp = config.snp_tolerant
+
     def one_strand(c, m, space):
         packed = pack.pack_reads(c)
         nmask2 = pack.pack_reads(m.astype(jnp.uint8))
@@ -68,9 +74,10 @@ def align_batch(index: DeviceIndex, batch, config: AlignConfig):
                                          max_occ=config.max_occ,
                                          top_k=config.top_k,
                                          qinterval=config.qinterval,
-                                         space=space)
+                                         space=space,
+                                         index_space="snp" if snp else None)
         nmm = verify.verify_diagonals(index, packed, nmask2, lengths, diags,
-                                      space=space)
+                                      space=space, snp=snp)
         return diags, nmm
 
     fdiags, fnmm = one_strand(codes, nmask, space_fwd)
@@ -158,7 +165,8 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
     def end_candidates(c, m, space):
         if space is not None:
             c = jnp.take(jnp.asarray(CODE_MAPS[space]), c.astype(jnp.int32))
-        offsets_a, positions_a = index.mode_index(space)
+        offsets_a, positions_a = index.mode_index(
+            "snp" if config.snp_tolerant else space)
         # oligos at q in {0,1,2} and {qlast-2, qlast-1, qlast}: one of each
         # trio lands on an index-sampled genome position (interval 3)
         qlast = jnp.maximum(lengths - k, 0)
@@ -195,7 +203,8 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
         packed = pack.pack_reads(c)
         nmask2 = pack.pack_reads(m.astype(jnp.uint8))
         return verify.verify_diagonals(index, packed, nmask2, lengths, cands,
-                                       space=space)
+                                       space=space,
+                                       snp=config.snp_tolerant)
 
     fnmm = verify_strand(codes, nmask, fcands, space_fwd)
     rnmm = verify_strand(rc_codes, rc_nmask, rcands, space_rc)

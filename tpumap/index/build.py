@@ -80,12 +80,65 @@ class GenomeDB:
     offsets: np.ndarray         # uint32[4^k+1]
     positions: np.ndarray       # uint32[n] genomic start positions, sorted per k-mer
     # mode-transformed k-mer indexes (cmet/atoi; cmetindex/atoiindex analog):
-    # space name ("ct"/"ga"/"ag"/"tc") -> (offsets, positions)
+    # space name ("ct"/"ga"/"ag"/"tc") -> (offsets, positions); the
+    # SNP-tolerant index (snpindex analog) lives under key "snp"
     mode_indexes: dict = None
+    # SNP tolerance (snpindex analog, src/snpindex.c): alternate genome with
+    # the alt alleles substituted ("genomealt", src/gsnap.c:3380-3394)
+    genomealt_packed: np.ndarray = None
 
     @property
     def genome_length(self) -> int:
         return int(self.chrom_offsets[-1])
+
+    def add_snp_index(self, snp_coords: np.ndarray,
+                      alt_codes: np.ndarray) -> int:
+        """Make the database SNP-tolerant (src/snpindex.c equivalent).
+
+        snp_coords: 0-based univcoords of single-base SNPs; alt_codes: the
+        alternate-allele 2-bit codes. Builds (a) the alternate genome
+        (genomealt) used by the snp-tolerant mismatch kernel and (b) a
+        k-mer index whose position lists include, for every sampled window
+        overlapping a SNP, the alt-allele k-mer as well — so reads carrying
+        the alt allele still seed (the reference writes these as
+        .ref153offsets64strm.<snps> etc.). Returns the number of SNPs
+        applied."""
+        snp_coords = np.asarray(snp_coords, dtype=np.int64)
+        alt_codes = np.asarray(alt_codes, dtype=np.uint8)
+        keep = (snp_coords >= 0) & (snp_coords < self.genome_length)
+        snp_coords, alt_codes = snp_coords[keep], alt_codes[keep]
+        codes = dna.unpack_2bit(self.genome_packed, self.genome_length)
+        nmask = self.get_nmask(0, self.genome_length).astype(bool)
+        altg = codes.copy()
+        altg[snp_coords] = alt_codes
+        self.genomealt_packed = dna.pack_2bit(altg)
+
+        # windows [p, p+k) overlapping any SNP
+        L, k = self.genome_length, self.k
+        near = np.zeros(L + 1, dtype=np.int32)
+        starts = np.maximum(snp_coords - k + 1, 0)
+        np.add.at(near, starts, 1)
+        np.add.at(near, snp_coords + 1, -1)
+        near = np.cumsum(near[:-1]) > 0
+
+        n = L - k + 1
+        kmers_ref = dna.kmer_codes(codes, k)
+        kmers_alt = dna.kmer_codes(altg, k)
+        bad = np.convolve(nmask.astype(np.int32),
+                          np.ones(k, dtype=np.int32))[k - 1:L] > 0
+        sel = np.arange(0, n, self.interval, dtype=np.int64)
+        sel = sel[~bad[sel]]
+        sel_alt = sel[near[sel] & (kmers_alt[sel] != kmers_ref[sel])]
+        km = np.concatenate([kmers_ref[sel], kmers_alt[sel_alt]])
+        pos = np.concatenate([sel, sel_alt]).astype(np.uint32)
+        order = np.lexsort((pos, km))
+        counts = np.bincount(km.astype(np.int64), minlength=4 ** k)
+        offsets = np.zeros((4 ** k) + 1, dtype=np.uint32)
+        offsets[1:] = np.cumsum(counts).astype(np.uint32)
+        if self.mode_indexes is None:
+            self.mode_indexes = {}
+        self.mode_indexes["snp"] = (offsets, pos[order])
+        return len(snp_coords)
 
     def add_mode_index(self, space: str) -> None:
         """Build a base-space-transformed k-mer index (cmetindex/atoiindex
@@ -109,6 +162,18 @@ class GenomeDB:
         codes = dna.unpack_2bit(words, (len(words)) * 16)
         off = start - (w0 << 4)
         return codes[off:off + length]
+
+    def get_alt_codes(self, start: int, length: int) -> np.ndarray:
+        """2-bit codes from the alternate (SNP) genome."""
+        w0, w1 = start >> 4, (start + length + 15) >> 4
+        words = self.genomealt_packed[w0:w1 + 1]
+        codes = dna.unpack_2bit(words, (len(words)) * 16)
+        off = start - (w0 << 4)
+        return codes[off:off + length]
+
+    def get_alt_seq(self, start: int, length: int) -> str:
+        return dna.decode(self.get_alt_codes(start, length),
+                          self.get_nmask(start, length).astype(bool))
 
     def get_nmask(self, start: int, length: int) -> np.ndarray:
         idx = np.arange(start, start + length)
@@ -140,12 +205,15 @@ class GenomeDB:
         }
         with open(os.path.join(directory, "meta.json"), "w") as f:
             json.dump(meta, f)
+        extra = {}
+        if self.genomealt_packed is not None:
+            extra["genomealt_packed"] = self.genomealt_packed
         np.savez(os.path.join(directory, "arrays.npz"),
                  chrom_offsets=self.chrom_offsets,
                  genome_packed=self.genome_packed,
                  genome_nmask=self.genome_nmask,
                  **_offsets_fields("offsets", self.offsets),
-                 positions=self.positions)
+                 positions=self.positions, **extra)
         for space, (off, pos) in (self.mode_indexes or {}).items():
             np.savez(os.path.join(directory, f"mode_{space}.npz"),
                      **_offsets_fields("offsets", off), positions=pos)
@@ -171,7 +239,9 @@ class GenomeDB:
                    genome_nmask=z["genome_nmask"],
                    k=meta["k"], interval=meta["interval"],
                    offsets=_offsets_restore("offsets", z),
-                   positions=z["positions"])
+                   positions=z["positions"],
+                   genomealt_packed=(z["genomealt_packed"]
+                                     if "genomealt_packed" in z else None))
 
     # --- reference-format parity writer ---
 

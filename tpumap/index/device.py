@@ -37,23 +37,29 @@ class DeviceIndex:
     # mode-transformed (offsets, positions) pairs, space -> arrays
     alt_offsets: dict = None
     alt_positions: dict = None
+    # SNP tolerance: alternate genome (genomealt); a base matches if it
+    # matches EITHER the reference or the alt allele (src/gsnap.c:3380-3394)
+    genomealt_packed: jax.Array = None
 
     def tree_flatten(self):
         alt_keys = tuple(sorted(self.alt_offsets or {}))
         children = (self.genome_packed, self.genome_nmask, self.offsets,
                     self.positions, self.chrom_offsets,
                     tuple((self.alt_offsets or {})[s] for s in alt_keys),
-                    tuple((self.alt_positions or {})[s] for s in alt_keys))
+                    tuple((self.alt_positions or {})[s] for s in alt_keys),
+                    (self.genomealt_packed,) if self.genomealt_packed
+                    is not None else ())
         return children, (self.genome_length, self.k, alt_keys)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        *main, alt_off, alt_pos = children
+        *main, alt_off, alt_pos, galt = children
         alt_keys = aux[2]
         return cls(*main,
                    genome_length=aux[0], k=aux[1],
                    alt_offsets=dict(zip(alt_keys, alt_off)) or None,
-                   alt_positions=dict(zip(alt_keys, alt_pos)) or None)
+                   alt_positions=dict(zip(alt_keys, alt_pos)) or None,
+                   genomealt_packed=galt[0] if galt else None)
 
     def mode_index(self, space: str | None):
         """(offsets, positions) for a base space (None = standard)."""
@@ -75,6 +81,10 @@ class DeviceIndex:
             alt_off[space] = put(off)
             alt_pos[space] = put(np.concatenate(
                 [p, np.full(pad_words, INVALID_DIAG, dtype=np.uint32)]))
+        galt = None
+        if db.genomealt_packed is not None:
+            galt = put(np.concatenate([db.genomealt_packed,
+                                       np.zeros(pad_words, dtype=np.uint32)]))
         return cls(
             genome_packed=put(gp),
             genome_nmask=put(nm),
@@ -85,4 +95,5 @@ class DeviceIndex:
             k=db.k,
             alt_offsets=alt_off or None,
             alt_positions=alt_pos or None,
+            genomealt_packed=galt,
         )

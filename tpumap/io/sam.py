@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from tpumap.index.build import GenomeDB
 from tpumap.utils import dna
 
@@ -223,22 +225,31 @@ def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
 
 def ungapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
                     diag: int, strand: int, mapq: int,
-                    nmismatch: int, space: str | None = None) -> SamRecord:
+                    nmismatch: int, space: str | None = None,
+                    snp: bool = False) -> SamRecord:
     """SAM record for a full-length ungapped (substitution-only) alignment.
 
     diag = univcoord of query base 0 in the aligned orientation; strand 1
-    means the read aligned as its reverse complement.
+    means the read aligned as its reverse complement. With snp=True and a
+    SNP-tolerant db, NM stays reference-based and XW/XV carry the
+    both-diff / SNP-explained counts (src/path-print-sam.c:932-945).
     """
     L = len(seq)
     rname, chrpos = db.chrpos(diag)
     oriented = dna.revcomp(seq) if strand else seq
     genome_seq = db.get_seq(diag, L)
     md, nm = md_and_nm(oriented, genome_seq, space)
+    tags = [f"NM:i:{nm}", f"MD:Z:{md}"]
+    if snp and db.genomealt_packed is not None:
+        alt_seq = db.get_alt_seq(diag, L)
+        bothdiff = sum(1 for r, g, a in zip(oriented, genome_seq, alt_seq)
+                       if r != g and r != a)
+        tags.append(f"XW:i:{bothdiff}")
+        tags.append(f"XV:i:{nm - bothdiff}")
     flag = 16 if strand else 0
     q = qual or "*"
     if strand and qual:
         q = qual[::-1]
     return SamRecord(
         qname=qname, flag=flag, rname=rname, pos=chrpos + 1, mapq=mapq,
-        cigar=f"{L}M", seq=oriented, qual=q,
-        tags=[f"NM:i:{nm}", f"MD:Z:{md}"])
+        cigar=f"{L}M", seq=oriented, qual=q, tags=tags)

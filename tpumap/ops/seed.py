@@ -114,16 +114,20 @@ def prevalent_diagonals(diags: jax.Array, top_k: int, merge_slop: int = 0,
 def seed_reads(index, codes: jax.Array, nmask: jax.Array, lengths: jax.Array,
                max_occ: int = 32, top_k: int = 8, qinterval: int = 1,
                merge_slop: int = 0,
-               space: str | None = None) -> tuple[jax.Array, jax.Array]:
+               space: str | None = None,
+               index_space: str | None = None) -> tuple[jax.Array, jax.Array]:
     """Full seed stage: codes -> top-K candidate univdiagonals per read.
 
     With `space` set, seeding runs in the reduced base space against the
     matching mode-transformed index (cmet/atoi; see ops/mode.py).
+    index_space overrides which (offsets, positions) pair is used without
+    transforming the read codes — "snp" selects the SNP-tolerant index.
     """
     if space is not None:
         from tpumap.ops.mode import CODE_MAPS
         codes = jnp.take(jnp.asarray(CODE_MAPS[space]), codes.astype(jnp.int32))
-    offsets, positions = index.mode_index(space)
+    offsets, positions = index.mode_index(
+        index_space if index_space is not None else space)
     oligos, valid = query_oligos(codes, nmask, lengths, index.k)
     NQ = oligos.shape[1]
     qpos = jnp.arange(0, NQ, qinterval, dtype=jnp.int32)

@@ -132,7 +132,7 @@ def mismatch_base_mask(mm_words: jax.Array, L: int) -> jax.Array:
 
 def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
                      lengths: jax.Array, diagonals: jax.Array,
-                     space: str | None = None) -> jax.Array:
+                     space: str | None = None, snp: bool = False) -> jax.Array:
     """Count mismatches of each read against each candidate univdiagonal.
 
     read_packed: uint32[B, W]; read_nmask2: uint32[B, W] (spread bits);
@@ -141,6 +141,10 @@ def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
 
     With `space` set (see ops/mode.py), both sides are transformed to the
     reduced base space before comparison (bisulfite / RNA-editing modes).
+    With snp=True (and index.genomealt_packed present), a base mismatches
+    only if it matches NEITHER the reference nor the alt allele — the
+    SNP-tolerant mode of the genomebits kernels (src/genomebits_mismatches.c
+    masked variants, src/gsnap.c genomebits_alt).
 
     Returns int32[B, C] mismatch counts.
     """
@@ -157,6 +161,14 @@ def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
         gwin = transform_packed(gwin, space)
     mm = mismatch_words(read_packed[:, None, :], gwin,
                         read_nmask2[:, None, :], gn2)
+    if snp and index.genomealt_packed is not None:
+        gwin_alt = extract_packed_window(index.genomealt_packed, starts, W)
+        if space is not None:
+            from tpumap.ops.mode import transform_packed
+            gwin_alt = transform_packed(gwin_alt, space)
+        mm_alt = mismatch_words(read_packed[:, None, :], gwin_alt,
+                                read_nmask2[:, None, :], gn2)
+        mm = mm & mm_alt
     lmask = length_mask_words(lengths, W)[:, None, :]
     counts = count_mismatches(mm, lmask)
     return jnp.where(valid, counts, lengths[:, None].astype(jnp.int32))
