@@ -1,0 +1,108 @@
+"""Runtime/IO features of the gsnap CLI: --part modular sharding,
+--failed-input capture, --split-output per-category files, -o/--append,
+--time (src/inbuffer.c:96-124, src/gsnap.c:720-726, src/outbuffer.c)."""
+import io
+import sys
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from tpumap.cli.gsnap_cli import OutputRouter, main as gsnap_main, parse_part
+from tpumap.io.sam import SamRecord
+
+
+def test_parse_part():
+    assert parse_part("0/4") == (0, 4)
+    assert parse_part("3/4") == (3, 4)
+    with pytest.raises(ValueError):
+        parse_part("4/4")
+
+
+def test_categories():
+    assert OutputRouter.single_category(SamRecord("a", 4)) == "nomapping"
+    assert OutputRouter.single_category(
+        SamRecord("a", 0, mapq=40)) == "unpaired_uniq"
+    assert OutputRouter.single_category(
+        SamRecord("a", 0, mapq=0)) == "unpaired_mult"
+    assert OutputRouter.paired_category(
+        SamRecord("a", 4), SamRecord("a", 4)) == "nomapping"
+    assert OutputRouter.paired_category(
+        SamRecord("a", 99, mapq=40), SamRecord("a", 147, mapq=40)) == \
+        "concordant_uniq"
+    assert OutputRouter.paired_category(
+        SamRecord("a", 4), SamRecord("a", 0, mapq=40)) == "halfmapping_uniq"
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    from tpumap.index import build_db
+
+    d = tmp_path_factory.mktemp("rt")
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    (d / "g.fa").write_text(">chr1\n" + seq + "\n")
+    db = build_db(d / "g.fa", name="rt", k=13, interval=3)
+    db.save(str(d / "db"))
+    lines = []
+    for i in range(8):
+        p = 1000 * (i + 1)
+        lines.append(f"@r{i}\n{seq[p:p + 100]}\n+\n{'I' * 100}\n")
+    # one garbage read that cannot align
+    lines.append("@bad\n" + "ACGT" * 25 + "\n+\n" + "I" * 100 + "\n")
+    (d / "r.fq").write_text("".join(lines))
+    return d
+
+
+def _run(args):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = gsnap_main(args)
+    return rc, buf.getvalue()
+
+
+def test_part_sharding(world):
+    d = world
+    _, full = _run(["-D", str(d / "db"), str(d / "r.fq"),
+                    "--no-sam-headers"])
+    _, p0 = _run(["-D", str(d / "db"), "-q", "0/3", str(d / "r.fq"),
+                  "--no-sam-headers"])
+    _, p1 = _run(["-D", str(d / "db"), "-q", "1/3", str(d / "r.fq"),
+                  "--no-sam-headers"])
+    _, p2 = _run(["-D", str(d / "db"), "-q", "2/3", str(d / "r.fq"),
+                  "--no-sam-headers"])
+    assert sorted(full.splitlines()) == sorted(
+        (p0 + p1 + p2).splitlines())
+    names = [l.split("\t")[0] for l in p0.splitlines()]
+    assert names == ["r0", "r3", "r6"]
+
+
+def test_failed_input_and_split_output(world, tmp_path):
+    d = world
+    rc, _ = _run(["-D", str(d / "db"), str(d / "r.fq"),
+                  "--failed-input", str(tmp_path / "failed.fq"),
+                  "--split-output", str(tmp_path / "out")])
+    assert rc == 0 or rc is None
+    failed = (tmp_path / "failed.fq").read_text()
+    assert failed.startswith("@bad\n")
+    uniq = (tmp_path / "out.unpaired_uniq").read_text()
+    assert "r0" in uniq and "bad" not in uniq.split("@PG")[-1].split()[0:1]
+    nomap = (tmp_path / "out.nomapping").read_text()
+    assert "bad\t4" in nomap.replace("bad\t4", "bad\t4")  # record present
+    assert any(l.split("\t")[0] == "bad" for l in nomap.splitlines()
+               if not l.startswith("@"))
+    # headers present in every split file
+    assert uniq.startswith("@HD") and nomap.startswith("@HD")
+
+
+def test_output_file_and_append(world, tmp_path):
+    d = world
+    out = tmp_path / "x.sam"
+    _run(["-D", str(d / "db"), "-q", "0/9", str(d / "r.fq"),
+          "-o", str(out)])
+    first = out.read_text()
+    _run(["-D", str(d / "db"), "-q", "1/9", str(d / "r.fq"),
+          "-o", str(out), "--append-output", "--no-sam-headers"])
+    both = out.read_text()
+    assert both.startswith(first)
+    assert len(both.splitlines()) == len(first.splitlines()) + 1

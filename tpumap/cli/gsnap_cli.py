@@ -2,13 +2,17 @@
 
 Mirrors the behaviorally-meaningful subset of the reference gsnap flags
 (src/gsnap.c:581-742): -D/-d database, -A output format (sam/m8),
--N novel splicing, --pairmax-dna/rna insert window, single or paired
-input files, --batch-size for the device batch.
+-N novel splicing, -s known splicing, -c transcriptome, -v SNPs,
+--mode cmet/atoi, --two-pass, --part modular input sharding
+(src/inbuffer.c:96-124), --failed-input (src/gsnap.c:725),
+--split-output per-category files (src/gsnap.c:720-726), --time
+(src/gmap.c:4777), single or paired input files.
 """
 from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 from tpumap.gsnap.driver import align_records
 from tpumap.gsnap.engine import AlignConfig
@@ -17,6 +21,61 @@ from tpumap.index.build import GenomeDB
 from tpumap.index.device import DeviceIndex
 from tpumap.io import sam
 from tpumap.io.fasta import read_seqs
+
+
+def parse_part(spec: str) -> tuple[int, int]:
+    i, _, n = spec.partition("/")
+    i, n = int(i), int(n)
+    if not 0 <= i < n:
+        raise ValueError(f"bad --part {spec}: need 0 <= i < n")
+    return i, n
+
+
+class OutputRouter:
+    """Output file management: single stream, or per-category files when
+    --split-output is set (the reference's Outbuffer split-output mode).
+
+    Categories follow src/samflags.h: nomapping, unpaired_uniq,
+    unpaired_mult, concordant_uniq, concordant_mult, halfmapping_uniq,
+    unpaired (paired-end both-unpaired).
+    """
+
+    def __init__(self, split_base: str | None, default_out, append=False):
+        self.split_base = split_base
+        self.default = default_out
+        self.append = append
+        self.files = {}
+
+    def get(self, category: str):
+        if not self.split_base:
+            return self.default
+        if category not in self.files:
+            mode = "a" if self.append else "w"
+            self.files[category] = open(
+                f"{self.split_base}.{category}", mode)
+        return self.files[category]
+
+    def close(self):
+        for f in self.files.values():
+            f.close()
+
+    @staticmethod
+    def single_category(rec: sam.SamRecord) -> str:
+        if rec.flag & 4:
+            return "nomapping"
+        return "unpaired_uniq" if rec.mapq > 0 else "unpaired_mult"
+
+    @staticmethod
+    def paired_category(r1: sam.SamRecord, r2: sam.SamRecord) -> str:
+        m1, m2 = not (r1.flag & 4), not (r2.flag & 4)
+        if not m1 and not m2:
+            return "nomapping"
+        if m1 != m2:
+            return "halfmapping_uniq"
+        if r1.flag & 2:
+            return ("concordant_uniq" if min(r1.mapq, r2.mapq) > 0
+                    else "concordant_mult")
+        return "unpaired_uniq"
 
 
 def main(argv=None):
@@ -49,13 +108,26 @@ def main(argv=None):
     ap.add_argument("--max-intron", type=int, default=200_000)
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--no-sam-headers", action="store_true")
+    # runtime / output management (src/inbuffer.c, src/outbuffer.c)
+    ap.add_argument("-q", "--part", help="process only fraction i/n of the "
+                    "input (modular sharding, e.g. 0/4)")
+    ap.add_argument("-o", "--output", help="output file (default stdout)")
+    ap.add_argument("--append-output", action="store_true")
+    ap.add_argument("--split-output", dest="split_output",
+                    help="basename for per-category output files")
+    ap.add_argument("--failed-input", dest="failed_input",
+                    help="write unaligned reads to this FASTA/FASTQ file")
+    ap.add_argument("--10x-whitelist", dest="whitelist",
+                    help="10x cell-barcode whitelist; read 1 = barcode+UMI, "
+                         "read 2 is aligned and tagged CR/CY/CB/UR/UY")
+    ap.add_argument("--time", action="store_true", dest="timing",
+                    help="print alignment timing to stderr")
     ap.add_argument("reads", help="FASTA/FASTQ file (read 1)")
     ap.add_argument("reads2", nargs="?", help="read-2 file for paired-end")
     args = ap.parse_args(argv)
 
     db = GenomeDB.load(args.dir)
     index = DeviceIndex.from_host(db)
-    out = sys.stdout
     if args.use_snps and (db.mode_indexes is None
                           or "snp" not in db.mode_indexes):
         sys.stderr.write("error: -v requires a SNP-tolerant database "
@@ -85,45 +157,131 @@ def main(argv=None):
             ks = KnownSplicing.from_splicing_iit(IIT.read(args.use_splicing), db)
         known = ks
 
-    if args.format == "sam" and not args.no_sam_headers:
-        out.write(sam.header(db, "tpumap-gsnap " + " ".join(argv)))
-
-    if args.reads2:
-        pairs = list(zip(read_seqs(args.reads), read_seqs(args.reads2)))
-        for s1, s2 in align_paired_records(db, index, pairs, config,
-                                           pairmax=args.pairmax,
-                                           batch_size=args.batch_size):
-            out.write(s1.line() + "\n")
-            out.write(s2.line() + "\n")
-        return
-
-    records = list(read_seqs(args.reads))
-    if args.two_pass:
-        from tpumap.gsnap.twopass import two_pass_align
-        results, _ks = two_pass_align(db, index, records, config,
-                                      max_intron=args.max_intron,
-                                      batch_size=args.batch_size,
-                                      splices_dump=args.splices_dump, tr=tr)
+    if args.output:
+        out = open(args.output, "a" if args.append_output else "w")
     else:
+        out = sys.stdout
+    router = OutputRouter(args.split_output, out,
+                          append=args.append_output)
+    failed = open(args.failed_input, "w") if args.failed_input else None
+
+    def write_failed(rec):
+        if failed is None:
+            return
+        if rec.quality:
+            failed.write(f"@{rec.accession}\n{rec.sequence}\n+\n"
+                         f"{rec.quality}\n")
+        else:
+            failed.write(f">{rec.accession}\n{rec.sequence}\n")
+
+    def headers_to(fh_set):
+        if args.format == "sam" and not args.no_sam_headers:
+            h = sam.header(db, "tpumap-gsnap " + " ".join(argv))
+            for f in fh_set:
+                f.write(h)
+
+    part = parse_part(args.part) if args.part else None
+
+    def shard(it):
+        for i, item in enumerate(it):
+            if part is None or i % part[1] == part[0]:
+                yield item
+
+    t0 = time.perf_counter()
+    nreads = 0
+
+    if args.whitelist:
+        # 10x single-cell mode (src/single-cell.c): read 1 carries the
+        # barcodes, only read 2 is aligned
+        from tpumap.gsnap.single_cell import SingleCell
+        if not args.reads2:
+            sys.stderr.write("error: --10x-whitelist needs read-1 and "
+                             "read-2 files\n")
+            return 2
+        sc = SingleCell.from_file(args.whitelist)
+        pairs = list(shard(zip(read_seqs(args.reads),
+                               read_seqs(args.reads2))))
+        nreads = len(pairs)
+        for r1, _r2 in pairs:
+            sc.observe(r1.sequence)
+        records = [r2 for _r1, r2 in pairs]
         results = align_records(db, index, records, config,
                                 novelsplicing=bool(args.novelsplicing),
                                 max_intron=args.max_intron,
                                 batch_size=args.batch_size, known=known,
                                 tr=tr)
-    if args.format == "m8":
-        from tpumap.io.m8 import m8_line
-        for rec, s in zip(records, results):
-            if s.flag & 4:
-                continue
-            nm = next((int(t.split(":")[2]) for t in s.tags
-                       if t.startswith("NM:i:")), 0)
-            diag = int(db.chrom_offsets[db.chrom_names.index(s.rname)]) + s.pos - 1
-            out.write(m8_line(db, rec.accession, diag,
-                              1 if s.flag & 16 else 0, len(rec.sequence), nm)
-                      + "\n")
-    else:
-        for s in results:
+        headers_to({out})
+        for (r1, r2), s in zip(pairs, results):
+            s.tags.extend(sc.sam_tags(r1.sequence, r1.quality))
             out.write(s.line() + "\n")
+            if s.flag & 4:
+                write_failed(r2)
+    elif args.reads2:
+        pairs = list(shard(zip(read_seqs(args.reads),
+                               read_seqs(args.reads2))))
+        nreads = 2 * len(pairs)
+        results = list(align_paired_records(db, index, pairs, config,
+                                            pairmax=args.pairmax,
+                                            batch_size=args.batch_size))
+        cats = {OutputRouter.paired_category(s1, s2)
+                for s1, s2 in results} if args.split_output else set()
+        headers_to({router.get(c) for c in cats} or {out})
+        for (r1, r2), (s1, s2) in zip(pairs, results):
+            f = router.get(OutputRouter.paired_category(s1, s2))
+            f.write(s1.line() + "\n")
+            f.write(s2.line() + "\n")
+            if (s1.flag & 4) and (s2.flag & 4):
+                write_failed(r1)
+                write_failed(r2)
+    else:
+        records = list(shard(read_seqs(args.reads)))
+        nreads = len(records)
+        if args.two_pass:
+            from tpumap.gsnap.twopass import two_pass_align
+            results, _ks = two_pass_align(db, index, records, config,
+                                          max_intron=args.max_intron,
+                                          batch_size=args.batch_size,
+                                          splices_dump=args.splices_dump,
+                                          tr=tr)
+        else:
+            results = align_records(db, index, records, config,
+                                    novelsplicing=bool(args.novelsplicing),
+                                    max_intron=args.max_intron,
+                                    batch_size=args.batch_size, known=known,
+                                    tr=tr)
+        if args.format == "m8":
+            from tpumap.io.m8 import m8_line
+            for rec, s in zip(records, results):
+                if s.flag & 4:
+                    write_failed(rec)
+                    continue
+                nm = next((int(t.split(":")[2]) for t in s.tags
+                           if t.startswith("NM:i:")), 0)
+                diag = (int(db.chrom_offsets[db.chrom_names.index(s.rname)])
+                        + s.pos - 1)
+                out.write(m8_line(db, rec.accession, diag,
+                                  1 if s.flag & 16 else 0,
+                                  len(rec.sequence), nm) + "\n")
+        else:
+            cats = ({OutputRouter.single_category(s) for s in results}
+                    if args.split_output else set())
+            headers_to({router.get(c) for c in cats} or {out})
+            for rec, s in zip(records, results):
+                router.get(OutputRouter.single_category(s)).write(
+                    s.line() + "\n")
+                if s.flag & 4:
+                    write_failed(rec)
+
+    if args.timing:
+        dt = time.perf_counter() - t0
+        sys.stderr.write(f"Aligned {nreads} reads in {dt:.3f} s "
+                         f"({nreads / max(dt, 1e-9):.1f} reads/sec)\n")
+    router.close()
+    if failed is not None:
+        failed.close()
+    if args.output:
+        out.close()
+    return 0
 
 
 if __name__ == "__main__":
