@@ -1,0 +1,77 @@
+"""GMAP chimera detection (-x): two-part cDNA alignments across loci
+(src/chimera.c, src/gmap.c:2435-3000)."""
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from tpumap.gmap.chimera import align_query_chimera, breakpoint, query_span
+from tpumap.gmap.engine import GmapConfig
+from tpumap.gmap.stage1 import Stage1Config
+from tpumap.utils import dna
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+
+    d = tmp_path_factory.mktemp("chim")
+    rng = np.random.default_rng(17)
+    c1 = "".join("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    c2 = "".join("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    (d / "g.fa").write_text(f">chr1\n{c1}\n>chr2\n{c2}\n")
+    db = build_db(d / "g.fa", name="chim", k=12, interval=3)
+    return db, DeviceIndex.from_host(db), c1, c2
+
+
+def test_chimera_two_pieces(world):
+    db, index, c1, c2 = world
+    # part 1: spliced cDNA from chr1 (two exons); part 2: exon from chr2
+    part1 = c1[3000:3100] + c1[5000:5100]
+    part2 = c2[8000:8120]
+    query = part1 + part2
+    qcodes, qnmask = dna.encode(query)
+    pieces = align_query_chimera(db, index, qcodes, qnmask, GmapConfig(),
+                                 Stage1Config(), chimera_margin=30)
+    assert len(pieces) == 2
+    qlen = len(query)
+    (chain1, off1), (chain2, off2) = pieces
+    qs1, qe1 = query_span(chain1, qlen)
+    qs2, qe2 = query_span(chain2, qlen)
+    assert qs1 == 0 and qe1 >= 190
+    assert qs2 <= 210 and qe2 == qlen
+    assert db.chrnum(off1 + chain1.exons[0].gstart) == 0   # chr1
+    assert db.chrnum(off2 + chain2.exons[0].gstart) == 1   # chr2
+    # part 1 keeps its intron structure
+    assert any(i.kind == "intron" for i in chain1.introns)
+    bp = breakpoint(pieces, qlen)
+    assert 190 <= bp <= 210
+
+
+def test_normal_query_single_piece(world):
+    db, index, c1, c2 = world
+    query = c1[3000:3100] + c1[5000:5100]
+    qcodes, qnmask = dna.encode(query)
+    pieces = align_query_chimera(db, index, qcodes, qnmask, GmapConfig(),
+                                 Stage1Config(), chimera_margin=30)
+    assert len(pieces) == 1
+    assert breakpoint(pieces, len(query)) is None
+
+
+def test_cli_chimera_psl(world, tmp_path):
+    from tpumap.cli.gmap_cli import main as gmap_main
+
+    db, index, c1, c2 = world
+    db.save(str(tmp_path / "db"))
+    query = c1[3000:3100] + c1[5000:5100] + c2[8000:8120]
+    (tmp_path / "q.fa").write_text(">q1\n" + query + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gmap_main(["-D", str(tmp_path / "db"), "-f", "psl", "-x", "30",
+                   str(tmp_path / "q.fa")])
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert lines[0].split("\t")[13] == "chr1"
+    assert lines[1].split("\t")[13] == "chr2"

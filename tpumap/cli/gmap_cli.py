@@ -72,6 +72,11 @@ def main(argv=None):
                                               "genomic+introns"])
     ap.add_argument("-P", "--protein_dna", action="store_true")
     ap.add_argument("-Q", "--protein_gen", action="store_true")
+    ap.add_argument("-x", "--chimera-margin", dest="chimera_margin",
+                    type=int, default=0,
+                    help="report chimeras when an uncovered query margin "
+                         "of at least this size aligns elsewhere "
+                         "(src/chimera.c; 0 disables)")
     ap.add_argument("queries", help="query FASTA/FASTQ")
     args = ap.parse_args(argv)
 
@@ -165,22 +170,29 @@ def main(argv=None):
         source = args.db or db.name
         for rec in read_fasta(args.queries):
             qcodes, qnmask = dna.encode(rec.sequence)
-            chain, univ_off = align_query_to_db(db, index, qcodes, qnmask)
-            if chain is None:
-                continue
-            chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
-            seqid = db.chrom_names[chrom_idx]
-            chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
-            g_hi = chain.exons[-1].gend
-            tsize = int(db.chrom_offsets[chrom_idx + 1]
-                        - db.chrom_offsets[chrom_idx])
-            need_region = fmt in ("align", "summary", "samse", "sampe",
-                                  "protein_gen") or fmt.startswith("exons:")
-            emit(chain, rec, qcodes, seqid, source, chrom_offset,
-                 region_codes=db.get_codes(univ_off,
-                                           g_hi + 16).astype(np.uint8)
-                 if need_region else None,
-                 chrname=seqid, tsize=tsize)
+            if args.chimera_margin > 0:
+                from tpumap.gmap.chimera import align_query_chimera
+                pieces = align_query_chimera(
+                    db, index, qcodes, qnmask, GmapConfig(), Stage1Config(),
+                    chimera_margin=args.chimera_margin)
+            else:
+                chain, univ_off = align_query_to_db(db, index, qcodes,
+                                                    qnmask)
+                pieces = [(chain, univ_off)] if chain is not None else []
+            for chain, univ_off in pieces:
+                chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
+                seqid = db.chrom_names[chrom_idx]
+                chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
+                g_hi = chain.exons[-1].gend
+                tsize = int(db.chrom_offsets[chrom_idx + 1]
+                            - db.chrom_offsets[chrom_idx])
+                need_region = fmt in ("align", "summary", "samse", "sampe",
+                                      "protein_gen") or fmt.startswith("exons:")
+                emit(chain, rec, qcodes, seqid, source, chrom_offset,
+                     region_codes=db.get_codes(univ_off,
+                                               g_hi + 16).astype(np.uint8)
+                     if need_region else None,
+                     chrname=seqid, tsize=tsize)
     else:
         ap.error("need -g or -D")
 

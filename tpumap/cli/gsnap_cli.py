@@ -117,6 +117,10 @@ def main(argv=None):
                     help="basename for per-category output files")
     ap.add_argument("--failed-input", dest="failed_input",
                     help="write unaligned reads to this FASTA/FASTQ file")
+    ap.add_argument("--find-fusions", action="store_true",
+                    dest="find_fusions",
+                    help="search for distant/translocation split reads "
+                         "(emitted as primary + supplementary with SA tags)")
     ap.add_argument("--10x-whitelist", dest="whitelist",
                     help="10x cell-barcode whitelist; read 1 = barcode+UMI, "
                          "read 2 is aligned and tagged CR/CY/CB/UR/UY")
@@ -248,7 +252,7 @@ def main(argv=None):
                                     novelsplicing=bool(args.novelsplicing),
                                     max_intron=args.max_intron,
                                     batch_size=args.batch_size, known=known,
-                                    tr=tr)
+                                    tr=tr, find_fusions=args.find_fusions)
         if args.format == "m8":
             from tpumap.io.m8 import m8_line
             for rec, s in zip(records, results):

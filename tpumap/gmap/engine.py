@@ -218,37 +218,71 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         qhi = boundaries[i] if i < len(boundaries) else Q
         qspans.append((qlo, qhi, d))
 
-    # end trimming: maximize match-mismatch score of kept prefix/suffix
-    (qlo0, qhi0, d0) = qspans[0]
-    mm0 = _mm(query_codes, query_nmask, region_codes, region_nmask,
-              d0, 0, qhi0)
-    score = np.where(mm0, -MM_COST, 1)
-    # best trim t: keep [t, qhi0); maximize suffix sum
-    sufsum = np.cumsum(score[::-1])[::-1]
-    t0 = int(np.argmax(sufsum)) if len(sufsum) else 0
-    if sufsum[t0] <= 0:
-        t0 = qhi0
-    qspans[0] = (t0, qhi0, d0)
+    # end trimming + weak-terminal-exon pruning, iterated to a fixed point
+    # (the Stage3 trim_ends + Smooth_pairs role, src/stage3.c, src/smooth.c:
+    # a terminal exon must buy more score than its junction costs, else it
+    # is a spurious anchor and the end is re-trimmed)
+    def span_score(qlo, qhi, d):
+        if qhi <= qlo:
+            return 0
+        mm = _mm(query_codes, query_nmask, region_codes, region_nmask,
+                 d, qlo, qhi)
+        return int((~mm).sum()) - MM_COST * int(mm.sum())
 
-    (qloN, qhiN, dN) = qspans[-1]
-    mmN = _mm(query_codes, query_nmask, region_codes, region_nmask,
-              dN, qloN, Q)
-    score = np.where(mmN, -MM_COST, 1)
-    prefsum = np.cumsum(score)
-    tN = int(np.argmax(prefsum)) + 1 if len(prefsum) else 0
-    if tN and prefsum[tN - 1] <= 0:
-        tN = 0
-    qspans[-1] = (qloN, qloN + tN, dN)
+    def junction_penalty(intron: Intron) -> int:
+        if intron.kind == "intron":
+            return 8 if intron.canonical else 16
+        return 10
+
+    while True:
+        # trim the outer ends of the terminal spans
+        (qlo0, qhi0, d0) = qspans[0]
+        mm0 = _mm(query_codes, query_nmask, region_codes, region_nmask,
+                  d0, 0, qhi0)
+        score = np.where(mm0, -MM_COST, 1)
+        sufsum = np.cumsum(score[::-1])[::-1]
+        t0 = int(np.argmax(sufsum)) if len(sufsum) else 0
+        if len(sufsum) and sufsum[t0] <= 0:
+            t0 = qhi0
+        qspans[0] = (t0, qhi0, d0)
+
+        (qloN, qhiN, dN) = qspans[-1]
+        mmN = _mm(query_codes, query_nmask, region_codes, region_nmask,
+                  dN, qloN, Q)
+        score = np.where(mmN, -MM_COST, 1)
+        prefsum = np.cumsum(score)
+        tN = int(np.argmax(prefsum)) + 1 if len(prefsum) else 0
+        if tN and prefsum[tN - 1] <= 0:
+            tN = 0
+        qspans[-1] = (qloN, qloN + tN, dN)
+
+        if len(qspans) == 1:
+            break
+        # drop weak terminal exons
+        s0 = span_score(*qspans[0])
+        if s0 <= junction_penalty(introns[0]):
+            qspans.pop(0)
+            introns.pop(0)
+            continue
+        sN = span_score(*qspans[-1])
+        if sN <= junction_penalty(introns[-1]):
+            qspans.pop()
+            introns.pop()
+            continue
+        break
 
     exons = []
-    for (qlo, qhi, d) in qspans:
+    kept_introns = []
+    for i, (qlo, qhi, d) in enumerate(qspans):
         if qhi <= qlo:
             continue
         mm = _mm(query_codes, query_nmask, region_codes, region_nmask,
                  d, qlo, qhi)
+        if exons and i - 1 < len(introns):
+            kept_introns.append(introns[i - 1])
         exons.append(Exon(qstart=qlo, qend=qhi, gstart=qlo + d, gend=qhi + d,
                           matches=int((~mm).sum()), mismatches=int(mm.sum())))
-    result = ExonChain(exons=exons, introns=introns)
+    result = ExonChain(exons=exons, introns=kept_introns)
     _set_direction(result)
     return result
 

@@ -23,7 +23,13 @@ from tpumap.utils import dna
 
 @dataclass(frozen=True)
 class Stage1Config:
-    sample_interval: int = 6      # query oligo sampling for region finding
+    # Query oligo sampling stride for region finding. MUST be coprime with
+    # the genome index sampling interval (default 3): a stride that is a
+    # multiple of it only ever probes ONE genome-position residue class, so
+    # a region whose start falls in another class gets zero hits (the
+    # reference scans all query oligos to avoid this, src/stage1.c:1595).
+    # 5 cycles through all residues of 3 while sampling ~1/5 of oligos.
+    sample_interval: int = 5
     max_occ: int = 16             # overabundant-oligo cap
     top_regions: int = 5
     maxtotallen: int = 500_000    # cluster slop ~ max gene span
@@ -70,6 +76,7 @@ def find_regions(index: DeviceIndex, query_codes: np.ndarray,
                                          jnp.asarray(qn), lengths, config)
     diags, counts, lasts = (np.asarray(diags), np.asarray(counts),
                             np.asarray(lasts))
+    chrom_offsets = np.asarray(index.chrom_offsets, dtype=np.int64)
     regions = []
     for strand in (0, 1):
         for r in range(diags.shape[1]):
@@ -78,6 +85,16 @@ def find_regions(index: DeviceIndex, query_codes: np.ndarray,
             d0, d1 = int(diags[strand, r]), int(lasts[strand, r])
             gstart = max(d0 - config.region_pad, 0)
             gend = min(d1 + Q + config.region_pad, index.genome_length)
-            regions.append((gstart, gend, int(counts[strand, r]), strand))
+            # a gene region never crosses a chromosome boundary: split
+            # clusters that span one (the diagonal-merge slop can join
+            # loci on different chromosomes of a small genome)
+            lo = gstart
+            while lo < gend:
+                c = int(np.searchsorted(chrom_offsets, lo,
+                                        side="right")) - 1
+                chrom_end = int(chrom_offsets[c + 1])
+                hi = min(gend, chrom_end)
+                regions.append((lo, hi, int(counts[strand, r]), strand))
+                lo = hi
     regions.sort(key=lambda t: -t[2])
     return regions[:config.top_regions]

@@ -49,11 +49,14 @@ MAX_CAND_PAIRS = 8
 MIN_INTRON = 9
 
 
+MIN_FUSION_PIECE = 20     # src/path-fusion.c requires substantial ends
+
+
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
                   max_intron: int = 200_000,
                   batch_size: int = 1024, known=None,
-                  tr=None) -> list[sam.SamRecord]:
+                  tr=None, find_fusions: bool = False) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -216,6 +219,99 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                             "nmm": nmm, "score": score,
                         }
 
+        # fourth stage: fusions/translocations — same-orientation candidate
+        # pairs at ANY distance (cross-chromosome included) for reads that
+        # nothing else solved (Path_fusion_*, src/path-fusion.c; inversions
+        # i.e. cross-strand fusions are not attempted yet)
+        fusion_result = {}
+        if find_fusions:
+            fneed = []
+            for i in range(len(chunk)):
+                solved = (i in tr_records or i in splice_result
+                          or (i in dp_result and (
+                              3 * int(batch["lengths"][i])
+                              - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER))
+                if res["nmismatch"][i] >= SPLICE_NMM_TRIGGER and not solved:
+                    fneed.append(i)
+            fpairs_per_read = []
+            for i in fneed:
+                cands = {0: [], 1: []}
+                for c in range(res["cand_diags"].shape[1]):
+                    dg = int(res["cand_diags"][i, c])
+                    st = int(res["cand_strands"][i, c])
+                    if dg != 0xFFFFFFFF and dg not in cands[st]:
+                        cands[st].append(dg)
+                pairs = []
+                for st in (0, 1):
+                    for a in cands[st]:
+                        for b in cands[st]:
+                            if a == b:
+                                continue
+                            # a fusion pair is cross-chromosome, or outside
+                            # the intron window (distant/inverted-order)
+                            same_chrom = db.chrnum(a) == db.chrnum(b)
+                            intronic = MIN_INTRON <= b - a <= max_intron
+                            if not same_chrom or not intronic:
+                                pairs.append((a, b, st))
+                fpairs_per_read.append(pairs[:MAX_CAND_PAIRS])
+            fneed = [i for i, p in zip(fneed, fpairs_per_read) if p]
+            fpairs_per_read = [p for p in fpairs_per_read if p]
+            if fneed:
+                nb = pad_to_bucket(len(fneed))
+                codes = np.zeros((nb, L), dtype=np.uint8)
+                nmask = np.zeros((nb, L), dtype=bool)
+                lengths = np.ones(nb, dtype=np.int32)
+                dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+                dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+                strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
+                for row, (i, pairs) in enumerate(zip(fneed, fpairs_per_read)):
+                    li = int(batch["lengths"][i])
+                    st0 = pairs[0][2]
+                    c = batch["codes"][i]
+                    m = batch["nmask"][i]
+                    if st0:
+                        c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                            np.zeros(L - li, np.uint8)])
+                        m = np.concatenate([m[:li][::-1],
+                                            np.zeros(L - li, bool)])
+                    codes[row] = c
+                    nmask[row] = m
+                    lengths[row] = li
+                    for pcol, (a, b, st) in enumerate(pairs):
+                        if st != st0:
+                            continue
+                        dA[row, pcol] = a
+                        dB[row, pcol] = b
+                        strands[row, pcol] = st
+                fres = refine_splices(index, jnp.asarray(codes),
+                                      jnp.asarray(nmask),
+                                      jnp.asarray(lengths),
+                                      jnp.asarray(dA), jnp.asarray(dB))
+                fres = {k: np.asarray(v) for k, v in fres.items()}
+                for row, i in enumerate(fneed):
+                    li = int(batch["lengths"][i])
+                    pcol = int(np.argmin(np.where(fres["valid"][row],
+                                                  fres["nmm"][row], li + 1)))
+                    if not fres["valid"][row][pcol]:
+                        continue
+                    qstar = int(fres["qstar"][row][pcol])
+                    nmm = int(fres["nmm"][row][pcol])
+                    if (qstar < MIN_FUSION_PIECE
+                            or li - qstar < MIN_FUSION_PIECE):
+                        continue
+                    score = 3 * li - 6 * nmm - 24   # distant-join penalty
+                    best_other = 3 * li - 6 * int(res["nmismatch"][i])
+                    if i in dp_result:
+                        best_other = max(best_other, dp_result[i][2])
+                    if score > best_other:
+                        fusion_result[i] = {
+                            "dA": int(dA[row, pcol]),
+                            "dB": int(dB[row, pcol]),
+                            "qstar": qstar,
+                            "strand": int(strands[row, pcol]),
+                            "nmm": nmm, "score": score,
+                        }
+
         for i, rec in enumerate(chunk):
             li = int(batch["lengths"][i])
             max_equiv = int(li * config.max_mismatch_frac)
@@ -230,6 +326,14 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                         db, rec.accession, rec.sequence, rec.quality,
                         s["dA"], s["dB"], s["qstar"], li, s["strand"],
                         int(mapq[i]), s["sense"]))
+                    continue
+            if i in fusion_result:
+                f = fusion_result[i]
+                if (3 * li - f["score"]) // 6 <= max_equiv + 4:
+                    out.extend(sam.fusion_records(
+                        db, rec.accession, rec.sequence, rec.quality,
+                        f["dA"], f["dB"], f["qstar"], f["strand"],
+                        int(mapq[i])))
                     continue
             if i in dp_result:
                 pos0, ops, score = dp_result[i]

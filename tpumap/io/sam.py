@@ -219,6 +219,44 @@ def multi_exon_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
         seq=oriented, qual=q, tags=tags)
 
 
+def fusion_records(db: GenomeDB, qname: str, seq: str, qual: str | None,
+                   diagA: int, diagB: int, qstar: int, strand: int,
+                   mapq: int) -> list[SamRecord]:
+    """Two SAM records for a fusion/translocation split read
+    (src/path-fusion.c capability): the read prefix [0, qstar) aligns at
+    diagA, the suffix [qstar, L) at diagB (arbitrary distance/chromosome,
+    same orientation). The longer piece is primary, the other is
+    SUPPLEMENTARY (0x800), linked with SA:Z tags (the modern SAM
+    convention for the reference's distant/fusion output)."""
+    L = len(seq)
+    oriented = dna.revcomp(seq) if strand else seq
+    q = qual or "*"
+    if strand and qual:
+        q = qual[::-1]
+    rnameA, posA = db.chrpos(diagA)
+    rnameB, posB = db.chrpos(diagB + qstar)
+    strand_ch = "-" if strand else "+"
+
+    mdA, nmA = md_and_nm(oriented[:qstar], db.get_seq(diagA, qstar))
+    mdB, nmB = md_and_nm(oriented[qstar:], db.get_seq(diagB + qstar,
+                                                      L - qstar))
+    cigA = f"{qstar}M{L - qstar}S"
+    cigB = f"{qstar}S{L - qstar}M"
+    saA = f"SA:Z:{rnameB},{posB + 1},{strand_ch},{cigB},{mapq},{nmB};"
+    saB = f"SA:Z:{rnameA},{posA + 1},{strand_ch},{cigA},{mapq},{nmA};"
+    flag = 16 if strand else 0
+    a_primary = qstar >= L - qstar          # longer piece is primary
+    recA = SamRecord(qname=qname, flag=flag | (0 if a_primary else 0x800),
+                     rname=rnameA, pos=posA + 1,
+                     mapq=mapq, cigar=cigA, seq=oriented, qual=q,
+                     tags=[f"NM:i:{nmA}", f"MD:Z:{mdA}", saA])
+    recB = SamRecord(qname=qname, flag=flag | (0x800 if a_primary else 0),
+                     rname=rnameB,
+                     pos=posB + 1, mapq=mapq, cigar=cigB, seq=oriented,
+                     qual=q, tags=[f"NM:i:{nmB}", f"MD:Z:{mdB}", saB])
+    return [recA, recB] if a_primary else [recB, recA]
+
+
 def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
     return SamRecord(qname=qname, flag=4, seq=seq, qual=qual or "*")
 
