@@ -238,6 +238,8 @@ def main(argv=None):
                 write_failed(r1)
                 write_failed(r2)
     else:
+        # native tokenizer fast path feeds the batch arrays directly; the
+        # Record list is still materialized for SAM output (names/quals)
         records = list(shard(read_seqs(args.reads)))
         nreads = len(records)
         if args.two_pass:
