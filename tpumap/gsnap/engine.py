@@ -196,24 +196,56 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
         bad = ~ok | (pos < qpos[..., None].astype(jnp.uint32))
         return jnp.where(bad, jnp.uint32(0xFFFFFFFF), diag).reshape(B, 6 * occ)
 
-    fcands = end_candidates(codes, nmask, space_fwd)
-    rcands = end_candidates(rc_codes, rc_nmask, space_rc)
+    fcands = _dedup_lanes(end_candidates(codes, nmask, space_fwd), ENDS_K)
+    rcands = _dedup_lanes(end_candidates(rc_codes, rc_nmask, space_rc),
+                          ENDS_K)
 
-    def verify_strand(c, m, cands, space):
-        packed = pack.pack_reads(c)
-        nmask2 = pack.pack_reads(m.astype(jnp.uint8))
-        return verify.verify_diagonals(index, packed, nmask2, lengths, cands,
-                                       space=space,
+    # one fused verify for both strands: the window gather is the hot op
+    # (its cost is per candidate lane), so lanes are deduplicated first and
+    # the two strands stacked into a single call
+    def packed_pair(c, m):
+        return pack.pack_reads(c), pack.pack_reads(m.astype(jnp.uint8))
+
+    fp, fn2 = packed_pair(codes, nmask)
+    rp, rn2 = packed_pair(rc_codes, rc_nmask)
+    if space_fwd == space_rc:
+        stacked = verify.verify_diagonals(
+            index, jnp.concatenate([fp, rp], axis=0),
+            jnp.concatenate([fn2, rn2], axis=0),
+            jnp.concatenate([lengths, lengths], axis=0),
+            jnp.concatenate([fcands, rcands], axis=0),
+            space=space_fwd, snp=config.snp_tolerant)
+        fnmm, rnmm = stacked[:B], stacked[B:]
+    else:
+        fnmm = verify.verify_diagonals(index, fp, fn2, lengths, fcands,
+                                       space=space_fwd,
                                        snp=config.snp_tolerant)
-
-    fnmm = verify_strand(codes, nmask, fcands, space_fwd)
-    rnmm = verify_strand(rc_codes, rc_nmask, rcands, space_rc)
+        rnmm = verify.verify_diagonals(index, rp, rn2, lengths, rcands,
+                                       space=space_rc,
+                                       snp=config.snp_tolerant)
     K = fcands.shape[1]
     all_diags = jnp.concatenate([fcands, rcands], axis=1)
     all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
     strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
                                jnp.ones((B, K), jnp.int32)], axis=1)
     return select_best(all_diags, all_nmm, strands, lengths, config)
+
+
+ENDS_K = 8   # unique candidate lanes kept per strand in the fast rung
+
+
+def _dedup_lanes(cands: jax.Array, keep: int) -> jax.Array:
+    """Sort candidate lanes, drop duplicates, compact uniques to the
+    front, keep the first `keep` lanes. The verify gather cost is per
+    LANE (independent of address), so fewer unique lanes = linear savings
+    (end-anchored candidates are massively duplicated: each end emits the
+    same diagonal from up to 3 query offsets)."""
+    s = jnp.sort(cands, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((s.shape[0], 1), bool), s[:, 1:] == s[:, :-1]], axis=1)
+    s = jnp.where(dup, jnp.uint32(0xFFFFFFFF), s)
+    s = jnp.sort(s, axis=1)          # compact: uniques first, INVALID last
+    return s[:, :keep]
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))

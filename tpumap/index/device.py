@@ -34,6 +34,8 @@ class DeviceIndex:
     chrom_offsets: jax.Array    # uint32[nchrom+1]
     genome_length: int          # static
     k: int                      # static
+    genome_has_n: bool = True   # static: False lets verify skip the
+    #                             genome N-mask window gather entirely
     # mode-transformed (offsets, positions) pairs, space -> arrays
     alt_offsets: dict = None
     alt_positions: dict = None
@@ -49,7 +51,8 @@ class DeviceIndex:
                     tuple((self.alt_positions or {})[s] for s in alt_keys),
                     (self.genomealt_packed,) if self.genomealt_packed
                     is not None else ())
-        return children, (self.genome_length, self.k, alt_keys)
+        return children, (self.genome_length, self.k, alt_keys,
+                          self.genome_has_n)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -57,6 +60,7 @@ class DeviceIndex:
         alt_keys = aux[2]
         return cls(*main,
                    genome_length=aux[0], k=aux[1],
+                   genome_has_n=aux[3],
                    alt_offsets=dict(zip(alt_keys, alt_off)) or None,
                    alt_positions=dict(zip(alt_keys, alt_pos)) or None,
                    genomealt_packed=galt[0] if galt else None)
@@ -93,6 +97,7 @@ class DeviceIndex:
             chrom_offsets=put(db.chrom_offsets.astype(np.uint32)),
             genome_length=db.genome_length,
             k=db.k,
+            genome_has_n=bool(db.genome_nmask.any()),
             alt_offsets=alt_off or None,
             alt_positions=alt_pos or None,
             genomealt_packed=galt,

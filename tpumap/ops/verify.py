@@ -153,7 +153,12 @@ def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
     valid = diagonals != jnp.uint32(0xFFFFFFFF)
     starts = jnp.where(valid, diagonals, 0)
     gwin = extract_packed_window(index.genome_packed, starts, W)
-    gn2 = extract_bit_window(index.genome_nmask, starts, W)
+    # the N-mask window gather costs as much as the genome gather; skip it
+    # when the genome provably has no non-ACGT bases (static flag)
+    if getattr(index, "genome_has_n", True):
+        gn2 = extract_bit_window(index.genome_nmask, starts, W)
+    else:
+        gn2 = None
     if space is not None:
         # mode-aware comparison (cmet/atoi): reduce both sides' base space
         from tpumap.ops.mode import transform_packed
