@@ -161,6 +161,86 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                                 if (da, db_, st) not in pairs:
                                     pairs.append((da, db_, st))
                 pairs_per_read.append(pairs[:MAX_CAND_PAIRS])
+            # localdb-equivalent salvage: reads with NO candidate pair get
+            # their unseeded end located by a window-restricted fragment
+            # scan (ops/localscan.py; the Spliceends_* + Localdb_get path).
+            # The unaligned portion is delimited host-side by the first/
+            # last 20-base exact run against the anchored diagonal.
+            if novelsplicing:
+                salv = []
+                for j, (i, p) in enumerate(zip(sneed, pairs_per_read)):
+                    if p or res["diag"][i] == 0xFFFFFFFF:
+                        continue
+                    li = int(batch["lengths"][i])
+                    a = int(res["diag"][i])
+                    c = batch["codes"][i]
+                    if res["strand"][i]:
+                        c = np.concatenate(
+                            [dna_utils.revcomp_codes(c[:li]),
+                             np.zeros(L - li, np.uint8)])
+                    g = db.get_codes(a, li)
+                    if len(g) < li:
+                        continue
+                    match = (c[:li] == g)
+                    runs = np.convolve(match.astype(np.int32),
+                                       np.ones(20, dtype=np.int32),
+                                       mode="valid") == 20
+                    starts20 = np.nonzero(runs)[0]
+                    if len(starts20) == 0:
+                        continue
+                    u = int(starts20[0])            # unaligned prefix len
+                    e = int(starts20[-1]) + 20      # anchor end
+                    salv.append((j, i, a, int(res["strand"][i]), c, li,
+                                 u, e))
+                if salv:
+                    from tpumap.ops import localscan
+                    F = 16
+                    W = min(32768, max(1024, max_intron))
+                    R = pad_to_bucket(len(salv))
+                    frag_s = np.zeros((R, F), dtype=np.uint8)
+                    frag_p = np.zeros((R, F), dtype=np.uint8)
+                    flen_s = np.ones(R, dtype=np.int32)
+                    flen_p = np.ones(R, dtype=np.int32)
+                    ws_s = np.zeros(R, dtype=np.uint32)
+                    ws_p = np.zeros(R, dtype=np.uint32)
+                    for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
+                        v = li - e                  # unaligned suffix len
+                        if v >= 6:
+                            fl = min(F, v)
+                            frag_s[row, :fl] = c[e:e + fl]
+                            flen_s[row] = fl
+                            ws_s[row] = a + e + MIN_INTRON
+                        if u >= 6:
+                            fl = min(F, u)
+                            frag_p[row, :fl] = c[u - fl:u]
+                            flen_p[row] = fl
+                            ws_p[row] = max(a - MIN_INTRON - W, 0)
+                    pos_s, mm_s = localscan.scan_fragment(
+                        index.genome_packed, jnp.asarray(ws_s),
+                        jnp.asarray(frag_s), jnp.asarray(flen_s), W, F)
+                    pos_p, mm_p = localscan.scan_fragment(
+                        index.genome_packed, jnp.asarray(ws_p),
+                        jnp.asarray(frag_p), jnp.asarray(flen_p), W, F)
+                    pos_s, mm_s = np.asarray(pos_s), np.asarray(mm_s)
+                    pos_p, mm_p = np.asarray(pos_p), np.asarray(mm_p)
+                    for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
+                        v = li - e
+                        pairs = []
+                        if v >= 6:
+                            for t in range(pos_s.shape[1]):
+                                if mm_s[row, t] <= 1:
+                                    dB = int(pos_s[row, t]) - e
+                                    if MIN_INTRON <= dB - a <= max_intron:
+                                        pairs.append((a, dB, st))
+                        if u >= 6:
+                            fl = min(F, u)
+                            for t in range(pos_p.shape[1]):
+                                if mm_p[row, t] <= 1:
+                                    dA = int(pos_p[row, t]) - (u - fl)
+                                    if MIN_INTRON <= a - dA <= max_intron:
+                                        pairs.append((dA, a, st))
+                        pairs_per_read[j] = pairs[:MAX_CAND_PAIRS]
+
             sneed = [i for i, p in zip(sneed, pairs_per_read) if p]
             pairs_per_read = [p for p in pairs_per_read if p]
             if sneed:

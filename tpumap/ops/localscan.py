@@ -1,0 +1,54 @@
+"""Window-restricted fragment scan — the localdb salvage equivalent.
+
+The reference builds per-65,536-bp suffix arrays (src/localdb-read.c,
+src/sarray-write.c, SACA-K) to locate short query fragments that the
+k-mer index cannot seed (fragments shorter than k, or split by a splice
+site close to the read end); Spliceends_* consult it to find novel
+splice-end diagonals (src/spliceends.c:5080, src/path-solve.c).
+
+Suffix arrays gather-poorly on TPU. The same capability re-expressed
+TPU-first: extract the bounded genomic window once (a strided gather of
+W/16 words per read) and brute-force match the fragment at every offset
+on the VPU — F*W byte-compares per read, which at localdb scale
+(W = 32 Kbp, F <= 16) is microseconds of vector work. Only reads the
+cascade failed to solve reach this op, batch-compacted.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpumap.ops import verify
+
+INVALID = jnp.uint32(0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def scan_fragment(genome_packed: jax.Array, win_starts: jax.Array,
+                  frag: jax.Array, frag_lens: jax.Array,
+                  window: int, max_frag: int, top_k: int = 4):
+    """Find the best placements of per-read fragments inside genome
+    windows.
+
+    genome_packed: uint32[...] packed genome; win_starts: uint32[R]
+    window start univcoords; frag: uint8[R, max_frag] fragment codes;
+    frag_lens: int32[R] actual fragment lengths (<= max_frag).
+
+    Returns (positions uint32[R, top_k], nmm int32[R, top_k]): genome
+    univcoords of the fragment's first base at the top_k
+    lowest-mismatch offsets, INVALID-padded.
+    """
+    R = win_starts.shape[0]
+    wcodes = verify.extract_codes_window(genome_packed, win_starts,
+                                         window + max_frag)
+    mm = jnp.zeros((R, window), dtype=jnp.int32)
+    for j in range(max_frag):
+        in_frag = (j < frag_lens)[:, None]
+        diff = wcodes[:, j:j + window] != frag[:, j, None]
+        mm = mm + jnp.where(in_frag, diff.astype(jnp.int32), 0)
+    neg, idx = jax.lax.top_k(-mm, top_k)
+    best_mm = -neg
+    positions = win_starts[:, None] + idx.astype(jnp.uint32)
+    return positions, best_mm
