@@ -9,7 +9,9 @@ from tpumap.gsnap.twopass import (analyze_insertlengths, junctions_from_sam,
                                   learn_knownsplicing, two_pass_align)
 from tpumap.io.sam import SamRecord
 
-E1, E2, EXLEN = 5000, 8000, 50
+# the intron is larger than the localscan salvage window (32768), so only
+# a LEARNED junction can rescue the short-anchor read in pass 2
+E1, E2, EXLEN = 5000, 60000, 50
 
 
 class _FakeDB:
@@ -66,7 +68,7 @@ def world(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("tp")
     rng = np.random.default_rng(7)
-    g = list("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    g = list("ACGT"[i] for i in rng.integers(0, 4, 80000))
     # same ambiguous-junction construction as test_knownsplicing: without
     # knowledge the tie resolves to the wrong boundary
     g[E2 - 1] = g[E1 + EXLEN - 1]
