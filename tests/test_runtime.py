@@ -106,3 +106,37 @@ def test_output_file_and_append(world, tmp_path):
     both = out.read_text()
     assert both.startswith(first)
     assert len(both.splitlines()) == len(first.splitlines()) + 1
+
+
+def test_npaths_secondary(world):
+    """gsnap -n: co-optimal hits beyond the first come out flagged 0x100
+    (src/gsnap.c:704 maxpaths_report)."""
+    import numpy as np
+    from tpumap.index.build import GenomeDB
+
+    d = world
+    db = GenomeDB.load(str(d / "db"))
+    # a read from a duplicated segment: copy seq[2000:2100] over
+    # seq[12000:12100] in a fresh db
+    from tpumap.index import build_db
+    seq = db.get_seq(0, db.genome_length)
+    seq2 = seq[:12000] + seq[2000:2100] + seq[12100:]
+    (d / "g2.fa").write_text(">chr1\n" + seq2 + "\n")
+    db2 = build_db(d / "g2.fa", name="rt2", k=13, interval=3)
+    db2.save(str(d / "db2"))
+    (d / "dup.fq").write_text(f"@dup\n{seq[2000:2100]}\n+\n{'I' * 100}\n")
+
+    _, one = _run(["-D", str(d / "db2"), str(d / "dup.fq"),
+                   "--no-sam-headers"])
+    assert len(one.splitlines()) == 1
+
+    _, two = _run(["-D", str(d / "db2"), "-n", "4", str(d / "dup.fq"),
+                   "--no-sam-headers"])
+    lines = two.splitlines()
+    assert len(lines) == 2
+    flags = sorted(int(l.split("\t")[1]) & 0x100 for l in lines)
+    assert flags == [0, 0x100]
+    poss = sorted(int(l.split("\t")[3]) for l in lines)
+    assert poss == [2001, 12001]
+    # multimapper: MAPQ 0
+    assert all(l.split("\t")[4] == "0" for l in lines)

@@ -104,6 +104,9 @@ def main(argv=None):
                     help="write learned splice sites (.npz) after pass 1")
     ap.add_argument("--splices-read", dest="splices_read",
                     help="read previously learned splice sites (.npz)")
+    ap.add_argument("-n", "--npaths", type=int, default=1,
+                    help="maximum alignments to report per read "
+                         "(co-optimal extras are flagged secondary)")
     ap.add_argument("--pairmax", type=int, default=2000)
     ap.add_argument("--max-intron", type=int, default=200_000)
     ap.add_argument("--batch-size", type=int, default=1024)
@@ -254,7 +257,8 @@ def main(argv=None):
                                     novelsplicing=bool(args.novelsplicing),
                                     max_intron=args.max_intron,
                                     batch_size=args.batch_size, known=known,
-                                    tr=tr, find_fusions=args.find_fusions)
+                                    tr=tr, find_fusions=args.find_fusions,
+                                    npaths=args.npaths)
         if args.format == "m8":
             from tpumap.io.m8 import m8_line
             for rec, s in zip(records, results):
@@ -273,8 +277,7 @@ def main(argv=None):
                     if args.split_output else set())
             headers_to({router.get(c) for c in cats} or {out})
             for rec, s in zip(records, results):
-                router.get(OutputRouter.single_category(s)).write(
-                    s.line() + "\n")
+                router.get(OutputRouter.single_category(s)).write(s.lines())
                 if s.flag & 4:
                     write_failed(rec)
 

@@ -56,7 +56,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
                   max_intron: int = 200_000,
                   batch_size: int = 1024, known=None,
-                  tr=None, find_fusions: bool = False) -> list[sam.SamRecord]:
+                  tr=None, find_fusions: bool = False,
+                  npaths: int = 1) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -431,6 +432,31 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                     int(res["diag"][i]), int(res["strand"][i]),
                     int(mapq[i]), int(res["nmismatch"][i]), space=space,
                     snp=config.snp_tolerant))
+                if npaths > 1:
+                    # secondary alignments (gsnap -n, src/gsnap.c:704):
+                    # further co-optimal candidates, flagged 0x100 and
+                    # attached to the primary (results stay 1:1 with
+                    # input reads; printers emit rec.secondaries after)
+                    seen = {(int(res["diag"][i]), int(res["strand"][i]))}
+                    secs = []
+                    for cix in range(res["cand_diags"].shape[1]):
+                        if len(seen) >= npaths:
+                            break
+                        dg = int(res["cand_diags"][i, cix])
+                        st = int(res["cand_strands"][i, cix])
+                        nm = int(res["cand_nmm"][i, cix])
+                        if (dg == 0xFFFFFFFF or (dg, st) in seen
+                                or nm > res["nmismatch"][i]):
+                            continue
+                        seen.add((dg, st))
+                        sec = sam.ungapped_record(
+                            db, rec.accession, rec.sequence, rec.quality,
+                            dg, st, int(mapq[i]), nm,
+                            space=MODE_SPACES[config.mode][st])
+                        sec.flag |= 0x100
+                        secs.append(sec)
+                    if secs:
+                        out[-1].secondaries = secs
             else:
                 out.append(sam.unmapped_record(rec.accession, rec.sequence,
                                                rec.quality))

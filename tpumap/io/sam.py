@@ -29,11 +29,22 @@ class SamRecord:
     qual: str = "*"
     tags: list[str] = field(default_factory=list)
 
+    # secondary alignments attached by the -n/--npaths path; each is a
+    # SamRecord flagged 0x100 and printed right after the primary
+    secondaries: list | None = None
+
     def line(self) -> str:
         cols = [self.qname, str(self.flag), self.rname, str(self.pos),
                 str(self.mapq), self.cigar, self.rnext, str(self.pnext),
                 str(self.tlen), self.seq, self.qual] + self.tags
         return "\t".join(cols)
+
+    def lines(self) -> str:
+        """Primary + attached secondary records, newline-terminated."""
+        out = self.line() + "\n"
+        for sec in self.secondaries or ():
+            out += sec.line() + "\n"
+        return out
 
 
 def header(db: GenomeDB, program_args: str = "", rg: str | None = None,
