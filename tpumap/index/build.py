@@ -309,7 +309,8 @@ def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
     np.cumsum(lengths, out=offsets[1:])
     circularp = np.array([n in (circular or set()) for n in names], dtype=bool)
 
-    kmer_offsets, kmer_positions = build_kmer_index(codes, nmask, k, interval)
+    kmer_offsets, kmer_positions = build_kmer_index(
+        codes, nmask, k, interval, boundaries=offsets[1:-1])
     return GenomeDB(
         name=name, chrom_names=names, chrom_offsets=offsets,
         circularp=circularp,
@@ -320,12 +321,15 @@ def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
 
 
 def build_kmer_index(codes: np.ndarray, nmask: np.ndarray, k: int,
-                     interval: int) -> tuple[np.ndarray, np.ndarray]:
+                     interval: int,
+                     boundaries=None) -> tuple[np.ndarray, np.ndarray]:
     """k-mer -> sorted genomic positions, sampled every `interval` bases.
 
     Equivalent content to indexdb's offsets/positions pair
     (src/indexdb-write.c): position p (p % interval == 0, window free of
-    non-ACGT) is filed under oligo(genome[p:p+k]).
+    non-ACGT) is filed under oligo(genome[p:p+k]). Windows crossing a
+    chromosome boundary (`boundaries`: internal univcoord split points)
+    are excluded — they would seed junk cross-chromosome diagonals.
     """
     if k > 16:
         raise ValueError("k > 16 not supported (uint32 oligo space)")
@@ -338,6 +342,11 @@ def build_kmer_index(codes: np.ndarray, nmask: np.ndarray, k: int,
     bad = np.convolve(nmask.astype(np.int32), np.ones(k, dtype=np.int32))[k - 1:L] > 0
     sel = np.arange(0, n, interval, dtype=np.uint32)
     sel = sel[~bad[sel]]
+    if boundaries is not None and len(boundaries):
+        cross = np.zeros(n, dtype=bool)
+        for b in np.asarray(boundaries, dtype=np.int64):
+            cross[max(b - k + 1, 0):b] = True
+        sel = sel[~cross[sel]]
     km = kmers[sel]
     order = np.argsort(km, kind="stable")
     positions = sel[order].astype(np.uint32)
