@@ -62,7 +62,7 @@ def main(argv=None):
     ap.add_argument("-f", "--format", default=None,
                     choices=["1", "psl", "2", "gff3_gene", "3",
                              "gff3_match_cdna", "4", "gff3_match_est",
-                             "6", "splicesites", "introns", "samse", "sampe"])
+                             "6", "splicesites", "introns", "samse", "sampe", "bedpe"])
     ap.add_argument("-A", "--align", action="store_true",
                     help="show alignment (text format)")
     ap.add_argument("-S", "--summary", action="store_true",
@@ -119,6 +119,14 @@ def main(argv=None):
         elif fmt == "psl":
             out.write(gmapfmt.psl(chain, rec.accession, len(qcodes), seqid,
                                   tsize, chrom_offset=chrom_offset))
+        elif fmt == "bedpe":
+            from tpumap.utils import dna as dna_mod
+            aligned_seq = dna_mod.decode(aligned,
+                                         __import__("numpy").zeros(
+                                             len(aligned), bool))
+            out.write(gmapfmt.bedpe(chain, chrname or seqid,
+                                    chrom_offset=chrom_offset,
+                                    query_seq=aligned_seq))
         elif fmt == "splicesites":
             out.write(gmapfmt.splicesites(chain, rec.accession,
                                           chrname or "",

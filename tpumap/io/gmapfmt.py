@@ -189,3 +189,28 @@ def protein_fmt(chain: ExonChain, header: str,
         aa_full = translate_codes(gside[orf_s:orf_e])
         aa = aa_full[:-1] if aa_full.endswith("*") else aa_full
     return f">{header}\n{_wrap(aa)}\n"
+
+
+def bedpe(chain: ExonChain, chrname: str, chrom_offset: int = 0,
+          query_seq: str | None = None) -> str:
+    """-f bedpe: one line per intron/deletion/insertion junction
+    (src/pair.c Pair_print_bedpe:3868-4010): breakpoint pairs in BED
+    half-open coordinates, type DELETION (intron or deletion; column 11 =
+    gap length) or INSERTION (column 11 = inserted cDNA bases)."""
+    lines = []
+    for i, intr in enumerate(chain.introns):
+        e1, e2 = chain.exons[i], chain.exons[i + 1]
+        left_end = e1.gend + chrom_offset          # 1-based end == 0-based end-exclusive
+        right_start = e2.gstart + chrom_offset + 1  # 1-based start
+        if intr.kind in ("intron", "deletion"):
+            lines.append(
+                f"{chrname}\t{left_end - 1}\t{left_end}\t"
+                f"{chrname}\t{right_start - 1}\t{right_start}\t"
+                f"DELETION\t0\t+\t+\t{right_start - left_end - 1}")
+        elif intr.kind == "insertion" and query_seq is not None:
+            ins = query_seq[e1.qend:e2.qstart]
+            lines.append(
+                f"{chrname}\t{left_end - 1}\t{left_end}\t"
+                f"{chrname}\t{right_start - 1}\t{right_start}\t"
+                f"INSERTION\t0\t+\t+\t{ins}")
+    return "".join(l + "\n" for l in lines)
