@@ -422,12 +422,20 @@ def refine_splices(index, codes: jax.Array, nmask: jax.Array,
 
 
 def mapq_from_scores(nmm: np.ndarray, second: np.ndarray, n_best: np.ndarray,
-                     lengths: np.ndarray) -> np.ndarray:
-    """Simple MAPQ model: gap to the second-best alignment, capped at 40.
+                     lengths: np.ndarray, base_qual: float = 30.0) -> np.ndarray:
+    """MAPQ as the posterior error of the best alignment (src/mapq.c role).
 
-    (The reference's quality-weighted log-likelihood model, src/mapq.c, is a
-    later milestone; this preserves the key semantics: 0 for multimappers.)
+    Candidate likelihood L_i = 10^(-Q/10 * nmm_i) with a flat per-mismatch
+    quality Q (the reference weights by per-base quality scores;
+    entire-batch quality arrays are a later refinement):
+    MAPQ = -10 log10 P(err), P(err) = (sum of other likelihoods) / (total).
+    Multimappers (n_best > 1) get 0; the cap is 40.
     """
-    gap = np.clip(second - nmm, 0, 10)
-    mapq = np.where(n_best > 1, 0, 10 + 3 * gap)
+    gap = np.clip(second - nmm, 0, 12).astype(np.float64)
+    l2 = 10.0 ** (-(base_qual / 10.0) * gap)       # second-best vs best
+    others = np.maximum(n_best - 1, 0).astype(np.float64) +         np.where(gap > 0, l2, 0.0)
+    p_err = others / (1.0 + others)
+    with np.errstate(divide="ignore"):
+        mapq = np.where(p_err > 0, -10.0 * np.log10(p_err + 1e-12), 40.0)
+    mapq = np.where(n_best > 1, 0.0, mapq)
     return np.clip(mapq, 0, 40).astype(np.int32)
