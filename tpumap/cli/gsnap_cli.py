@@ -127,6 +127,13 @@ def main(argv=None):
     ap.add_argument("--10x-whitelist", dest="whitelist",
                     help="10x cell-barcode whitelist; read 1 = barcode+UMI, "
                          "read 2 is aligned and tagged CR/CY/CB/UR/UY")
+    ap.add_argument("--show-method", action="store_true",
+                    dest="show_method",
+                    help="tag each alignment with the method that solved "
+                         "it (YM:Z:tr|sub|indel|splice|fusion)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the per-method solve-rate histogram to "
+                         "stderr")
     ap.add_argument("--time", action="store_true", dest="timing",
                     help="print alignment timing to stderr")
     ap.add_argument("reads", help="FASTA/FASTQ file (read 1)")
@@ -253,12 +260,21 @@ def main(argv=None):
                                           splices_dump=args.splices_dump,
                                           tr=tr)
         else:
+            method_stats = {} if args.stats else None
             results = align_records(db, index, records, config,
                                     novelsplicing=bool(args.novelsplicing),
                                     max_intron=args.max_intron,
                                     batch_size=args.batch_size, known=known,
                                     tr=tr, find_fusions=args.find_fusions,
-                                    npaths=args.npaths)
+                                    npaths=args.npaths,
+                                    show_method=args.show_method,
+                                    stats=method_stats)
+            if method_stats is not None:
+                total = sum(method_stats.values()) or 1
+                for m, c in sorted(method_stats.items(),
+                                   key=lambda kv: -kv[1]):
+                    sys.stderr.write(
+                        f"method {m}: {c} ({100.0 * c / total:.1f}%)\n")
         if args.format == "m8":
             from tpumap.io.m8 import m8_line
             for rec, s in zip(records, results):

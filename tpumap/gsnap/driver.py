@@ -57,7 +57,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   max_intron: int = 200_000,
                   batch_size: int = 1024, known=None,
                   tr=None, find_fusions: bool = False,
-                  npaths: int = 1) -> list[sam.SamRecord]:
+                  npaths: int = 1, show_method: bool = False,
+                  stats: dict | None = None) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -393,45 +394,55 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                             "nmm": nmm, "score": score,
                         }
 
+        def _emit(record, method):
+            if show_method:
+                record.tags.append(f"YM:Z:{method}")
+            if stats is not None:
+                stats[method] = stats.get(method, 0) + 1
+            out.append(record)
+
         for i, rec in enumerate(chunk):
             li = int(batch["lengths"][i])
             max_equiv = int(li * config.max_mismatch_frac)
             if i in tr_records:
-                out.append(tr_records[i])
+                _emit(tr_records[i], "tr")
                 continue
             if i in splice_result:
                 s = splice_result[i]
                 equiv_nmm = (3 * li - s["score"]) // 6
                 if equiv_nmm <= max_equiv:
-                    out.append(sam.spliced_record(
+                    _emit(sam.spliced_record(
                         db, rec.accession, rec.sequence, rec.quality,
                         s["dA"], s["dB"], s["qstar"], li, s["strand"],
-                        int(mapq[i]), s["sense"]))
+                        int(mapq[i]), s["sense"]), "splice")
                     continue
             if i in fusion_result:
                 f = fusion_result[i]
                 if (3 * li - f["score"]) // 6 <= max_equiv + 4:
-                    out.extend(sam.fusion_records(
+                    recs_f = sam.fusion_records(
                         db, rec.accession, rec.sequence, rec.quality,
                         f["dA"], f["dB"], f["qstar"], f["strand"],
-                        int(mapq[i])))
+                        int(mapq[i]))
+                    _emit(recs_f[0], "fusion")
+                    out.extend(recs_f[1:])
                     continue
             if i in dp_result:
                 pos0, ops, score = dp_result[i]
                 equiv_nmm = (3 * li - score) // 6
                 if equiv_nmm <= max_equiv:
-                    out.append(sam.gapped_record(
+                    _emit(sam.gapped_record(
                         db, rec.accession, rec.sequence, rec.quality,
-                        pos0, int(res["strand"][i]), int(mapq[i]), ops))
+                        pos0, int(res["strand"][i]), int(mapq[i]), ops),
+                        "indel")
                     continue
             if res["mapped"][i]:
                 from tpumap.ops.mode import MODE_SPACES
                 space = MODE_SPACES[config.mode][int(res["strand"][i])]
-                out.append(sam.ungapped_record(
+                _emit(sam.ungapped_record(
                     db, rec.accession, rec.sequence, rec.quality,
                     int(res["diag"][i]), int(res["strand"][i]),
                     int(mapq[i]), int(res["nmismatch"][i]), space=space,
-                    snp=config.snp_tolerant))
+                    snp=config.snp_tolerant), "sub")
                 if npaths > 1:
                     # secondary alignments (gsnap -n, src/gsnap.c:704):
                     # further co-optimal candidates, flagged 0x100 and
@@ -458,8 +469,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                     if secs:
                         out[-1].secondaries = secs
             else:
-                out.append(sam.unmapped_record(rec.accession, rec.sequence,
-                                               rec.quality))
+                _emit(sam.unmapped_record(rec.accession, rec.sequence,
+                                          rec.quality), "unmapped")
     return out
 
 
