@@ -75,3 +75,26 @@ def test_cli_chimera_psl(world, tmp_path):
     assert len(lines) == 2
     assert lines[0].split("\t")[13] == "chr1"
     assert lines[1].split("\t")[13] == "chr2"
+
+
+def test_gmap_npaths(world, tmp_path):
+    """gmap -n: a cDNA from a duplicated locus reports both placements."""
+    import io
+    from contextlib import redirect_stdout
+    from tpumap.cli.gmap_cli import main as gmap_main
+    from tpumap.index import build_db
+
+    db, index, c1, c2 = world
+    seq2 = c1[:15000] + c1[3000:3400] + c1[15400:]
+    (tmp_path / "g.fa").write_text(">chr1\n" + seq2 + "\n")
+    db2 = build_db(tmp_path / "g.fa", name="dup", k=12, interval=3)
+    db2.save(str(tmp_path / "db"))
+    (tmp_path / "q.fa").write_text(">q\n" + c1[3000:3400] + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gmap_main(["-D", str(tmp_path / "db"), "-f", "psl", "-n", "3",
+                   str(tmp_path / "q.fa")])
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 2
+    starts = sorted(int(l.split("\t")[15]) for l in lines)
+    assert starts == [3000, 15000]

@@ -27,30 +27,59 @@ def chain_goodness(chain) -> int:
     return chain.matches - 3 * chain.mismatches
 
 
-def align_query_to_db(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
+def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
                       config: GmapConfig = GmapConfig(),
-                      s1config: Stage1Config = Stage1Config()):
-    """Full GMAP pipeline for one query against a genome db.
+                      s1config: Stage1Config = Stage1Config(),
+                      npaths: int = 1):
+    """GMAP pipeline for one query: up to npaths region alignments ranked
+    by goodness (gmap -n, src/gmap.c maxpaths_report).
 
-    Returns (chain, univ_offset) for the best region, or (None, 0).
-    Exon genome coordinates in the chain are region-relative; univ_offset
-    converts them to univcoords.
+    Returns [(chain, univ_offset), ...]; exon genome coordinates in each
+    chain are region-relative, univ_offset converts to univcoords.
     """
     regions = find_regions(index, qcodes, qnmask, s1config)
-    best, best_off = None, 0
+    if npaths > 1:
+        # tandem/nearby duplicates merge into one coarse diagonal cluster;
+        # a second fine-slop clustering pass separates their placements
+        from dataclasses import replace
+        fine = find_regions(index, qcodes, qnmask,
+                            replace(s1config,
+                                    maxtotallen=max(4 * len(qcodes), 1000),
+                                    top_regions=2 * npaths))
+        regions = list(regions) + [r for r in fine if r not in regions]
+    paths = []
     for (gstart, gend, weight, strand) in regions:
         rcodes = db.get_codes(gstart, gend - gstart)
         rnmask = db.get_nmask(gstart, gend - gstart).astype(bool)
         qc = dna.revcomp_codes(qcodes) if strand else qcodes
         qn = qnmask[::-1].copy() if strand else qnmask
         chain = align_cdna(qc, qn, rcodes, rnmask, config)
-        if chain is not None:
-            chain.strand = strand
-        if chain_goodness(chain) > chain_goodness(best):
-            best, best_off = chain, gstart
-        if best is not None and best.mismatches == 0 and best.coverage == len(qcodes):
+        if chain is None or not chain.exons:
+            continue
+        chain.strand = strand
+        paths.append((chain, gstart))
+        if (npaths == 1 and chain.mismatches == 0
+                and chain.coverage == len(qcodes)):
             break
-    return best, best_off
+    paths.sort(key=lambda p: -chain_goodness(p[0]))
+    # drop duplicate placements (same genomic span)
+    seen, uniq = set(), []
+    for chain, off in paths:
+        key = (off + chain.exons[0].gstart, off + chain.exons[-1].gend,
+               chain.strand)
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append((chain, off))
+    return uniq[:npaths]
+
+
+def align_query_to_db(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
+                      config: GmapConfig = GmapConfig(),
+                      s1config: Stage1Config = Stage1Config()):
+    """Best single path (see align_query_paths)."""
+    paths = align_query_paths(db, index, qcodes, qnmask, config, s1config)
+    return paths[0] if paths else (None, 0)
 
 
 def main(argv=None):
@@ -72,6 +101,8 @@ def main(argv=None):
                                               "genomic+introns"])
     ap.add_argument("-P", "--protein_dna", action="store_true")
     ap.add_argument("-Q", "--protein_gen", action="store_true")
+    ap.add_argument("-n", "--npaths", type=int, default=1,
+                    help="maximum number of paths to report per query")
     ap.add_argument("-x", "--chimera-margin", dest="chimera_margin",
                     type=int, default=0,
                     help="report chimeras when an uncovered query margin "
@@ -184,9 +215,8 @@ def main(argv=None):
                     db, index, qcodes, qnmask, GmapConfig(), Stage1Config(),
                     chimera_margin=args.chimera_margin)
             else:
-                chain, univ_off = align_query_to_db(db, index, qcodes,
-                                                    qnmask)
-                pieces = [(chain, univ_off)] if chain is not None else []
+                pieces = align_query_paths(db, index, qcodes, qnmask,
+                                           npaths=args.npaths)
             for chain, univ_off in pieces:
                 chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
                 seqid = db.chrom_names[chrom_idx]
