@@ -140,3 +140,24 @@ def test_npaths_secondary(world):
     assert poss == [2001, 12001]
     # multimapper: MAPQ 0
     assert all(l.split("\t")[4] == "0" for l in lines)
+
+
+def test_interleaved_paired(world, tmp_path):
+    """--interleaved: one file, read1/read2 alternating (src/gsnap.c:612)."""
+    from tpumap.index.build import GenomeDB
+
+    d = world
+    db = GenomeDB.load(str(d / "db"))
+    seq = db.get_seq(0, db.genome_length)
+    from tpumap.utils import dna as dna_mod
+    r1 = seq[3000:3100]
+    r2 = dna_mod.revcomp(seq[3200:3300])
+    (tmp_path / "il.fq").write_text(
+        f"@p\n{r1}\n+\n{'I' * 100}\n@p\n{r2}\n+\n{'I' * 100}\n")
+    rc, out = _run(["-D", str(d / "db"), "--interleaved",
+                    str(tmp_path / "il.fq"), "--no-sam-headers"])
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    f1, f2 = (int(l.split("\t")[1]) for l in lines)
+    assert f1 & 64 and f2 & 128          # first/second in pair
+    assert f1 & 2 and f2 & 2             # proper pair

@@ -113,7 +113,12 @@ def main(argv=None):
     ap.add_argument("--no-sam-headers", action="store_true")
     # runtime / output management (src/inbuffer.c, src/outbuffer.c)
     ap.add_argument("-q", "--part", help="process only fraction i/n of the "
-                    "input (modular sharding, e.g. 0/4)")
+                    "input (modular sharding, e.g. 0/4); in a "
+                    "jax.distributed run each host defaults to its own "
+                    "process_index/process_count shard")
+    ap.add_argument("--interleaved", action="store_true",
+                    help="single input file with read 1/read 2 "
+                         "alternating (src/gsnap.c:612)")
     ap.add_argument("-o", "--output", help="output file (default stdout)")
     ap.add_argument("--append-output", action="store_true")
     ap.add_argument("--split-output", dest="split_output",
@@ -195,6 +200,12 @@ def main(argv=None):
                 f.write(h)
 
     part = parse_part(args.part) if args.part else None
+    if part is None:
+        # multi-host data parallelism over DCN: each host takes its
+        # process_index shard of the input (SURVEY §2.6 item 3)
+        import jax
+        if jax.process_count() > 1:
+            part = (jax.process_index(), jax.process_count())
 
     def shard(it):
         for i, item in enumerate(it):
@@ -230,9 +241,13 @@ def main(argv=None):
             out.write(s.line() + "\n")
             if s.flag & 4:
                 write_failed(r2)
-    elif args.reads2:
-        pairs = list(shard(zip(read_seqs(args.reads),
-                               read_seqs(args.reads2))))
+    elif args.reads2 or args.interleaved:
+        if args.interleaved:
+            it = read_seqs(args.reads)
+            pairs = list(shard(zip(it, it)))
+        else:
+            pairs = list(shard(zip(read_seqs(args.reads),
+                                   read_seqs(args.reads2))))
         nreads = 2 * len(pairs)
         results = list(align_paired_records(db, index, pairs, config,
                                             pairmax=args.pairmax,
