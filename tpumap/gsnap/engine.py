@@ -158,6 +158,14 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
     from tpumap.ops.mode import CODE_MAPS, MODE_SPACES
     space_fwd, space_rc = MODE_SPACES[config.mode]
 
+    if space_fwd is None and space_rc is None:
+        # gather-free fast path (standard mode): rc oligos are computed
+        # arithmetically from the fwd end-oligos (revcomp_kmer) and the rc
+        # packed reads by bit reversal (revcomp_packed) — the [B, L]
+        # per-element revcomp gather is the single most expensive op in
+        # the rung otherwise
+        return _ends_standard(index, codes, nmask, lengths, config)
+
     rc_codes = pack.revcomp_codes(codes, lengths)
     rc_nmask = pack.revcomp_codes(jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
                                   lengths) == jnp.uint8(3)
@@ -223,6 +231,73 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
         rnmm = verify.verify_diagonals(index, rp, rn2, lengths, rcands,
                                        space=space_rc,
                                        snp=config.snp_tolerant)
+    K = fcands.shape[1]
+    all_diags = jnp.concatenate([fcands, rcands], axis=1)
+    all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
+    strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
+                               jnp.ones((B, K), jnp.int32)], axis=1)
+    return select_best(all_diags, all_nmm, strands, lengths, config)
+
+
+
+def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
+    """Standard-mode fast rung: end-anchored candidates, no code gathers."""
+    B, L = codes.shape
+    k = index.k
+    occ = config.max_occ
+    offsets_a, positions_a = index.mode_index(
+        "snp" if config.snp_tolerant else None)
+
+    qlast = jnp.maximum(lengths - k, 0)
+    qpos_list = [jnp.zeros_like(qlast), jnp.minimum(1, qlast),
+                 jnp.minimum(2, qlast), jnp.maximum(qlast - 2, 0),
+                 jnp.maximum(qlast - 1, 0), qlast]
+    oligo_list = []
+    for qp in qpos_list:
+        o = jnp.zeros((B,), jnp.uint32)
+        for j in range(k):
+            idx = jnp.minimum(qp + j, L - 1)
+            o = (o << 2) | jnp.take_along_axis(
+                codes, idx[:, None].astype(jnp.int32),
+                axis=1)[:, 0].astype(jnp.uint32)
+        oligo_list.append(o)
+    fwd_oligos = jnp.stack(oligo_list, axis=1)            # [B, 6]
+    fwd_qpos = jnp.stack(qpos_list, axis=1)               # [B, 6]
+    # rc oligo at rc-position (len - k - q) == revcomp of fwd oligo at q;
+    # all 6 end positions map onto the same 6 windows
+    rc_oligos = pack.revcomp_kmer(fwd_oligos, k)
+    rc_qpos = (lengths[:, None] - k - fwd_qpos).astype(jnp.int32)
+    rc_qpos = jnp.maximum(rc_qpos, 0)
+
+    def gather_diags(oligos, qpos):
+        start = jnp.take(offsets_a, oligos.astype(jnp.int32), mode="clip")
+        end = jnp.take(offsets_a, oligos.astype(jnp.int32) + 1, mode="clip")
+        count = (end - start).astype(jnp.int32)
+        lane = jnp.arange(occ, dtype=jnp.int32)[None, None, :]
+        idx = start.astype(jnp.int32)[..., None] + lane
+        pos = jnp.take(positions_a, idx, mode="clip")
+        ok = ((lane < count[..., None]) & (count <= occ)[..., None]
+              & (lengths >= k)[:, None, None])
+        diag = pos - qpos[..., None].astype(jnp.uint32)
+        bad = ~ok | (pos < qpos[..., None].astype(jnp.uint32))
+        return jnp.where(bad, jnp.uint32(0xFFFFFFFF),
+                         diag).reshape(B, 6 * occ)
+
+    fcands = _dedup_lanes(gather_diags(fwd_oligos, fwd_qpos), ENDS_K)
+    rcands = _dedup_lanes(gather_diags(rc_oligos, rc_qpos), ENDS_K)
+
+    packed = pack.pack_reads(codes)
+    nmask2 = pack.pack_reads(nmask.astype(jnp.uint8))
+    rc_packed = pack.revcomp_packed(packed, lengths)
+    rc_nmask2 = pack.revcomp_packed(nmask2, lengths, complement=False)
+
+    stacked = verify.verify_diagonals(
+        index, jnp.concatenate([packed, rc_packed], axis=0),
+        jnp.concatenate([nmask2, rc_nmask2], axis=0),
+        jnp.concatenate([lengths, lengths], axis=0),
+        jnp.concatenate([fcands, rcands], axis=0),
+        snp=config.snp_tolerant)
+    fnmm, rnmm = stacked[:B], stacked[B:]
     K = fcands.shape[1]
     all_diags = jnp.concatenate([fcands, rcands], axis=1)
     all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
