@@ -86,3 +86,32 @@ def test_paired_parity_vs_reference(paired_case):
             assert s.cigar == rcig, (s.qname, which)
             assert (s.flag & 0x10) == (rf & 0x10), (s.qname, which)
             assert s.tlen == rtlen, (s.qname, which)
+
+
+def test_paired_spliced_end(tmp_path):
+    """Paired RNA: an end spanning an intron gets a junction CIGAR while
+    its mate pairs normally (the paired path shares the single-end
+    refinement ladder, src/stage1hr-paired.c role)."""
+    import numpy as np
+    from tpumap.gsnap.paired import align_paired_records
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    from tpumap.io.fasta import Record
+    from tpumap.utils import dna as dna_mod
+
+    rng = np.random.default_rng(41)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 30000))
+    (tmp_path / "g.fa").write_text(">chr1\n" + seq + "\n")
+    db = build_db(tmp_path / "g.fa", name="ps", k=13, interval=3)
+    index = DeviceIndex.from_host(db)
+
+    E1, E2 = 5000, 9000
+    r1 = Record("p", "", seq[E1 - 20:E1 + 30] + seq[E2:E2 + 50])  # junction
+    r2 = Record("p", "", dna_mod.revcomp(seq[E2 + 300:E2 + 400]))
+    out = align_paired_records(db, index, [(r1, r2)],
+                               novelsplicing=True, pairmax=2000)
+    s1, s2 = out[0]
+    assert f"{E2 - E1 - 30}N" in s1.cigar, s1
+    assert s1.flag & 0x1 and s1.flag & 0x40
+    assert not (s2.flag & 4)
+    assert s2.flag & 16 and s2.flag & 0x80

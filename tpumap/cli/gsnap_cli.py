@@ -249,9 +249,11 @@ def main(argv=None):
             pairs = list(shard(zip(read_seqs(args.reads),
                                    read_seqs(args.reads2))))
         nreads = 2 * len(pairs)
-        results = list(align_paired_records(db, index, pairs, config,
-                                            pairmax=args.pairmax,
-                                            batch_size=args.batch_size))
+        results = list(align_paired_records(
+            db, index, pairs, config, pairmax=args.pairmax,
+            batch_size=args.batch_size,
+            novelsplicing=bool(args.novelsplicing),
+            max_intron=args.max_intron, known=known))
         cats = {OutputRouter.paired_category(s1, s2)
                 for s1, s2 in results} if args.split_output else set()
         headers_to({router.get(c) for c in cats} or {out})

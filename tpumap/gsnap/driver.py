@@ -52,6 +52,329 @@ MIN_INTRON = 9
 MIN_FUSION_PIECE = 20     # src/path-fusion.c requires substantial ends
 
 
+def refine_unsolved(db, index, batch, res, config,
+                    novelsplicing=False, max_intron=200_000, known=None,
+                    find_fusions=False, tr_records=None, L=None):
+    """The post-cascade refinement ladder shared by the single-end and
+    paired-end drivers: banded-DP indels, splice junctions (novel +
+    known-partner + localscan salvage), fusions. Returns
+    (dp_result, splice_result, fusion_result) keyed by batch row."""
+    from tpumap.gsnap.engine import refine_indels, refine_splices
+    from tpumap.ops import dp as dp_ops
+    from tpumap.utils import dna as dna_utils
+    import jax.numpy as jnp
+
+    tr_records = tr_records or {}
+    if L is None:
+        L = batch["codes"].shape[1]
+    known_dev = known.to_device() if known is not None else None
+    chunk_len = res["nmismatch"].shape[0]
+
+    # second stage: DP refinement of high-mismatch reads (the indel
+    # path; batch-compacted like the reference's method ladder)
+    need = [i for i in range(chunk_len)
+            if res["nmismatch"][i] >= INDEL_NMM_TRIGGER
+            and res["diag"][i] != 0xFFFFFFFF and i not in tr_records]
+    dp_result = {}
+    if need:
+        nb = pad_to_bucket(len(need))
+        codes = np.zeros((nb, L), dtype=np.uint8)
+        lengths = np.ones(nb, dtype=np.int32)
+        diags = np.zeros(nb, dtype=np.uint32)
+        for row, i in enumerate(need):
+            c = batch["codes"][i]
+            if res["strand"][i]:
+                li = batch["lengths"][i]
+                c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                    np.zeros(L - li, np.uint8)])
+            codes[row] = c
+            lengths[row] = batch["lengths"][i]
+            diags[row] = res["diag"][i]
+        ref = refine_indels(index, jnp.asarray(codes),
+                            jnp.asarray(lengths), jnp.asarray(diags),
+                            INDEL_BAND, INDEL_MARGIN)
+        ref = {k: np.asarray(v) for k, v in ref.items()}
+        for row, i in enumerate(need):
+            li = int(batch["lengths"][i])
+            sub_score = 3 * li - 6 * int(res["nmismatch"][i])
+            if int(ref["score"][row]) > sub_score:
+                ops = [o for o in ref["ops"][row][::-1]
+                       if o != dp_ops.T_END]
+                dp_result[i] = (int(res["diag"][i])
+                                + int(ref["start_off"][row]),
+                                ops, int(ref["score"][row]))
+
+    # third stage: novel splice junctions (RNA mode) for reads that are
+    # still bad — pair up same-strand candidate diagonals within the
+    # intron window and pick the best junction (Splice_resolve analog)
+    splice_result = {}
+    if novelsplicing or known is not None:
+        sneed = []
+        for i in range(chunk_len):
+            solved_by_dp = i in dp_result and (
+                3 * int(batch["lengths"][i]) - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER
+            if (res["nmismatch"][i] >= SPLICE_NMM_TRIGGER
+                    and not solved_by_dp and i not in tr_records):
+                sneed.append(i)
+        pairs_per_read = []
+        for i in sneed:
+            li = int(batch["lengths"][i])
+            # candidates grouped per strand, ranked by mismatches
+            cands = {0: [], 1: []}
+            for c in range(res["cand_diags"].shape[1]):
+                dg = int(res["cand_diags"][i, c])
+                st = int(res["cand_strands"][i, c])
+                if dg != 0xFFFFFFFF and dg not in cands[st]:
+                    cands[st].append(dg)
+            pairs = []
+            for st in (0, 1):
+                for a in cands[st]:
+                    for b in cands[st]:
+                        if MIN_INTRON <= b - a <= max_intron:
+                            pairs.append((a, b, st))
+                    # partner diagonals implied by known junctions
+                    # (no second seed required)
+                    if known is not None:
+                        for (da, db_) in known.derived_pairs(
+                                a, li, max_intron):
+                            if (da, db_, st) not in pairs:
+                                pairs.append((da, db_, st))
+            pairs_per_read.append(pairs[:MAX_CAND_PAIRS])
+        # localdb-equivalent salvage: reads with NO candidate pair get
+        # their unseeded end located by a window-restricted fragment
+        # scan (ops/localscan.py; the Spliceends_* + Localdb_get path).
+        # The unaligned portion is delimited host-side by the first/
+        # last 20-base exact run against the anchored diagonal.
+        if novelsplicing:
+            salv = []
+            for j, (i, p) in enumerate(zip(sneed, pairs_per_read)):
+                if p or res["diag"][i] == 0xFFFFFFFF:
+                    continue
+                li = int(batch["lengths"][i])
+                a = int(res["diag"][i])
+                c = batch["codes"][i]
+                if res["strand"][i]:
+                    c = np.concatenate(
+                        [dna_utils.revcomp_codes(c[:li]),
+                         np.zeros(L - li, np.uint8)])
+                g = db.get_codes(a, li)
+                if len(g) < li:
+                    continue
+                match = (c[:li] == g)
+                runs = np.convolve(match.astype(np.int32),
+                                   np.ones(20, dtype=np.int32),
+                                   mode="valid") == 20
+                starts20 = np.nonzero(runs)[0]
+                if len(starts20) == 0:
+                    continue
+                u = int(starts20[0])            # unaligned prefix len
+                e = int(starts20[-1]) + 20      # anchor end
+                salv.append((j, i, a, int(res["strand"][i]), c, li,
+                             u, e))
+            if salv:
+                from tpumap.ops import localscan
+                F = 16
+                W = min(32768, max(1024, max_intron))
+                R = pad_to_bucket(len(salv))
+                frag_s = np.zeros((R, F), dtype=np.uint8)
+                frag_p = np.zeros((R, F), dtype=np.uint8)
+                flen_s = np.ones(R, dtype=np.int32)
+                flen_p = np.ones(R, dtype=np.int32)
+                ws_s = np.zeros(R, dtype=np.uint32)
+                ws_p = np.zeros(R, dtype=np.uint32)
+                for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
+                    v = li - e                  # unaligned suffix len
+                    if v >= 6:
+                        fl = min(F, v)
+                        frag_s[row, :fl] = c[e:e + fl]
+                        flen_s[row] = fl
+                        ws_s[row] = a + e + MIN_INTRON
+                    if u >= 6:
+                        fl = min(F, u)
+                        frag_p[row, :fl] = c[u - fl:u]
+                        flen_p[row] = fl
+                        ws_p[row] = max(a - MIN_INTRON - W, 0)
+                pos_s, mm_s = localscan.scan_fragment(
+                    index.genome_packed, jnp.asarray(ws_s),
+                    jnp.asarray(frag_s), jnp.asarray(flen_s), W, F)
+                pos_p, mm_p = localscan.scan_fragment(
+                    index.genome_packed, jnp.asarray(ws_p),
+                    jnp.asarray(frag_p), jnp.asarray(flen_p), W, F)
+                pos_s, mm_s = np.asarray(pos_s), np.asarray(mm_s)
+                pos_p, mm_p = np.asarray(pos_p), np.asarray(mm_p)
+                for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
+                    v = li - e
+                    pairs = []
+                    if v >= 6:
+                        for t in range(pos_s.shape[1]):
+                            if mm_s[row, t] <= 1:
+                                dB = int(pos_s[row, t]) - e
+                                if MIN_INTRON <= dB - a <= max_intron:
+                                    pairs.append((a, dB, st))
+                    if u >= 6:
+                        fl = min(F, u)
+                        for t in range(pos_p.shape[1]):
+                            if mm_p[row, t] <= 1:
+                                dA = int(pos_p[row, t]) - (u - fl)
+                                if MIN_INTRON <= a - dA <= max_intron:
+                                    pairs.append((dA, a, st))
+                    pairs_per_read[j] = pairs[:MAX_CAND_PAIRS]
+
+        sneed = [i for i, p in zip(sneed, pairs_per_read) if p]
+        pairs_per_read = [p for p in pairs_per_read if p]
+        if sneed:
+            nb = pad_to_bucket(len(sneed))
+            codes = np.zeros((nb, L), dtype=np.uint8)
+            nmask = np.zeros((nb, L), dtype=bool)
+            lengths = np.ones(nb, dtype=np.int32)
+            dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+            dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+            strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
+            for row, (i, pairs) in enumerate(zip(sneed, pairs_per_read)):
+                li = int(batch["lengths"][i])
+                # orientation per pair strand; use strand of first pair
+                st0 = pairs[0][2]
+                c = batch["codes"][i]
+                m = batch["nmask"][i]
+                if st0:
+                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                        np.zeros(L - li, np.uint8)])
+                    m = np.concatenate([m[:li][::-1],
+                                        np.zeros(L - li, bool)])
+                codes[row] = c
+                nmask[row] = m
+                lengths[row] = li
+                for pcol, (a, b, st) in enumerate(pairs):
+                    if st != st0:
+                        continue
+                    dA[row, pcol] = a
+                    dB[row, pcol] = b
+                    strands[row, pcol] = st
+            sres = refine_splices(index, jnp.asarray(codes),
+                                  jnp.asarray(nmask),
+                                  jnp.asarray(lengths),
+                                  jnp.asarray(dA), jnp.asarray(dB),
+                                  known=known_dev)
+            sres = {k: np.asarray(v) for k, v in sres.items()}
+            for row, i in enumerate(sneed):
+                li = int(batch["lengths"][i])
+                pcol = int(np.argmin(np.where(sres["valid"][row],
+                                              sres["nmm"][row], li + 1)))
+                if not sres["valid"][row][pcol]:
+                    continue
+                nmm = int(sres["nmm"][row][pcol])
+                score = 3 * li - 6 * nmm - (0 if sres["bonus"][row][pcol] > 0
+                                            else 12)
+                best_other = 3 * li - 6 * int(res["nmismatch"][i])
+                if i in dp_result:
+                    best_other = max(best_other, dp_result[i][2])
+                if score > best_other:
+                    splice_result[i] = {
+                        "dA": int(dA[row, pcol]),
+                        "dB": int(dB[row, pcol]),
+                        "qstar": int(sres["qstar"][row][pcol]),
+                        "strand": int(strands[row, pcol]),
+                        "sense": int(sres["sense"][row][pcol]),
+                        "nmm": nmm, "score": score,
+                    }
+
+    # fourth stage: fusions/translocations — same-orientation candidate
+    # pairs at ANY distance (cross-chromosome included) for reads that
+    # nothing else solved (Path_fusion_*, src/path-fusion.c; inversions
+    # i.e. cross-strand fusions are not attempted yet)
+    fusion_result = {}
+    if find_fusions:
+        fneed = []
+        for i in range(chunk_len):
+            solved = (i in tr_records or i in splice_result
+                      or (i in dp_result and (
+                          3 * int(batch["lengths"][i])
+                          - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER))
+            if res["nmismatch"][i] >= SPLICE_NMM_TRIGGER and not solved:
+                fneed.append(i)
+        fpairs_per_read = []
+        for i in fneed:
+            cands = {0: [], 1: []}
+            for c in range(res["cand_diags"].shape[1]):
+                dg = int(res["cand_diags"][i, c])
+                st = int(res["cand_strands"][i, c])
+                if dg != 0xFFFFFFFF and dg not in cands[st]:
+                    cands[st].append(dg)
+            pairs = []
+            for st in (0, 1):
+                for a in cands[st]:
+                    for b in cands[st]:
+                        if a == b:
+                            continue
+                        # a fusion pair is cross-chromosome, or outside
+                        # the intron window (distant/inverted-order)
+                        same_chrom = db.chrnum(a) == db.chrnum(b)
+                        intronic = MIN_INTRON <= b - a <= max_intron
+                        if not same_chrom or not intronic:
+                            pairs.append((a, b, st))
+            fpairs_per_read.append(pairs[:MAX_CAND_PAIRS])
+        fneed = [i for i, p in zip(fneed, fpairs_per_read) if p]
+        fpairs_per_read = [p for p in fpairs_per_read if p]
+        if fneed:
+            nb = pad_to_bucket(len(fneed))
+            codes = np.zeros((nb, L), dtype=np.uint8)
+            nmask = np.zeros((nb, L), dtype=bool)
+            lengths = np.ones(nb, dtype=np.int32)
+            dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+            dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
+            strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
+            for row, (i, pairs) in enumerate(zip(fneed, fpairs_per_read)):
+                li = int(batch["lengths"][i])
+                st0 = pairs[0][2]
+                c = batch["codes"][i]
+                m = batch["nmask"][i]
+                if st0:
+                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                        np.zeros(L - li, np.uint8)])
+                    m = np.concatenate([m[:li][::-1],
+                                        np.zeros(L - li, bool)])
+                codes[row] = c
+                nmask[row] = m
+                lengths[row] = li
+                for pcol, (a, b, st) in enumerate(pairs):
+                    if st != st0:
+                        continue
+                    dA[row, pcol] = a
+                    dB[row, pcol] = b
+                    strands[row, pcol] = st
+            fres = refine_splices(index, jnp.asarray(codes),
+                                  jnp.asarray(nmask),
+                                  jnp.asarray(lengths),
+                                  jnp.asarray(dA), jnp.asarray(dB))
+            fres = {k: np.asarray(v) for k, v in fres.items()}
+            for row, i in enumerate(fneed):
+                li = int(batch["lengths"][i])
+                pcol = int(np.argmin(np.where(fres["valid"][row],
+                                              fres["nmm"][row], li + 1)))
+                if not fres["valid"][row][pcol]:
+                    continue
+                qstar = int(fres["qstar"][row][pcol])
+                nmm = int(fres["nmm"][row][pcol])
+                if (qstar < MIN_FUSION_PIECE
+                        or li - qstar < MIN_FUSION_PIECE):
+                    continue
+                score = 3 * li - 6 * nmm - 24   # distant-join penalty
+                best_other = 3 * li - 6 * int(res["nmismatch"][i])
+                if i in dp_result:
+                    best_other = max(best_other, dp_result[i][2])
+                if score > best_other:
+                    fusion_result[i] = {
+                        "dA": int(dA[row, pcol]),
+                        "dB": int(dB[row, pcol]),
+                        "qstar": qstar,
+                        "strand": int(strands[row, pcol]),
+                        "nmm": nmm, "score": score,
+                    }
+
+
+    return dp_result, splice_result, fusion_result
+
+
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
                   max_intron: int = 200_000,
@@ -69,12 +392,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     search — reads solved on a transcript get their multi-intron junction
     structure from the exon table (src/stage1hr-single.c:202-260,
     src/trpath-convert.c)."""
-    from tpumap.gsnap.engine import refine_indels, refine_splices
-    from tpumap.ops import dp as dp_ops
-    from tpumap.utils import dna as dna_utils
     import jax.numpy as jnp
-
-    known_dev = known.to_device() if known is not None else None
 
     out = []
     for start in range(0, len(records), batch_size):
@@ -93,306 +411,10 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"])
 
-        # second stage: DP refinement of high-mismatch reads (the indel
-        # path; batch-compacted like the reference's method ladder)
-        need = [i for i in range(len(chunk))
-                if res["nmismatch"][i] >= INDEL_NMM_TRIGGER
-                and res["diag"][i] != 0xFFFFFFFF and i not in tr_records]
-        dp_result = {}
-        if need:
-            nb = pad_to_bucket(len(need))
-            codes = np.zeros((nb, L), dtype=np.uint8)
-            lengths = np.ones(nb, dtype=np.int32)
-            diags = np.zeros(nb, dtype=np.uint32)
-            for row, i in enumerate(need):
-                c = batch["codes"][i]
-                if res["strand"][i]:
-                    li = batch["lengths"][i]
-                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                        np.zeros(L - li, np.uint8)])
-                codes[row] = c
-                lengths[row] = batch["lengths"][i]
-                diags[row] = res["diag"][i]
-            ref = refine_indels(index, jnp.asarray(codes),
-                                jnp.asarray(lengths), jnp.asarray(diags),
-                                INDEL_BAND, INDEL_MARGIN)
-            ref = {k: np.asarray(v) for k, v in ref.items()}
-            for row, i in enumerate(need):
-                li = int(batch["lengths"][i])
-                sub_score = 3 * li - 6 * int(res["nmismatch"][i])
-                if int(ref["score"][row]) > sub_score:
-                    ops = [o for o in ref["ops"][row][::-1]
-                           if o != dp_ops.T_END]
-                    dp_result[i] = (int(res["diag"][i])
-                                    + int(ref["start_off"][row]),
-                                    ops, int(ref["score"][row]))
-
-        # third stage: novel splice junctions (RNA mode) for reads that are
-        # still bad — pair up same-strand candidate diagonals within the
-        # intron window and pick the best junction (Splice_resolve analog)
-        splice_result = {}
-        if novelsplicing or known is not None:
-            sneed = []
-            for i in range(len(chunk)):
-                solved_by_dp = i in dp_result and (
-                    3 * int(batch["lengths"][i]) - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER
-                if (res["nmismatch"][i] >= SPLICE_NMM_TRIGGER
-                        and not solved_by_dp and i not in tr_records):
-                    sneed.append(i)
-            pairs_per_read = []
-            for i in sneed:
-                li = int(batch["lengths"][i])
-                # candidates grouped per strand, ranked by mismatches
-                cands = {0: [], 1: []}
-                for c in range(res["cand_diags"].shape[1]):
-                    dg = int(res["cand_diags"][i, c])
-                    st = int(res["cand_strands"][i, c])
-                    if dg != 0xFFFFFFFF and dg not in cands[st]:
-                        cands[st].append(dg)
-                pairs = []
-                for st in (0, 1):
-                    for a in cands[st]:
-                        for b in cands[st]:
-                            if MIN_INTRON <= b - a <= max_intron:
-                                pairs.append((a, b, st))
-                        # partner diagonals implied by known junctions
-                        # (no second seed required)
-                        if known is not None:
-                            for (da, db_) in known.derived_pairs(
-                                    a, li, max_intron):
-                                if (da, db_, st) not in pairs:
-                                    pairs.append((da, db_, st))
-                pairs_per_read.append(pairs[:MAX_CAND_PAIRS])
-            # localdb-equivalent salvage: reads with NO candidate pair get
-            # their unseeded end located by a window-restricted fragment
-            # scan (ops/localscan.py; the Spliceends_* + Localdb_get path).
-            # The unaligned portion is delimited host-side by the first/
-            # last 20-base exact run against the anchored diagonal.
-            if novelsplicing:
-                salv = []
-                for j, (i, p) in enumerate(zip(sneed, pairs_per_read)):
-                    if p or res["diag"][i] == 0xFFFFFFFF:
-                        continue
-                    li = int(batch["lengths"][i])
-                    a = int(res["diag"][i])
-                    c = batch["codes"][i]
-                    if res["strand"][i]:
-                        c = np.concatenate(
-                            [dna_utils.revcomp_codes(c[:li]),
-                             np.zeros(L - li, np.uint8)])
-                    g = db.get_codes(a, li)
-                    if len(g) < li:
-                        continue
-                    match = (c[:li] == g)
-                    runs = np.convolve(match.astype(np.int32),
-                                       np.ones(20, dtype=np.int32),
-                                       mode="valid") == 20
-                    starts20 = np.nonzero(runs)[0]
-                    if len(starts20) == 0:
-                        continue
-                    u = int(starts20[0])            # unaligned prefix len
-                    e = int(starts20[-1]) + 20      # anchor end
-                    salv.append((j, i, a, int(res["strand"][i]), c, li,
-                                 u, e))
-                if salv:
-                    from tpumap.ops import localscan
-                    F = 16
-                    W = min(32768, max(1024, max_intron))
-                    R = pad_to_bucket(len(salv))
-                    frag_s = np.zeros((R, F), dtype=np.uint8)
-                    frag_p = np.zeros((R, F), dtype=np.uint8)
-                    flen_s = np.ones(R, dtype=np.int32)
-                    flen_p = np.ones(R, dtype=np.int32)
-                    ws_s = np.zeros(R, dtype=np.uint32)
-                    ws_p = np.zeros(R, dtype=np.uint32)
-                    for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
-                        v = li - e                  # unaligned suffix len
-                        if v >= 6:
-                            fl = min(F, v)
-                            frag_s[row, :fl] = c[e:e + fl]
-                            flen_s[row] = fl
-                            ws_s[row] = a + e + MIN_INTRON
-                        if u >= 6:
-                            fl = min(F, u)
-                            frag_p[row, :fl] = c[u - fl:u]
-                            flen_p[row] = fl
-                            ws_p[row] = max(a - MIN_INTRON - W, 0)
-                    pos_s, mm_s = localscan.scan_fragment(
-                        index.genome_packed, jnp.asarray(ws_s),
-                        jnp.asarray(frag_s), jnp.asarray(flen_s), W, F)
-                    pos_p, mm_p = localscan.scan_fragment(
-                        index.genome_packed, jnp.asarray(ws_p),
-                        jnp.asarray(frag_p), jnp.asarray(flen_p), W, F)
-                    pos_s, mm_s = np.asarray(pos_s), np.asarray(mm_s)
-                    pos_p, mm_p = np.asarray(pos_p), np.asarray(mm_p)
-                    for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
-                        v = li - e
-                        pairs = []
-                        if v >= 6:
-                            for t in range(pos_s.shape[1]):
-                                if mm_s[row, t] <= 1:
-                                    dB = int(pos_s[row, t]) - e
-                                    if MIN_INTRON <= dB - a <= max_intron:
-                                        pairs.append((a, dB, st))
-                        if u >= 6:
-                            fl = min(F, u)
-                            for t in range(pos_p.shape[1]):
-                                if mm_p[row, t] <= 1:
-                                    dA = int(pos_p[row, t]) - (u - fl)
-                                    if MIN_INTRON <= a - dA <= max_intron:
-                                        pairs.append((dA, a, st))
-                        pairs_per_read[j] = pairs[:MAX_CAND_PAIRS]
-
-            sneed = [i for i, p in zip(sneed, pairs_per_read) if p]
-            pairs_per_read = [p for p in pairs_per_read if p]
-            if sneed:
-                nb = pad_to_bucket(len(sneed))
-                codes = np.zeros((nb, L), dtype=np.uint8)
-                nmask = np.zeros((nb, L), dtype=bool)
-                lengths = np.ones(nb, dtype=np.int32)
-                dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
-                dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
-                strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
-                for row, (i, pairs) in enumerate(zip(sneed, pairs_per_read)):
-                    li = int(batch["lengths"][i])
-                    # orientation per pair strand; use strand of first pair
-                    st0 = pairs[0][2]
-                    c = batch["codes"][i]
-                    m = batch["nmask"][i]
-                    if st0:
-                        c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                            np.zeros(L - li, np.uint8)])
-                        m = np.concatenate([m[:li][::-1],
-                                            np.zeros(L - li, bool)])
-                    codes[row] = c
-                    nmask[row] = m
-                    lengths[row] = li
-                    for pcol, (a, b, st) in enumerate(pairs):
-                        if st != st0:
-                            continue
-                        dA[row, pcol] = a
-                        dB[row, pcol] = b
-                        strands[row, pcol] = st
-                sres = refine_splices(index, jnp.asarray(codes),
-                                      jnp.asarray(nmask),
-                                      jnp.asarray(lengths),
-                                      jnp.asarray(dA), jnp.asarray(dB),
-                                      known=known_dev)
-                sres = {k: np.asarray(v) for k, v in sres.items()}
-                for row, i in enumerate(sneed):
-                    li = int(batch["lengths"][i])
-                    pcol = int(np.argmin(np.where(sres["valid"][row],
-                                                  sres["nmm"][row], li + 1)))
-                    if not sres["valid"][row][pcol]:
-                        continue
-                    nmm = int(sres["nmm"][row][pcol])
-                    score = 3 * li - 6 * nmm - (0 if sres["bonus"][row][pcol] > 0
-                                                else 12)
-                    best_other = 3 * li - 6 * int(res["nmismatch"][i])
-                    if i in dp_result:
-                        best_other = max(best_other, dp_result[i][2])
-                    if score > best_other:
-                        splice_result[i] = {
-                            "dA": int(dA[row, pcol]),
-                            "dB": int(dB[row, pcol]),
-                            "qstar": int(sres["qstar"][row][pcol]),
-                            "strand": int(strands[row, pcol]),
-                            "sense": int(sres["sense"][row][pcol]),
-                            "nmm": nmm, "score": score,
-                        }
-
-        # fourth stage: fusions/translocations — same-orientation candidate
-        # pairs at ANY distance (cross-chromosome included) for reads that
-        # nothing else solved (Path_fusion_*, src/path-fusion.c; inversions
-        # i.e. cross-strand fusions are not attempted yet)
-        fusion_result = {}
-        if find_fusions:
-            fneed = []
-            for i in range(len(chunk)):
-                solved = (i in tr_records or i in splice_result
-                          or (i in dp_result and (
-                              3 * int(batch["lengths"][i])
-                              - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER))
-                if res["nmismatch"][i] >= SPLICE_NMM_TRIGGER and not solved:
-                    fneed.append(i)
-            fpairs_per_read = []
-            for i in fneed:
-                cands = {0: [], 1: []}
-                for c in range(res["cand_diags"].shape[1]):
-                    dg = int(res["cand_diags"][i, c])
-                    st = int(res["cand_strands"][i, c])
-                    if dg != 0xFFFFFFFF and dg not in cands[st]:
-                        cands[st].append(dg)
-                pairs = []
-                for st in (0, 1):
-                    for a in cands[st]:
-                        for b in cands[st]:
-                            if a == b:
-                                continue
-                            # a fusion pair is cross-chromosome, or outside
-                            # the intron window (distant/inverted-order)
-                            same_chrom = db.chrnum(a) == db.chrnum(b)
-                            intronic = MIN_INTRON <= b - a <= max_intron
-                            if not same_chrom or not intronic:
-                                pairs.append((a, b, st))
-                fpairs_per_read.append(pairs[:MAX_CAND_PAIRS])
-            fneed = [i for i, p in zip(fneed, fpairs_per_read) if p]
-            fpairs_per_read = [p for p in fpairs_per_read if p]
-            if fneed:
-                nb = pad_to_bucket(len(fneed))
-                codes = np.zeros((nb, L), dtype=np.uint8)
-                nmask = np.zeros((nb, L), dtype=bool)
-                lengths = np.ones(nb, dtype=np.int32)
-                dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
-                dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
-                strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
-                for row, (i, pairs) in enumerate(zip(fneed, fpairs_per_read)):
-                    li = int(batch["lengths"][i])
-                    st0 = pairs[0][2]
-                    c = batch["codes"][i]
-                    m = batch["nmask"][i]
-                    if st0:
-                        c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                            np.zeros(L - li, np.uint8)])
-                        m = np.concatenate([m[:li][::-1],
-                                            np.zeros(L - li, bool)])
-                    codes[row] = c
-                    nmask[row] = m
-                    lengths[row] = li
-                    for pcol, (a, b, st) in enumerate(pairs):
-                        if st != st0:
-                            continue
-                        dA[row, pcol] = a
-                        dB[row, pcol] = b
-                        strands[row, pcol] = st
-                fres = refine_splices(index, jnp.asarray(codes),
-                                      jnp.asarray(nmask),
-                                      jnp.asarray(lengths),
-                                      jnp.asarray(dA), jnp.asarray(dB))
-                fres = {k: np.asarray(v) for k, v in fres.items()}
-                for row, i in enumerate(fneed):
-                    li = int(batch["lengths"][i])
-                    pcol = int(np.argmin(np.where(fres["valid"][row],
-                                                  fres["nmm"][row], li + 1)))
-                    if not fres["valid"][row][pcol]:
-                        continue
-                    qstar = int(fres["qstar"][row][pcol])
-                    nmm = int(fres["nmm"][row][pcol])
-                    if (qstar < MIN_FUSION_PIECE
-                            or li - qstar < MIN_FUSION_PIECE):
-                        continue
-                    score = 3 * li - 6 * nmm - 24   # distant-join penalty
-                    best_other = 3 * li - 6 * int(res["nmismatch"][i])
-                    if i in dp_result:
-                        best_other = max(best_other, dp_result[i][2])
-                    if score > best_other:
-                        fusion_result[i] = {
-                            "dA": int(dA[row, pcol]),
-                            "dB": int(dB[row, pcol]),
-                            "qstar": qstar,
-                            "strand": int(strands[row, pcol]),
-                            "nmm": nmm, "score": score,
-                        }
+        dp_result, splice_result, fusion_result = refine_unsolved(
+            db, index, batch, res, config, novelsplicing=novelsplicing,
+            max_intron=max_intron, known=known, find_fusions=find_fusions,
+            tr_records=tr_records, L=L)
 
         def _emit(record, method):
             if show_method:

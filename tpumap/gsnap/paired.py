@@ -80,8 +80,17 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          pairs: list[tuple[Record, Record]],
                          config: AlignConfig = AlignConfig(),
                          pairmax: int = 2000,
-                         batch_size: int = 512) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
-    from tpumap.gsnap.driver import make_batch, pad_to_bucket
+                         batch_size: int = 512,
+                         novelsplicing: bool = False,
+                         max_intron: int = 200_000,
+                         known=None) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
+    """Paired ends run the same refinement ladder as single ends
+    (refine_unsolved: indels, splices incl. salvage, no fusions in the
+    paired path) after concordance/mate-rescue, so paired RNA reads get
+    junction records too (the Stage1_paired_read + Pathpair machinery,
+    src/stage1hr-paired.c)."""
+    from tpumap.gsnap.driver import (make_batch, pad_to_bucket,
+                                     refine_unsolved)
 
     out = []
     for start in range(0, len(pairs), batch_size):
@@ -137,6 +146,10 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"])
 
+        dp_result, splice_result, _fus = refine_unsolved(
+            db, index, batch, res, config, novelsplicing=novelsplicing,
+            max_intron=max_intron, known=known, L=L)
+
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1
             r1, r2 = chunk[p]
@@ -169,19 +182,64 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                     e2 = (int(res["cand_diags"][i2][cj]),
                           int(res["cand_strands"][i2][cj]), nm2)
             out.append(_emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
-                                  int(mapq[i2]), pairmax))
+                                  int(mapq[i2]), pairmax,
+                                  special={
+                                      k: _special_record(
+                                          db, chunk[p][0 if k == i1 else 1],
+                                          idx, res, dp_result,
+                                          splice_result,
+                                          int(batch["lengths"][idx]),
+                                          config, int(mapq[idx]))
+                                      for k, idx in ((i1, i1), (i2, i2))},
+                                  keys=(i1, i2)))
     return out
 
 
-def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax):
+def _special_record(db, rec, i, res, dp_result, splice_result, li, config,
+                    mq):
+    """A spliced or gapped record for batch row i if the refinement ladder
+    produced one that beats the substitution alignment; else None."""
+    max_equiv = int(li * config.max_mismatch_frac)
+    if i in splice_result:
+        s = splice_result[i]
+        if (3 * li - s["score"]) // 6 <= max_equiv:
+            return (sam.spliced_record(
+                db, rec.accession, rec.sequence, rec.quality,
+                s["dA"], s["dB"], s["qstar"], li, s["strand"],
+                mq, s["sense"]), s["dA"], s["strand"])
+    if i in dp_result:
+        from tpumap.ops import dp as dp_ops
+        pos0, ops, score = dp_result[i]
+        if (3 * li - score) // 6 <= max_equiv:
+            return (sam.gapped_record(
+                db, rec.accession, rec.sequence, rec.quality, pos0,
+                int(res["strand"][i]), mq, ops), pos0,
+                int(res["strand"][i]))
+    return None
+
+
+def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
+               keys=(None, None)):
+    special = special or {}
     recs = []
-    for (rec, e, mq, other, first) in ((r1, e1, mq1, e2, True),
-                                       (r2, e2, mq2, e1, False)):
-        if e is None:
+    for (rec, e, mq, other, first, key) in (
+            (r1, e1, mq1, e2, True, keys[0]),
+            (r2, e2, mq2, e1, False, keys[1])):
+        sp = special.get(key)
+        if sp is not None:
+            # refinement ladder produced a spliced/gapped record; its
+            # position supersedes the substitution placement
+            s, diag, strand = sp
+            e = (diag, strand, 0)
+        elif e is None:
             s = sam.unmapped_record(rec.accession, rec.sequence, rec.quality)
         else:
             s = sam.ungapped_record(db, rec.accession, rec.sequence,
                                     rec.quality, e[0], e[1], mq, e[2])
+        if sp is not None and first:
+            e1 = e
+        elif sp is not None:
+            e2 = e
         s.flag |= 0x1 | (0x40 if first else 0x80)
         if e is None:
             s.flag |= 0x4
