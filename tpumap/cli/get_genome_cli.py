@@ -37,14 +37,36 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-get-genome")
     ap.add_argument("-D", "--dir", required=True)
     ap.add_argument("-d", "--db", help="database name (informational)")
+    ap.add_argument("-m", "--map", dest="mapfile",
+                    help="print entries of this map IIT overlapping the "
+                         "region instead of the sequence "
+                         "(get-genome -m, src/get-genome.c)")
+    ap.add_argument("-S", "--snps", action="store_true",
+                    help="print the SNP-substituted (genomealt) sequence")
     ap.add_argument("region", help="chr | chr:pos | chr:start..end "
                     "(start > end = reverse complement)")
     args = ap.parse_args(argv)
     db = GenomeDB.load(args.dir)
     chrom, coff, a, b = parse_region(db, args.region)
+
+    if args.mapfile:
+        from tpumap.io.iit import IIT
+        iit = IIT.read(args.mapfile if args.mapfile.endswith(".iit")
+                       else args.mapfile + ".iit")
+        lo, hi = (b, a) if a > b else (a, b)
+        for idx in iit.get(chrom, lo, hi):
+            sys.stdout.write(iit.header_line(int(idx)) + "\n")
+            sys.stdout.write(iit.annotations[int(idx) - 1])
+        return 0
     revcomp = a > b
     lo, hi = (b, a) if revcomp else (a, b)
-    seq = db.get_seq(coff + lo - 1, hi - lo + 1)
+    if args.snps:
+        if db.genomealt_packed is None:
+            raise SystemExit("-S requires a SNP-tolerant db "
+                             "(tpumap-snpindex)")
+        seq = db.get_alt_seq(coff + lo - 1, hi - lo + 1)
+    else:
+        seq = db.get_seq(coff + lo - 1, hi - lo + 1)
     if revcomp:
         seq = dna.revcomp(seq)
     name = args.db or db.name
