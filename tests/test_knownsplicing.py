@@ -103,3 +103,39 @@ def test_dump_load_roundtrip(tmp_path):
     assert list(back.donor) == [10, 20]
     assert list(back.antiacceptor) == [5]
     assert len(back.acceptor) == 0
+
+
+def test_gmap_known_splicing_snaps_junction(world, tmp_path):
+    """gmap -s: the known donor/acceptor pair outranks the flat-cost tie
+    in stage-3 bridge placement (the splicetrie role in
+    Dynprog_genome_gap, src/dynprog_genome.c:417-474)."""
+    import io as _io
+    from contextlib import redirect_stdout
+    from tpumap.cli.gmap_cli import main as gmap_main
+
+    db, index, read = world
+    db.save(str(tmp_path / "db"))
+    # cDNA = the two exons joined (same ambiguous boundary as the gsnap
+    # test: q*=49/50 tie)
+    (tmp_path / "q.fa").write_text(">c1\n" + read + "\n")
+    (tmp_path / "sp.fa").write_text(
+        f">d chr1:{E1 + EXLEN}..{E1 + EXLEN + 1} donor\n"
+        f">a chr1:{E2}..{E2 + 1} acceptor\n")
+    from tpumap.cli.iit_cli import store_main
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        store_main(["-o", str(tmp_path / "sp"), str(tmp_path / "sp.fa")])
+
+    def run(args):
+        b = _io.StringIO()
+        with redirect_stdout(b):
+            gmap_main(args)
+        return b.getvalue()
+
+    plain = run(["-D", str(tmp_path / "db"), "-f", "introns",
+                 str(tmp_path / "q.fa")])
+    known = run(["-D", str(tmp_path / "db"), "-f", "introns", "-s",
+                 str(tmp_path / "sp.iit"), str(tmp_path / "q.fa")])
+    # with -s the intron is exactly the known one (1-based exon_end..next_start)
+    assert f"chr1:{E1 + EXLEN}..{E2 + 1}" in known, known
+    assert known != plain or f"chr1:{E1 + EXLEN}..{E2 + 1}" in plain

@@ -30,7 +30,7 @@ def chain_goodness(chain) -> int:
 def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
                       config: GmapConfig = GmapConfig(),
                       s1config: Stage1Config = Stage1Config(),
-                      npaths: int = 1):
+                      npaths: int = 1, known=None):
     """GMAP pipeline for one query: up to npaths region alignments ranked
     by goodness (gmap -n, src/gmap.c maxpaths_report).
 
@@ -53,7 +53,8 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
         rnmask = db.get_nmask(gstart, gend - gstart).astype(bool)
         qc = dna.revcomp_codes(qcodes) if strand else qcodes
         qn = qnmask[::-1].copy() if strand else qnmask
-        chain = align_cdna(qc, qn, rcodes, rnmask, config)
+        chain = align_cdna(qc, qn, rcodes, rnmask, config, known=known,
+                           univ_off=gstart)
         if chain is None or not chain.exons:
             continue
         chain.strand = strand
@@ -101,6 +102,9 @@ def main(argv=None):
                                               "genomic+introns"])
     ap.add_argument("-P", "--protein_dna", action="store_true")
     ap.add_argument("-Q", "--protein_gen", action="store_true")
+    ap.add_argument("-s", "--use-splicing", dest="use_splicing",
+                    help="known splice sites/introns map (.iit) biasing "
+                         "intron placement")
     ap.add_argument("-n", "--npaths", type=int, default=1,
                     help="maximum number of paths to report per query")
     ap.add_argument("-x", "--chimera-margin", dest="chimera_margin",
@@ -207,6 +211,12 @@ def main(argv=None):
         db = GenomeDB.load(args.dir)
         index = DeviceIndex.from_host(db)
         source = args.db or db.name
+        known = None
+        if args.use_splicing:
+            from tpumap.gsnap.knownsplicing import KnownSplicing
+            from tpumap.io.iit import IIT
+            known = KnownSplicing.from_splicing_iit(
+                IIT.read(args.use_splicing), db)
         for rec in read_fasta(args.queries):
             qcodes, qnmask = dna.encode(rec.sequence)
             if args.chimera_margin > 0:
@@ -216,7 +226,7 @@ def main(argv=None):
                     chimera_margin=args.chimera_margin)
             else:
                 pieces = align_query_paths(db, index, qcodes, qnmask,
-                                           npaths=args.npaths)
+                                           npaths=args.npaths, known=known)
             for chain, univ_off in pieces:
                 chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
                 seqid = db.chrom_names[chrom_idx]

@@ -105,7 +105,8 @@ def _chain_pipeline(q_codes, q_valid, r_codes, r_valid, config: GmapConfig):
 
 def align_cdna(query_codes: np.ndarray, query_nmask: np.ndarray,
                region_codes: np.ndarray, region_nmask: np.ndarray,
-               config: GmapConfig = GmapConfig()) -> ExonChain | None:
+               config: GmapConfig = GmapConfig(), known=None,
+               univ_off: int = 0) -> ExonChain | None:
     """Align one cDNA query against one genomic region (+ orientation).
 
     Pads to shape buckets, runs the device chain pipeline, refines exon
@@ -132,7 +133,7 @@ def align_cdna(query_codes: np.ndarray, query_nmask: np.ndarray,
     chain = [(int(segs["diag"][s]) - chain_ops.DIAG_BIAS,
               int(segs["qstart"][s]), int(segs["qend"][s])) for s in members]
     return refine_chain(query_codes, query_nmask, region_codes, region_nmask,
-                        chain, config)
+                        chain, config, known=known, univ_off=univ_off)
 
 
 def _bucket(n: int) -> int:
@@ -154,8 +155,15 @@ def _mm(query_codes, query_nmask, region_codes, region_nmask, diag, q0, q1):
 
 
 def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
-                 chain, config: GmapConfig) -> ExonChain:
-    """Host refinement: junction placement + end extension/trimming."""
+                 chain, config: GmapConfig, known=None,
+                 univ_off: int = 0) -> ExonChain:
+    """Host refinement: junction placement + end extension/trimming.
+
+    known: optional KnownSplicing — junction boundaries landing on known
+    donor/acceptor (or antisense) site pairs get a bonus that outranks
+    canonical dinucleotides and MaxEnt probabilities (the splicetrie
+    known-splice path of Dynprog_genome_gap, src/dynprog_genome.c:417-474);
+    univ_off converts region coordinates to univcoords for the lookup."""
     k = config.index_k
     Q = len(query_codes)
     R = len(region_codes)
@@ -197,6 +205,14 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
             bonus = bonus + PROB_WEIGHT * (dprob + aprob)
         else:
             dprob = aprob = np.zeros(len(cand))
+        if known is not None and glen >= MIN_INTRON:
+            left = univ_off + dA + cand.astype(np.int64)
+            right = univ_off + dB + cand.astype(np.int64)
+            k_s = (np.isin(left, known.donor)
+                   & np.isin(right, known.acceptor))
+            k_a = (np.isin(left, known.antiacceptor)
+                   & np.isin(right, known.antidonor))
+            bonus = bonus + np.where(k_s | k_a, 6.0, 0.0)
         score = bonus - cost
         j = int(np.argmax(score))
         qstar = int(cand[j])
