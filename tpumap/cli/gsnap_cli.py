@@ -109,6 +109,10 @@ def main(argv=None):
                          "(co-optimal extras are flagged secondary)")
     ap.add_argument("--pairmax", type=int, default=2000)
     ap.add_argument("--max-intron", type=int, default=200_000)
+    ap.add_argument("-m", "--max-mismatches", dest="max_mismatches",
+                    type=float, default=0.10,
+                    help="maximum mismatches as a fraction of read length "
+                         "(gsnap -m)")
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--no-sam-headers", action="store_true")
     # runtime / output management (src/inbuffer.c, src/outbuffer.c)
@@ -152,7 +156,8 @@ def main(argv=None):
         sys.stderr.write("error: -v requires a SNP-tolerant database "
                          "(run tpumap-snpindex first)\n")
         return 2
-    config = AlignConfig(mode=args.mode, snp_tolerant=args.use_snps)
+    config = AlignConfig(mode=args.mode, snp_tolerant=args.use_snps,
+                         max_mismatch_frac=args.max_mismatches)
 
     tr = None
     if args.use_transcriptome:

@@ -33,6 +33,9 @@ def _open_text(path: str | os.PathLike | io.IOBase):
     if hasattr(path, "read"):
         return path
     path = os.fspath(path)
+    if path == "-":
+        import sys
+        return sys.stdin
     with open(path, "rb") as probe:
         magic = probe.read(3)
     if magic[:2] == b"\x1f\x8b":
@@ -86,8 +89,11 @@ def read_seqs(path) -> Iterator[Record]:
     while first and first in "\r\n \t":
         first = fh.read(1)
     # reopen: parsers want the full stream
-    if hasattr(fh, "seek"):
+    if hasattr(fh, "seek") and fh.seekable():
         fh.seek(0)
+    else:
+        # non-seekable (stdin/pipe): re-chain the consumed prefix
+        fh = io.StringIO(first).__class__(first + fh.read()) if first else fh
     if first == "@":
         return read_fastq(fh)
     return read_fasta(fh)
