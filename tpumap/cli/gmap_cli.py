@@ -47,21 +47,32 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
                                     maxtotallen=max(4 * len(qcodes), 1000),
                                     top_regions=2 * npaths))
         regions = list(regions) + [r for r in fine if r not in regions]
+    from tpumap.gmap.engine import align_cdna_regions
+
+    def inputs_for(rs):
+        return [(db.get_codes(gstart, gend - gstart),
+                 db.get_nmask(gstart, gend - gstart).astype(bool),
+                 strand, gstart)
+                for (gstart, gend, weight, strand) in rs]
+
     paths = []
-    for (gstart, gend, weight, strand) in regions:
-        rcodes = db.get_codes(gstart, gend - gstart)
-        rnmask = db.get_nmask(gstart, gend - gstart).astype(bool)
-        qc = dna.revcomp_codes(qcodes) if strand else qcodes
-        qn = qnmask[::-1].copy() if strand else qnmask
-        chain = align_cdna(qc, qn, rcodes, rnmask, config, known=known,
-                           univ_off=gstart)
-        if chain is None or not chain.exons:
-            continue
-        chain.strand = strand
-        paths.append((chain, gstart))
-        if (npaths == 1 and chain.mismatches == 0
-                and chain.coverage == len(qcodes)):
-            break
+    # top-weight region first (one device call); a perfect hit makes the
+    # remaining regions unnecessary for npaths=1 — the common case
+    head = align_cdna_regions(qcodes, qnmask, inputs_for(regions[:1]),
+                              config, known=known)
+    if head and head[0] is not None and head[0].exons:
+        paths.append((head[0], regions[0][0]))
+    done = (npaths == 1 and paths
+            and paths[0][0].mismatches == 0
+            and paths[0][0].coverage == len(qcodes))
+    if not done and len(regions) > 1:
+        chains = align_cdna_regions(qcodes, qnmask,
+                                    inputs_for(regions[1:]), config,
+                                    known=known)
+        for (gstart, _gend, _w, strand), chain in zip(regions[1:], chains):
+            if chain is None or not chain.exons:
+                continue
+            paths.append((chain, gstart))
     paths.sort(key=lambda p: -chain_goodness(p[0]))
     # drop duplicate placements (same genomic span)
     seen, uniq = set(), []
@@ -73,6 +84,55 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
         seen.add(key)
         uniq.append((chain, off))
     return uniq[:npaths]
+
+
+def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
+                       config: GmapConfig = GmapConfig(),
+                       s1config: Stage1Config = Stage1Config(),
+                       known=None):
+    """Best path for MANY queries with batched device calls: one stage-1
+    call for the whole batch, then one chain call per (Qp, Rp) shape
+    bucket — the per-call device latency otherwise dominates GMAP
+    throughput. Returns [(chain, univ_off) | None] parallel to encoded
+    [(codes, nmask)] queries."""
+    from tpumap.gmap.engine import _bucket, align_cdna_pairs
+    from tpumap.gmap.stage1 import find_regions_bulk
+
+    regions_per_q = find_regions_bulk(index, encoded, s1config)
+    pairs, keys = [], []
+    for qi, ((codes, nmask), regs) in enumerate(zip(encoded,
+                                                    regions_per_q)):
+        rc_q = rc_n = None
+        for (gstart, gend, _w, strand) in regs:
+            rcodes = db.get_codes(gstart, gend - gstart)
+            rnmask = db.get_nmask(gstart, gend - gstart).astype(bool)
+            if strand:
+                if rc_q is None:
+                    rc_q = dna.revcomp_codes(codes)
+                    rc_n = nmask[::-1]
+                qq, nn = rc_q, rc_n
+            else:
+                qq, nn = codes, nmask
+            pairs.append((qq, nn, rcodes, rnmask, strand, gstart))
+            keys.append(qi)
+    groups = {}
+    for i, p in enumerate(pairs):
+        groups.setdefault((_bucket(len(p[0])), _bucket(len(p[2]))),
+                          []).append(i)
+    chains = [None] * len(pairs)
+    for idxs in groups.values():
+        res = align_cdna_pairs([pairs[i] for i in idxs], config,
+                               known=known)
+        for i, ch in zip(idxs, res):
+            chains[i] = ch
+    best = {}
+    for i, qi in enumerate(keys):
+        ch = chains[i]
+        if ch is None or not ch.exons:
+            continue
+        if qi not in best or chain_goodness(ch) > chain_goodness(best[qi][0]):
+            best[qi] = (ch, pairs[i][5])
+    return [best.get(qi) for qi in range(len(encoded))]
 
 
 def align_query_to_db(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
@@ -217,6 +277,24 @@ def main(argv=None):
             from tpumap.io.iit import IIT
             known = KnownSplicing.from_splicing_iit(
                 IIT.read(args.use_splicing), db)
+        if args.chimera_margin == 0 and args.npaths == 1:
+            # bulk path: batched device calls across queries
+            recs = list(read_fasta(args.queries))
+            BATCH = 64
+            for bstart in range(0, len(recs), BATCH):
+                group = recs[bstart:bstart + BATCH]
+                encoded = [dna.encode(r.sequence) for r in group]
+                results = align_queries_bulk(db, index, encoded,
+                                             known=known)
+                for rec, (qcodes, qnmask), hit in zip(group, encoded,
+                                                      results):
+                    if hit is None:
+                        continue
+                    chain, univ_off = hit
+                    _emit_db_hit(db, emit, fmt, rec, qcodes, chain,
+                                 univ_off, source)
+            return
+
         for rec in read_fasta(args.queries):
             qcodes, qnmask = dna.encode(rec.sequence)
             if args.chimera_margin > 0:
@@ -228,21 +306,26 @@ def main(argv=None):
                 pieces = align_query_paths(db, index, qcodes, qnmask,
                                            npaths=args.npaths, known=known)
             for chain, univ_off in pieces:
-                chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
-                seqid = db.chrom_names[chrom_idx]
-                chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
-                g_hi = chain.exons[-1].gend
-                tsize = int(db.chrom_offsets[chrom_idx + 1]
-                            - db.chrom_offsets[chrom_idx])
-                need_region = fmt in ("align", "summary", "samse", "sampe",
-                                      "protein_gen") or fmt.startswith("exons:")
-                emit(chain, rec, qcodes, seqid, source, chrom_offset,
-                     region_codes=db.get_codes(univ_off,
-                                               g_hi + 16).astype(np.uint8)
-                     if need_region else None,
-                     chrname=seqid, tsize=tsize)
+                _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off,
+                             source)
     else:
         ap.error("need -g or -D")
+
+
+def _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off, source):
+    import numpy as np
+    chrom_idx = db.chrnum(univ_off + chain.exons[0].gstart)
+    seqid = db.chrom_names[chrom_idx]
+    chrom_offset = univ_off - int(db.chrom_offsets[chrom_idx])
+    g_hi = chain.exons[-1].gend
+    tsize = int(db.chrom_offsets[chrom_idx + 1]
+                - db.chrom_offsets[chrom_idx])
+    need_region = fmt in ("align", "summary", "samse", "sampe",
+                          "protein_gen") or fmt.startswith("exons:")
+    emit(chain, rec, qcodes, seqid, source, chrom_offset,
+         region_codes=db.get_codes(univ_off, g_hi + 16).astype(np.uint8)
+         if need_region else None,
+         chrname=seqid, tsize=tsize)
 
 
 if __name__ == "__main__":

@@ -103,6 +103,82 @@ def _chain_pipeline(q_codes, q_valid, r_codes, r_valid, config: GmapConfig):
     return segs, order, in_chain
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _chain_pipeline_batch(q_codes, q_valid, r_codes, r_valid,
+                          config: GmapConfig):
+    """vmap of _chain_pipeline over a region batch (one device call for
+    all candidate regions of a query — the per-call tunnel latency
+    dominates the per-query cost otherwise)."""
+    return jax.vmap(
+        lambda a, b, c, d: _chain_pipeline(a, b, c, d, config))(
+            q_codes, q_valid, r_codes, r_valid)
+
+
+def align_cdna_pairs(pairs: list, config: GmapConfig = GmapConfig(),
+                     known=None):
+    """Chain + refine MANY (query, region) problems in one device call.
+
+    pairs: list of (qcodes, qnmask, rcodes, rnmask, strand, univ_off);
+    qcodes must already be in the aligned orientation (revcomp for
+    strand 1). Returns list of (ExonChain|None) parallel to pairs.
+    """
+    if not pairs:
+        return []
+    Qp = _bucket(max(len(p[0]) for p in pairs))
+    Rp = _bucket(max(len(p[2]) for p in pairs))
+    N = len(pairs)
+    qc = np.zeros((N, Qp), np.uint8)
+    qv = np.zeros((N, Qp), bool)
+    rc = np.zeros((N, Rp), np.uint8)
+    rv = np.zeros((N, Rp), bool)
+    for i, (qq, nn, rcodes, rnmask, _strand, _off) in enumerate(pairs):
+        qc[i, :len(qq)] = qq
+        qv[i, :len(qq)] = ~nn.astype(bool)
+        rc[i, :len(rcodes)] = rcodes
+        rv[i, :len(rcodes)] = ~rnmask.astype(bool)
+    segs, order, in_chain = _chain_pipeline_batch(
+        jnp.asarray(qc), jnp.asarray(qv), jnp.asarray(rc), jnp.asarray(rv),
+        config)
+    segs = {k: np.asarray(v) for k, v in segs.items()}
+    order = np.asarray(order)
+    in_chain = np.asarray(in_chain)
+
+    out = []
+    for i, (qq, nn, rcodes, rnmask, strand, univ_off) in enumerate(pairs):
+        members = [s for s in order[i][in_chain[i]] if segs["valid"][i][s]]
+        if not members:
+            out.append(None)
+            continue
+        chain = [(int(segs["diag"][i][s]) - chain_ops.DIAG_BIAS,
+                  int(segs["qstart"][i][s]), int(segs["qend"][i][s]))
+                 for s in members]
+        result = refine_chain(qq, nn, rcodes, rnmask, chain, config,
+                              known=known, univ_off=univ_off)
+        if result is not None:
+            result.strand = strand
+        out.append(result)
+    return out
+
+
+def align_cdna_regions(query_codes: np.ndarray, query_nmask: np.ndarray,
+                       regions: list, config: GmapConfig = GmapConfig(),
+                       known=None):
+    """Chain + refine one query against SEVERAL candidate regions in one
+    device call (see align_cdna_pairs).
+
+    regions: list of (region_codes, region_nmask, strand, univ_off).
+    """
+    if not regions:
+        return []
+    rc_q = dna.revcomp_codes(query_codes)
+    rc_n = query_nmask[::-1]
+    pairs = [((rc_q if strand else query_codes),
+              (rc_n if strand else query_nmask),
+              rcodes, rnmask, strand, off)
+             for (rcodes, rnmask, strand, off) in regions]
+    return align_cdna_pairs(pairs, config, known=known)
+
+
 def align_cdna(query_codes: np.ndarray, query_nmask: np.ndarray,
                region_codes: np.ndarray, region_nmask: np.ndarray,
                config: GmapConfig = GmapConfig(), known=None,

@@ -52,6 +52,42 @@ def _region_diags(index, codes, nmask, lengths, config: Stage1Config):
                                     return_last=True)
 
 
+def find_regions_bulk(index: DeviceIndex, queries: list,
+                      config: Stage1Config = Stage1Config()):
+    """Candidate regions for MANY queries in one device call.
+
+    queries: list of (codes, nmask). Returns a list (parallel to queries)
+    of region lists as in find_regions.
+    """
+    Nq = len(queries)
+    Q = max(len(c) for c, _ in queries)
+    Qp = 256
+    while Qp < Q:
+        Qp *= 2
+    qc = np.zeros((2 * Nq, Qp), np.uint8)
+    qn = np.zeros((2 * Nq, Qp), bool)
+    lengths = np.zeros(2 * Nq, np.int32)
+    for i, (codes, nmask) in enumerate(queries):
+        L = len(codes)
+        qc[2 * i, :L] = codes
+        qn[2 * i, :L] = nmask
+        qc[2 * i + 1, :L] = dna.revcomp_codes(codes)
+        qn[2 * i + 1, :L] = nmask[::-1]
+        lengths[2 * i] = lengths[2 * i + 1] = L
+    diags, counts, lasts = _region_diags(index, jnp.asarray(qc),
+                                         jnp.asarray(qn),
+                                         jnp.asarray(lengths), config)
+    diags, counts, lasts = (np.asarray(diags), np.asarray(counts),
+                            np.asarray(lasts))
+    out = []
+    for i, (codes, _n) in enumerate(queries):
+        out.append(_regions_from_rows(index, diags[2 * i:2 * i + 2],
+                                      counts[2 * i:2 * i + 2],
+                                      lasts[2 * i:2 * i + 2],
+                                      len(codes), config))
+    return out
+
+
 def find_regions(index: DeviceIndex, query_codes: np.ndarray,
                  query_nmask: np.ndarray,
                  config: Stage1Config = Stage1Config()):
@@ -60,22 +96,12 @@ def find_regions(index: DeviceIndex, query_codes: np.ndarray,
     Returns list of (gstart, gend, weight, strand) sorted by weight desc.
     gstart/gend are univcoords clipped to the genome.
     """
-    Q = len(query_codes)
-    Qp = 256
-    while Qp < Q:
-        Qp *= 2
-    qc = np.zeros((2, Qp), np.uint8)
-    qn = np.zeros((2, Qp), bool)
-    qc[0, :Q] = query_codes
-    qn[0, :Q] = query_nmask
-    qc[1, :Q] = dna.revcomp_codes(query_codes)
-    qn[1, :Q] = query_nmask[::-1]
-    lengths = jnp.full((2,), Q, jnp.int32)
+    return find_regions_bulk(index, [(query_codes, query_nmask)],
+                             config)[0]
 
-    diags, counts, lasts = _region_diags(index, jnp.asarray(qc),
-                                         jnp.asarray(qn), lengths, config)
-    diags, counts, lasts = (np.asarray(diags), np.asarray(counts),
-                            np.asarray(lasts))
+
+def _regions_from_rows(index, diags, counts, lasts, Q,
+                       config: Stage1Config):
     chrom_offsets = np.asarray(index.chrom_offsets, dtype=np.int64)
     regions = []
     for strand in (0, 1):
