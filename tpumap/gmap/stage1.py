@@ -32,7 +32,11 @@ class Stage1Config:
     sample_interval: int = 5
     max_occ: int = 16             # overabundant-oligo cap
     top_regions: int = 5
-    maxtotallen: int = 500_000    # cluster slop ~ max gene span
+    # cluster slop ~ max gene span (gmap --totallength role). Also the
+    # upper bound on how much junk a slop-merge can staple to a real gene
+    # cluster, which sets the chain-stage padding cost — 200k matches the
+    # default max intron length
+    maxtotallen: int = 200_000
     region_pad: int = 2_000
 
 
@@ -104,11 +108,23 @@ def _regions_from_rows(index, diags, counts, lasts, Q,
                        config: Stage1Config):
     chrom_offsets = np.asarray(index.chrom_offsets, dtype=np.int64)
     regions = []
+    spans = []
     for strand in (0, 1):
         for r in range(diags.shape[1]):
             if counts[strand, r] <= 1:
                 continue
             d0, d1 = int(diags[strand, r]), int(lasts[strand, r])
+            weight = int(counts[strand, r])
+            # wide SPARSE clusters are slop-merged junk (a real gene
+            # cluster's weight scales with its exon content): emit small
+            # regions around the endpoint diagonals instead of one
+            # megabase region that blows up the chain-stage padding
+            if d1 - d0 > 4 * Q + 20_000 and weight <= 8:
+                spans.append((d0, d0, weight, strand))
+                spans.append((d1, d1, weight, strand))
+            else:
+                spans.append((d0, d1, weight, strand))
+    for (d0, d1, weight, strand) in spans:
             gstart = max(d0 - config.region_pad, 0)
             gend = min(d1 + Q + config.region_pad, index.genome_length)
             # a gene region never crosses a chromosome boundary: split
@@ -120,7 +136,7 @@ def _regions_from_rows(index, diags, counts, lasts, Q,
                                         side="right")) - 1
                 chrom_end = int(chrom_offsets[c + 1])
                 hi = min(gend, chrom_end)
-                regions.append((lo, hi, int(counts[strand, r]), strand))
+                regions.append((lo, hi, weight, strand))
                 lo = hi
     regions.sort(key=lambda t: -t[2])
     return regions[:config.top_regions]
