@@ -26,7 +26,7 @@ def parse_region(db: GenomeDB, text: str):
     if chrom not in db.chrom_names:
         raise SystemExit(f"chromosome {chrom} not found")
     ci = db.chrom_names.index(chrom)
-    clen = int(db.chrom_offsets[ci + 1] - db.chrom_offsets[ci])
+    clen = db.chrom_length(ci)
     if b is None:
         b = clen
     return chrom, int(db.chrom_offsets[ci]), a, b

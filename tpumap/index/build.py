@@ -187,9 +187,18 @@ class GenomeDB:
         """0-based chromosome index containing univcoord (EF64_chrnum analog)."""
         return int(np.searchsorted(self.chrom_offsets, univcoord, side="right") - 1)
 
+    def chrom_length(self, c: int) -> int:
+        """True chromosome length (circular chroms occupy a doubled
+        univcoord span)."""
+        span = int(self.chrom_offsets[c + 1] - self.chrom_offsets[c])
+        return span // 2 if bool(self.circularp[c]) else span
+
     def chrpos(self, univcoord: int) -> tuple[str, int]:
         c = self.chrnum(univcoord)
-        return self.chrom_names[c], int(univcoord - self.chrom_offsets[c])
+        pos = int(univcoord - self.chrom_offsets[c])
+        if bool(self.circularp[c]):
+            pos %= self.chrom_length(c)
+        return self.chrom_names[c], pos
 
     # --- persistence ---
 
@@ -298,6 +307,14 @@ def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
     for acc, seq in named_seqs:
         codes, nmask = dna.encode(seq)
         names.append(acc)
+        if acc in (circular or set()):
+            # circular chromosomes occupy a doubled coordinate span so
+            # alignments crossing the origin stay contiguous; reported
+            # positions are wrapped modulo the true length (the
+            # reference's circular-coordinate aliasing, src/chrnum.c /
+            # gmapindex circular handling)
+            codes = np.concatenate([codes, codes])
+            nmask = np.concatenate([nmask, nmask])
         lengths.append(len(codes))
         code_chunks.append(codes)
         nmask_chunks.append(nmask)

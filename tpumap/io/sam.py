@@ -51,8 +51,7 @@ def header(db: GenomeDB, program_args: str = "", rg: str | None = None,
            sort_order: str = "unsorted") -> str:
     lines = [f"@HD\tVN:1.6\tSO:{sort_order}"]
     for i, name in enumerate(db.chrom_names):
-        length = int(db.chrom_offsets[i + 1] - db.chrom_offsets[i])
-        lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+        lines.append(f"@SQ\tSN:{name}\tLN:{db.chrom_length(i)}")
     if rg:
         lines.append(f"@RG\tID:{rg}")
     lines.append(f"@PG\tID:tpumap\tPN:tpumap\tVN:0.1.0\tCL:{program_args}")
