@@ -59,7 +59,7 @@ def main():
         codes[i, :len(c)] = c
         nmask[i, :len(c)] = m
 
-    B = 8192
+    B = 16384
     nbatch = N // B
 
     def run_batch(i):
