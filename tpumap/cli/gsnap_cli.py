@@ -115,6 +115,13 @@ def main(argv=None):
                          "(gsnap -m)")
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--no-sam-headers", action="store_true")
+    ap.add_argument("--read-group-id", dest="rg_id")
+    ap.add_argument("--read-group-name", dest="rg_name")
+    ap.add_argument("--read-group-library", dest="rg_library")
+    ap.add_argument("--read-group-platform", dest="rg_platform")
+    ap.add_argument("--orientation", default="FR",
+                    choices=["FR", "RF", "FF"],
+                    help="paired-end orientation (src/gsnap.c:591)")
     # runtime / output management (src/inbuffer.c, src/outbuffer.c)
     ap.add_argument("-q", "--part", help="process only fraction i/n of the "
                     "input (modular sharding, e.g. 0/4); in a "
@@ -200,9 +207,18 @@ def main(argv=None):
 
     def headers_to(fh_set):
         if args.format == "sam" and not args.no_sam_headers:
-            h = sam.header(db, "tpumap-gsnap " + " ".join(argv))
+            h = sam.header(db, "tpumap-gsnap " + " ".join(argv),
+                           rg=args.rg_id, rg_name=args.rg_name,
+                           rg_library=args.rg_library,
+                           rg_platform=args.rg_platform)
             for f in fh_set:
                 f.write(h)
+
+    def tag_rg(recs):
+        if args.rg_id:
+            for r in recs:
+                r.tags.append(f"RG:Z:{args.rg_id}")
+        return recs
 
     part = parse_part(args.part) if args.part else None
     if part is None:
@@ -258,11 +274,13 @@ def main(argv=None):
             db, index, pairs, config, pairmax=args.pairmax,
             batch_size=args.batch_size,
             novelsplicing=bool(args.novelsplicing),
-            max_intron=args.max_intron, known=known))
+            max_intron=args.max_intron, known=known,
+            orientation=args.orientation))
         cats = {OutputRouter.paired_category(s1, s2)
                 for s1, s2 in results} if args.split_output else set()
         headers_to({router.get(c) for c in cats} or {out})
         for (r1, r2), (s1, s2) in zip(pairs, results):
+            tag_rg((s1, s2))
             f = router.get(OutputRouter.paired_category(s1, s2))
             f.write(s1.line() + "\n")
             f.write(s2.line() + "\n")
@@ -315,6 +333,7 @@ def main(argv=None):
                     if args.split_output else set())
             headers_to({router.get(c) for c in cats} or {out})
             for rec, s in zip(records, results):
+                tag_rg([s] + list(s.secondaries or ()))
                 router.get(OutputRouter.single_category(s)).write(s.lines())
                 if s.flag & 4:
                     write_failed(rec)

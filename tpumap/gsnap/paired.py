@@ -45,12 +45,14 @@ def rescue_mate(index, codes: jax.Array, lengths: jax.Array, window: int,
             jnp.take_along_axis(nmm, best[:, None], axis=1)[:, 0])
 
 
-def _concordant_pairs(cands1, cands2, L1, L2, pairmax):
+def _concordant_pairs(cands1, cands2, L1, L2, pairmax,
+                      orientation: str = "FR"):
     """Best concordant (c1, c2) candidate index pair or None.
 
     cands*: (diags uint32[K], strands int32[K], nmm int32[K]).
-    Concordance: ends on opposite strands, leftward end first, insert
-    length within pairmax.
+    FR/RF: ends on opposite strands (leftward end first for FR);
+    FF (mate-pair same-strand protocols): both ends same strand
+    (src/gsnap.c --orientation).
     """
     d1, s1, n1 = cands1
     d2, s2, n2 = cands2
@@ -59,9 +61,25 @@ def _concordant_pairs(cands1, cands2, L1, L2, pairmax):
         if d1[i] == 0xFFFFFFFF:
             continue
         for j in range(len(d2)):
-            if d2[j] == 0xFFFFFFFF or s1[i] == s2[j]:
+            if d2[j] == 0xFFFFFFFF:
                 continue
-            if s1[i] == 0:
+            if orientation == "FF":
+                if s1[i] != s2[j]:
+                    continue
+            elif s1[i] == s2[j]:
+                continue
+            if orientation == "FF":
+                insert = abs(int(d2[j]) - int(d1[i])) + max(L1, L2)
+                ok = insert <= pairmax
+            elif orientation == "RF":
+                # read 1 reverse, read 2 forward, r2 upstream of r1
+                if s1[i] == 1:
+                    insert = int(d1[i]) + L1 - int(d2[j])
+                    ok = 0 < insert <= pairmax and int(d2[j]) <= int(d1[i])
+                else:
+                    insert = int(d2[j]) + L2 - int(d1[i])
+                    ok = 0 < insert <= pairmax and int(d1[i]) <= int(d2[j])
+            elif s1[i] == 0:
                 insert = int(d2[j]) + L2 - int(d1[i])
                 ok = 0 < insert <= pairmax and int(d2[j]) >= int(d1[i])
             else:
@@ -83,7 +101,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          batch_size: int = 512,
                          novelsplicing: bool = False,
                          max_intron: int = 200_000,
-                         known=None) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
+                         known=None,
+                         orientation: str = "FR") -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
     paired path) after concordance/mate-rescue, so paired RNA reads get
@@ -169,7 +188,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                 (res["cand_diags"][i1], res["cand_strands"][i1],
                  res["cand_nmm"][i1]),
                 (res["cand_diags"][i2], res["cand_strands"][i2],
-                 res["cand_nmm"][i2]), L1, L2, pairmax)
+                 res["cand_nmm"][i2]), L1, L2, pairmax,
+                orientation=orientation)
             e1, e2 = end_info(i1), end_info(i2)
             if cand is not None:
                 _, ci, cj, insert = cand

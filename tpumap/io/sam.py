@@ -48,12 +48,21 @@ class SamRecord:
 
 
 def header(db: GenomeDB, program_args: str = "", rg: str | None = None,
-           sort_order: str = "unsorted") -> str:
+           sort_order: str = "unsorted", rg_name: str | None = None,
+           rg_library: str | None = None,
+           rg_platform: str | None = None) -> str:
     lines = [f"@HD\tVN:1.6\tSO:{sort_order}"]
     for i, name in enumerate(db.chrom_names):
         lines.append(f"@SQ\tSN:{name}\tLN:{db.chrom_length(i)}")
     if rg:
-        lines.append(f"@RG\tID:{rg}")
+        rg_line = f"@RG\tID:{rg}"
+        if rg_name:
+            rg_line += f"\tSM:{rg_name}"
+        if rg_library:
+            rg_line += f"\tLB:{rg_library}"
+        if rg_platform:
+            rg_line += f"\tPL:{rg_platform}"
+        lines.append(rg_line)
     lines.append(f"@PG\tID:tpumap\tPN:tpumap\tVN:0.1.0\tCL:{program_args}")
     return "\n".join(lines) + "\n"
 
