@@ -10,9 +10,12 @@ import argparse
 import os
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 from tpumap.index.build import build_db
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-build")
@@ -55,4 +58,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

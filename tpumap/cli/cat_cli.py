@@ -14,6 +14,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 import numpy as np
 
 from tpumap.index.build import GenomeDB
@@ -87,6 +89,7 @@ def _pack_nmask(mask: np.ndarray) -> np.ndarray:
     return (out.reshape(n, 32) << shifts).sum(axis=1, dtype=np.uint32)
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-cat")
@@ -107,4 +110,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -9,6 +9,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 from tpumap.io.fasta import read_fasta
 
 HEADER = (
@@ -23,6 +25,7 @@ HEADER = (
     "#contig\tgmap_coordinates\tlinear/circular/<primary>\tstrain\n")
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-fa_coords")
@@ -46,4 +49,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -12,6 +12,8 @@ import argparse
 import re
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 from tpumap.index.build import GenomeDB
 from tpumap.utils import dna
 
@@ -32,6 +34,7 @@ def parse_region(db: GenomeDB, text: str):
     return chrom, int(db.chrom_offsets[ci]), a, b
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-get-genome")
@@ -76,4 +79,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

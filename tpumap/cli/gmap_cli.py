@@ -10,6 +10,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 import numpy as np
 
 from tpumap.gmap.engine import GmapConfig, align_cdna, align_cdna_both
@@ -143,6 +145,7 @@ def align_query_to_db(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
     return paths[0] if paths else (None, 0)
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-gmap")
@@ -329,4 +332,4 @@ def _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off, source):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+from tpumap.cli._errors import clean_errors
 import time
 
 from tpumap.gsnap.driver import align_records
@@ -78,6 +80,7 @@ class OutputRouter:
         return "unpaired_uniq"
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-gsnap")
@@ -351,4 +354,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -10,6 +10,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 from tpumap.io.iit import (ALPHA_SORT, CHROM_SORT, NO_SORT,
                            NUMERIC_ALPHA_SORT, IIT, build_iit,
                            parse_map_fasta)
@@ -22,6 +24,7 @@ def _outfile(name: str) -> str:
     return name if name.endswith(".iit") else name + ".iit"
 
 
+@clean_errors
 def store_main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-iit-store")
     ap.add_argument("-o", "--output", required=True)
@@ -78,6 +81,7 @@ def parse_gff3(fh, label_attr: str = "ID"):
     return entries
 
 
+@clean_errors
 def get_main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-iit-get")
     ap.add_argument("-A", "--annotonly", action="store_true",
@@ -154,6 +158,7 @@ def _resolve_query(iit: IIT, query: list[str], force_label: bool = False,
     return list(hits)
 
 
+@clean_errors
 def dump_main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-iit-dump")
     ap.add_argument("-S", "--sort", action="store_true",

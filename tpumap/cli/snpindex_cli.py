@@ -10,6 +10,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 import numpy as np
 
 from tpumap.index.build import GenomeDB
@@ -44,6 +46,7 @@ def snps_from_iit(iit: IIT, db: GenomeDB):
     return np.asarray(coords, dtype=np.int64), np.asarray(alts, dtype=np.uint8)
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-snpindex")
@@ -65,4 +68,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

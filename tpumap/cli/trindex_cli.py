@@ -10,11 +10,14 @@ import argparse
 import os
 import sys
 
+from tpumap.cli._errors import clean_errors
+
 from tpumap.gsnap.transcriptome import build_transcriptome
 from tpumap.index.build import GenomeDB
 from tpumap.io.iit import IIT
 
 
+@clean_errors
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-trindex")
@@ -41,4 +44,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
