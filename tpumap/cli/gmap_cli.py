@@ -165,6 +165,13 @@ def main(argv=None):
                                               "genomic+introns"])
     ap.add_argument("-P", "--protein_dna", action="store_true")
     ap.add_argument("-Q", "--protein_gen", action="store_true")
+    ap.add_argument("--min-trimmed-coverage", dest="min_coverage",
+                    type=float, default=0.0,
+                    help="only report paths covering at least this "
+                         "fraction of the query")
+    ap.add_argument("--min-identity", dest="min_identity",
+                    type=float, default=0.0,
+                    help="only report paths with at least this identity")
     ap.add_argument("-s", "--use-splicing", dest="use_splicing",
                     help="known splice sites/introns map (.iit) biasing "
                          "intron placement")
@@ -294,6 +301,10 @@ def main(argv=None):
                     if hit is None:
                         continue
                     chain, univ_off = hit
+                    if not passes_filters(chain, len(qcodes),
+                                          args.min_coverage,
+                                          args.min_identity):
+                        continue
                     _emit_db_hit(db, emit, fmt, rec, qcodes, chain,
                                  univ_off, source)
             return
@@ -309,10 +320,24 @@ def main(argv=None):
                 pieces = align_query_paths(db, index, qcodes, qnmask,
                                            npaths=args.npaths, known=known)
             for chain, univ_off in pieces:
+                if not passes_filters(chain, len(qcodes),
+                                      args.min_coverage,
+                                      args.min_identity):
+                    continue
                 _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off,
                              source)
     else:
         ap.error("need -g or -D")
+
+
+def passes_filters(chain, qlen, min_coverage, min_identity):
+    """gmap --min-trimmed-coverage/--min-identity path filters."""
+    if min_coverage > 0 and chain.coverage < min_coverage * qlen:
+        return False
+    aligned = chain.matches + chain.mismatches
+    if min_identity > 0 and aligned and chain.matches < min_identity * aligned:
+        return False
+    return True
 
 
 def _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off, source):
