@@ -159,3 +159,33 @@ def test_gff3_minus_strand_gene_parity(tmp_path, fmt):
     mine = _run_mine(fmt, tmp_path / "g.fa", tmp_path / "q.fa")
     ref = _run_ref(fmt, tmp_path / "g.fa", tmp_path / "q.fa")
     assert mine == ref
+
+
+def test_many_exon_long_query(tmp_path):
+    """An 80-exon 8 kbp query must chain ALL exons with full coverage
+    (the reference accepts <=100 kbp queries, src/gmap.c:113; the chain
+    segment budget scales with query length)."""
+    import numpy as np
+    from tpumap.cli.gmap_cli import align_queries_bulk
+    from tpumap.index import build_db as _build
+    from tpumap.index.device import DeviceIndex
+    from tpumap.utils import dna as dna_mod
+
+    rng = np.random.default_rng(77)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 300000))
+    (tmp_path / "g.fa").write_text(">chr1\n" + g + "\n")
+    db = _build(tmp_path / "g.fa", name="long", k=13, interval=3)
+    index = DeviceIndex.from_host(db)
+    pos, parts = 5000, []
+    for _ in range(80):
+        parts.append(g[pos:pos + 100])
+        pos += 1100
+    q = "".join(parts)
+    hit = align_queries_bulk(db, index, [dna_mod.encode(q)])[0]
+    assert hit is not None
+    chain, _off = hit
+    assert len(chain.exons) == 80
+    assert chain.coverage == len(q)
+    # junction-boundary ambiguity on random (noncanonical) junctions may
+    # cost a few mismatches but identity must stay ~99.5%
+    assert chain.mismatches <= 0.01 * len(q)

@@ -126,6 +126,12 @@ def align_cdna_pairs(pairs: list, config: GmapConfig = GmapConfig(),
         return []
     Qp = _bucket(max(len(p[0]) for p in pairs))
     Rp = _bucket(max(len(p[2]) for p in pairs))
+    # long queries need more chain segments than the default (one per
+    # exon plus noise; the reference accepts <=100 kbp queries,
+    # src/gmap.c:113) — scale with the query bucket, bounded
+    if Qp // 16 > config.n_segments:
+        from dataclasses import replace
+        config = replace(config, n_segments=min(512, Qp // 16))
     N = len(pairs)
     qc = np.zeros((N, Qp), np.uint8)
     qv = np.zeros((N, Qp), bool)
