@@ -97,43 +97,62 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
     bucket — the per-call device latency otherwise dominates GMAP
     throughput. Returns [(chain, univ_off) | None] parallel to encoded
     [(codes, nmask)] queries."""
-    from tpumap.gmap.engine import _bucket, align_cdna_pairs
+    from tpumap.gmap.engine import align_cdna_windows
     from tpumap.gmap.stage1 import find_regions_bulk
 
     regions_per_q = find_regions_bulk(index, encoded, s1config)
-    pairs, keys = [], []
-    for qi, ((codes, nmask), regs) in enumerate(zip(encoded,
-                                                    regions_per_q)):
-        rc_q = rc_n = None
-        for (gstart, gend, _w, strand) in regs:
-            rcodes = db.get_codes(gstart, gend - gstart)
-            rnmask = db.get_nmask(gstart, gend - gstart).astype(bool)
-            if strand:
-                if rc_q is None:
-                    rc_q = dna.revcomp_codes(codes)
-                    rc_n = nmask[::-1]
-                qq, nn = rc_q, rc_n
-            else:
-                qq, nn = codes, nmask
-            pairs.append((qq, nn, rcodes, rnmask, strand, gstart))
-            keys.append(qi)
-    groups = {}
-    for i, p in enumerate(pairs):
-        groups.setdefault((_bucket(len(p[0])), _bucket(len(p[2]))),
-                          []).append(i)
-    chains = [None] * len(pairs)
-    for idxs in groups.values():
-        res = align_cdna_pairs([pairs[i] for i in idxs], config,
-                               known=known)
-        for i, ch in zip(idxs, res):
-            chains[i] = ch
+
+    def make_pair(qi, region):
+        (gstart, gend, _w, strand) = region
+        codes, nmask = encoded[qi]
+        if strand:
+            qq = dna.revcomp_codes(codes)
+            nn = nmask[::-1]
+        else:
+            qq, nn = codes, nmask
+        return (qq, nn, gstart, gend - gstart, strand)
+
     best = {}
-    for i, qi in enumerate(keys):
-        ch = chains[i]
-        if ch is None or not ch.exons:
-            continue
-        if qi not in best or chain_goodness(ch) > chain_goodness(best[qi][0]):
-            best[qi] = (ch, pairs[i][5])
+
+    def run_round(work):            # work: list of (qi, region)
+        # one device call per window-size group (on-device region
+        # extraction; two groups bound the padding waste of the rare
+        # wide regions without multiplying per-call dispatch overhead)
+        small = [(qi, r) for qi, r in work if r[1] - r[0] <= 65536]
+        wide = [(qi, r) for qi, r in work if r[1] - r[0] > 65536]
+        for subset in (small, wide):
+            if not subset:
+                continue
+            pairs = [make_pair(qi, r) for qi, r in subset]
+            res = align_cdna_windows(index, db, pairs, config, known=known)
+            for (qi, _r), p, ch in zip(subset, pairs, res):
+                if ch is None or not ch.exons:
+                    continue
+                if (qi not in best
+                        or chain_goodness(ch) > chain_goodness(best[qi][0])):
+                    best[qi] = (ch, p[2])
+
+    # round 1: top-weight region per query; a perfect alignment there
+    # makes the remaining regions unnecessary (the reference's gregion
+    # early exit) — the second round only runs for unsolved queries
+    run_round([(qi, regs[0]) for qi, regs in enumerate(regions_per_q)
+               if regs])
+    rest = []
+    for qi, regs in enumerate(regions_per_q):
+        hit = best.get(qi)
+        if hit is not None:
+            qlen = len(encoded[qi][0])
+            ch = hit[0]
+            aligned = ch.matches + ch.mismatches
+            # sufficiency threshold (the found_score early-exit concept,
+            # src/stage1hr-single.c:1038): a near-perfect path makes the
+            # lower-weight regions not worth refining
+            if (ch.coverage >= 0.98 * qlen and aligned
+                    and ch.matches >= 0.99 * aligned):
+                continue
+        rest.extend((qi, r) for r in regs[1:])
+    if rest:
+        run_round(rest)
     return [best.get(qi) for qi in range(len(encoded))]
 
 
@@ -290,7 +309,7 @@ def main(argv=None):
         if args.chimera_margin == 0 and args.npaths == 1:
             # bulk path: batched device calls across queries
             recs = list(read_fasta(args.queries))
-            BATCH = 64
+            BATCH = 256
             for bstart in range(0, len(recs), BATCH):
                 group = recs[bstart:bstart + BATCH]
                 encoded = [dna.encode(r.sequence) for r in group]

@@ -114,6 +114,77 @@ def _chain_pipeline_batch(q_codes, q_valid, r_codes, r_valid,
             q_codes, q_valid, r_codes, r_valid)
 
 
+@partial(jax.jit, static_argnums=(6, 7))
+def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
+                            win_start, win_len, Rp: int,
+                            config: GmapConfig):
+    """Chain pipeline with ON-DEVICE region extraction: the genome already
+    lives in HBM, so shipping [N, Rp] region code arrays from the host
+    (tens of MB over the device tunnel) is replaced by a window gather."""
+    from tpumap.ops import verify as verify_ops
+
+    r_codes = verify_ops.extract_codes_window(genome_packed, win_start, Rp)
+    nm2 = verify_ops.extract_bit_window(genome_nmask, win_start, Rp // 16)
+    nbase = verify_ops.mismatch_base_mask(nm2, Rp)
+    in_len = (jnp.arange(Rp, dtype=jnp.int32)[None, :]
+              < win_len[:, None])
+    r_valid = in_len & ~nbase
+    return jax.vmap(
+        lambda a, b, c, d: _chain_pipeline(a, b, c, d, config))(
+            q_codes, q_valid, r_codes, r_valid)
+
+
+def align_cdna_windows(index, db, pairs: list,
+                       config: GmapConfig = GmapConfig(), known=None):
+    """Chain + refine MANY (query, genome-window) problems in one device
+    call with on-device region extraction.
+
+    pairs: list of (qcodes, qnmask, gstart, glen, strand); qcodes already
+    in aligned orientation. Returns [ExonChain|None] parallel to pairs.
+    """
+    if not pairs:
+        return []
+    Qp = _bucket(max(len(p[0]) for p in pairs))
+    Rp = _bucket(max(p[3] for p in pairs))
+    if Qp // 16 > config.n_segments:
+        from dataclasses import replace
+        config = replace(config, n_segments=min(512, Qp // 16))
+    N = len(pairs)
+    qc = np.zeros((N, Qp), np.uint8)
+    qv = np.zeros((N, Qp), bool)
+    ws = np.zeros(N, np.uint32)
+    wl = np.zeros(N, np.int32)
+    for i, (qq, nn, gstart, glen, _s) in enumerate(pairs):
+        qc[i, :len(qq)] = qq
+        qv[i, :len(qq)] = ~nn.astype(bool)
+        ws[i] = gstart
+        wl[i] = glen
+    segs, order, in_chain = _chain_pipeline_windows(
+        index.genome_packed, index.genome_nmask, jnp.asarray(qc),
+        jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl), Rp, config)
+    segs = {k: np.asarray(v) for k, v in segs.items()}
+    order = np.asarray(order)
+    in_chain = np.asarray(in_chain)
+
+    out = []
+    for i, (qq, nn, gstart, glen, strand) in enumerate(pairs):
+        members = [s for s in order[i][in_chain[i]] if segs["valid"][i][s]]
+        if not members:
+            out.append(None)
+            continue
+        chain = [(int(segs["diag"][i][s]) - chain_ops.DIAG_BIAS,
+                  int(segs["qstart"][i][s]), int(segs["qend"][i][s]))
+                 for s in members]
+        rcodes = db.get_codes(gstart, glen)
+        rnmask = db.get_nmask(gstart, glen).astype(bool)
+        result = refine_chain(qq, nn, rcodes, rnmask, chain, config,
+                              known=known, univ_off=gstart)
+        if result is not None:
+            result.strand = strand
+        out.append(result)
+    return out
+
+
 def align_cdna_pairs(pairs: list, config: GmapConfig = GmapConfig(),
                      known=None):
     """Chain + refine MANY (query, region) problems in one device call.

@@ -47,11 +47,16 @@ def region_oligos(codes: jax.Array, valid: jax.Array, k: int) -> jax.Array:
 
 
 def region_index(codes: jax.Array, valid: jax.Array, k: int):
-    """Sorted (oligo, pos) arrays: the region's on-the-fly k-mer index."""
+    """Sorted (oligo, pos) arrays: the region's on-the-fly k-mer index.
+
+    lax.sort co-sorts the positions INSIDE the sort network — an
+    argsort + permutation gather costs ~12 ns per gathered element on
+    this chip (the XLA gather tax) and dominated the whole GMAP chain
+    stage for 100 kbp+ regions."""
     oligos = region_oligos(codes, valid, k)
     pos = jnp.arange(codes.shape[0], dtype=jnp.uint32)
-    order = jnp.argsort(oligos)
-    return oligos[order], pos[order]
+    so, sp = jax.lax.sort((oligos, pos), num_keys=1)
+    return so, sp
 
 
 def anchors_from_query(sorted_oligos: jax.Array, sorted_pos: jax.Array,
@@ -100,11 +105,10 @@ def anchors_to_segments(diag: jax.Array, q: jax.Array, ok: jax.Array,
     # lexicographic (diag, q) sort without 64-bit keys: stable sort by q,
     # then stable sort by diag (invalid anchors pushed to the end)
     dkey = jnp.where(okflat, dflat, jnp.uint32(0xFFFFFFFF))
-    order1 = jnp.argsort(qflat, stable=True)
-    order = order1[jnp.argsort(dkey[order1], stable=True)]
-    d = dflat[order]
-    qq = qflat[order]
-    o = okflat[order]
+    # two-key co-sort (diag, then q) carrying the payloads through the
+    # sort network instead of argsort + permutation gathers
+    d, qq, o = jax.lax.sort((dkey, qflat, okflat), num_keys=2)
+    d = jnp.where(o, d, ANCHOR_INVALID)
 
     prev_d = jnp.concatenate([jnp.array([ANCHOR_INVALID], d.dtype), d[:-1]])
     prev_q = jnp.concatenate([jnp.array([-10 ** 6], qq.dtype), qq[:-1]])
