@@ -22,7 +22,30 @@ from tpumap.gsnap.paired import align_paired_records
 from tpumap.index.build import GenomeDB
 from tpumap.index.device import DeviceIndex
 from tpumap.io import sam
-from tpumap.io.fasta import read_seqs
+from tpumap.io.fasta import (ReadOptions, check_pair_names,
+                             preprocess_pairs, preprocess_reads, read_seqs)
+
+
+def run_check() -> int:
+    """--check: verify runtime assumptions (the analog of the reference's
+    compiler-assumption self-check, gmapindex -9 / gsnap --check)."""
+    import numpy as np
+    ok = True
+    try:
+        import jax
+        devs = jax.devices()
+        sys.stderr.write(f"jax backend: {devs[0].platform} "
+                         f"({len(devs)} device(s))\n")
+    except Exception as exc:   # pragma: no cover - environment specific
+        sys.stderr.write(f"jax unavailable: {exc}\n")
+        ok = False
+    # univcoord arithmetic relies on uint32 wraparound and 8-byte uint64
+    assert (np.array([2**32 - 1], np.uint32)
+            + np.array([1], np.uint32))[0] == 0
+    assert np.dtype(np.uint64).itemsize == 8
+    sys.stderr.write("numpy integer assumptions ok\n")
+    sys.stderr.write("check: ok\n" if ok else "check: FAILED\n")
+    return 0 if ok else 1
 
 
 def parse_part(spec: str) -> tuple[int, int]:
@@ -84,7 +107,7 @@ class OutputRouter:
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     ap = argparse.ArgumentParser(prog="tpumap-gsnap")
-    ap.add_argument("-D", "--dir", required=True, help="database directory")
+    ap.add_argument("-D", "--dir", help="database directory")
     ap.add_argument("-d", "--db", help="database name (informational)")
     ap.add_argument("-A", "--format", default="sam", choices=["sam", "m8"])
     ap.add_argument("-N", "--novelsplicing", type=int, default=0)
@@ -133,6 +156,44 @@ def main(argv=None):
     ap.add_argument("--interleaved", action="store_true",
                     help="single input file with read 1/read 2 "
                          "alternating (src/gsnap.c:612)")
+    # input preprocessing (src/shortread.c options)
+    ap.add_argument("--gunzip", action="store_true",
+                    help="accepted for compatibility; compression is "
+                         "auto-detected")
+    ap.add_argument("--bunzip2", action="store_true",
+                    help="accepted for compatibility; compression is "
+                         "auto-detected")
+    ap.add_argument("--read-files-command", dest="read_files_command",
+                    help="read input via the stdout of `COMMAND file`")
+    ap.add_argument("--barcode-length", dest="barcode_length", type=int,
+                    default=0, help="strip this many bases from the start "
+                                    "of every read")
+    ap.add_argument("--endtrim-length", dest="endtrim_length", type=int,
+                    default=0, help="strip this many bases from the end "
+                                    "of every read")
+    ap.add_argument("--fastq-id-start", dest="fastq_id_start", type=int,
+                    default=1, help="first space-delimited header field "
+                                    "of the read identifier (1-based)")
+    ap.add_argument("--fastq-id-end", dest="fastq_id_end", type=int,
+                    default=1, help="last header field of the identifier")
+    ap.add_argument("--filter-chastity", dest="filter_chastity",
+                    default="off", choices=["off", "either", "both"],
+                    help="skip reads failing the Illumina chastity flag")
+    ap.add_argument("--force-single-end", dest="force_single_end",
+                    action="store_true",
+                    help="treat two input files as single-end, not paired")
+    ap.add_argument("--allow-pe-name-mismatch",
+                    dest="allow_pe_name_mismatch", action="store_true",
+                    help="do not require paired accession names to match")
+    ap.add_argument("--quality-protocol", dest="quality_protocol",
+                    choices=["sanger", "illumina"],
+                    help="illumina = -J 64 -j -31; sanger = -J 33 -j 0")
+    ap.add_argument("-J", "--quality-zero-score", dest="quality_zero",
+                    type=int, default=None,
+                    help="ASCII value where FASTQ quality scores are zero")
+    ap.add_argument("-j", "--quality-print-shift", dest="quality_shift",
+                    type=int, default=None,
+                    help="shift output FASTQ quality scores by this amount")
     ap.add_argument("-o", "--output", help="output file (default stdout)")
     ap.add_argument("--append-output", action="store_true")
     ap.add_argument("--split-output", dest="split_output",
@@ -155,9 +216,40 @@ def main(argv=None):
                          "stderr")
     ap.add_argument("--time", action="store_true", dest="timing",
                     help="print alignment timing to stderr")
-    ap.add_argument("reads", help="FASTA/FASTQ file (read 1)")
+    ap.add_argument("--version", action="version",
+                    version="tpumap-gsnap "
+                            + __import__("tpumap").__version__
+                            + " (capability reference: GSNAP 2024-02-22)")
+    ap.add_argument("--check", action="store_true",
+                    help="check runtime assumptions and exit")
+    ap.add_argument("reads", nargs="?", help="FASTA/FASTQ file (read 1)")
     ap.add_argument("reads2", nargs="?", help="read-2 file for paired-end")
     args = ap.parse_args(argv)
+
+    if args.check:
+        return run_check()
+    if args.reads is None:
+        ap.error("need an input FASTA/FASTQ file")
+    if args.dir is None:
+        ap.error("need -D/--dir (database directory)")
+    if args.quality_protocol:
+        if args.quality_zero is not None or args.quality_shift is not None:
+            ap.error("cannot combine --quality-protocol with -J/-j")
+        if args.quality_protocol == "illumina":
+            args.quality_zero, args.quality_shift = 64, -31
+        else:
+            args.quality_zero, args.quality_shift = 33, 0
+    read_opts = ReadOptions(
+        barcode_length=args.barcode_length,
+        endtrim_length=args.endtrim_length,
+        fastq_id_start=args.fastq_id_start,
+        fastq_id_end=args.fastq_id_end,
+        filter_chastity=args.filter_chastity,
+        quality_shift=args.quality_shift or 0,
+        quality_zero=(args.quality_zero if args.quality_zero is not None
+                      else 33))
+    if read_opts.fastq_id_end < read_opts.fastq_id_start:
+        ap.error("--fastq-id-end must be >= --fastq-id-start")
 
     db = GenomeDB.load(args.dir)
     index = DeviceIndex.from_host(db)
@@ -248,8 +340,12 @@ def main(argv=None):
                              "read-2 files\n")
             return 2
         sc = SingleCell.from_file(args.whitelist)
-        pairs = list(shard(zip(read_seqs(args.reads),
-                               read_seqs(args.reads2))))
+        # read 1 carries barcodes: preprocessing applies to read 2 only
+        pairs = list(shard(zip(
+            read_seqs(args.reads, args.read_files_command),
+            preprocess_reads(read_seqs(args.reads2,
+                                       args.read_files_command),
+                             read_opts))))
         nreads = len(pairs)
         for r1, _r2 in pairs:
             sc.observe(r1.sequence)
@@ -265,13 +361,22 @@ def main(argv=None):
             out.write(s.line() + "\n")
             if s.flag & 4:
                 write_failed(r2)
-    elif args.reads2 or args.interleaved:
+    elif (args.reads2 and not args.force_single_end) or args.interleaved:
         if args.interleaved:
-            it = read_seqs(args.reads)
-            pairs = list(shard(zip(it, it)))
+            it = read_seqs(args.reads, args.read_files_command)
+            raw_pairs = zip(it, it)
         else:
-            pairs = list(shard(zip(read_seqs(args.reads),
-                                   read_seqs(args.reads2))))
+            raw_pairs = zip(read_seqs(args.reads, args.read_files_command),
+                            read_seqs(args.reads2,
+                                      args.read_files_command))
+        pairs = list(shard(preprocess_pairs(raw_pairs, read_opts)))
+        if not args.allow_pe_name_mismatch:
+            for r1, r2 in pairs:
+                if not check_pair_names(r1, r2):
+                    raise ValueError(
+                        f"paired accessions {r1.accession!r} and "
+                        f"{r2.accession!r} do not match (use "
+                        f"--allow-pe-name-mismatch to override)")
         nreads = 2 * len(pairs)
         results = list(align_paired_records(
             db, index, pairs, config, pairmax=args.pairmax,
@@ -293,7 +398,12 @@ def main(argv=None):
     else:
         # native tokenizer fast path feeds the batch arrays directly; the
         # Record list is still materialized for SAM output (names/quals)
-        records = list(shard(read_seqs(args.reads)))
+        import itertools
+        inputs = read_seqs(args.reads, args.read_files_command)
+        if args.reads2:   # --force-single-end: both files, single-end
+            inputs = itertools.chain(
+                inputs, read_seqs(args.reads2, args.read_files_command))
+        records = list(shard(preprocess_reads(inputs, read_opts)))
         nreads = len(records)
         if args.two_pass:
             from tpumap.gsnap.twopass import two_pass_align

@@ -29,10 +29,19 @@ class Record:
         return len(self.sequence)
 
 
-def _open_text(path: str | os.PathLike | io.IOBase):
+def _open_text(path: str | os.PathLike | io.IOBase,
+               read_files_command: str | None = None):
     if hasattr(path, "read"):
         return path
     path = os.fspath(path)
+    if read_files_command:
+        # src/shortread.c --read-files-command: input is the stdout of
+        # `command path` (e.g. "zcat", "dx cat")
+        import shlex
+        import subprocess
+        proc = subprocess.Popen(shlex.split(read_files_command) + [path],
+                                stdout=subprocess.PIPE, text=True)
+        return proc.stdout
     if path == "-":
         import sys
         return sys.stdin
@@ -82,9 +91,10 @@ def read_fastq(path) -> Iterator[Record]:
         yield Record(acc, desc, seq, qual)
 
 
-def read_seqs(path) -> Iterator[Record]:
+def read_seqs(path, read_files_command: str | None = None
+              ) -> Iterator[Record]:
     """Sniff FASTA vs FASTQ from the first non-blank character."""
-    fh = _open_text(path)
+    fh = _open_text(path, read_files_command)
     first = fh.read(1)
     while first and first in "\r\n \t":
         first = fh.read(1)
@@ -97,3 +107,93 @@ def read_seqs(path) -> Iterator[Record]:
     if first == "@":
         return read_fastq(fh)
     return read_fasta(fh)
+
+
+@dataclass
+class ReadOptions:
+    """Input preprocessing knobs (src/shortread.c / src/gsnap.c input
+    options): barcode/end trimming, FASTQ identifier field selection,
+    chastity filtering, quality-score protocol."""
+    barcode_length: int = 0        # --barcode-length
+    endtrim_length: int = 0        # --endtrim-length
+    fastq_id_start: int = 1        # --fastq-id-start (1-based field)
+    fastq_id_end: int = 1          # --fastq-id-end
+    filter_chastity: str = "off"   # off | either | both
+    quality_shift: int = 0         # -j/--quality-print-shift
+    quality_zero: int = 33         # -J/--quality-zero-score
+
+    @property
+    def active(self) -> bool:
+        return (self.barcode_length > 0 or self.endtrim_length > 0
+                or self.fastq_id_start != 1 or self.fastq_id_end != 1
+                or self.quality_shift != 0)
+
+
+def chastity_fail(rec: Record) -> bool:
+    """True if the Illumina chastity field marks this read as filtered:
+    description like '1:Y:0:CTTGTA' (src/shortread.c chastity parsing,
+    gsnap --filter-chastity help text)."""
+    field0 = rec.description.split(" ", 1)[0] if rec.description else ""
+    parts = field0.split(":")
+    return len(parts) >= 2 and parts[0].isdigit() and parts[1] == "Y"
+
+
+def apply_read_options(rec: Record, opts: ReadOptions) -> Record:
+    """Trim barcode/end, reselect the accession fields, shift quality."""
+    if opts.fastq_id_start != 1 or opts.fastq_id_end != 1:
+        fields = (rec.accession + " " + rec.description).split()
+        lo, hi = opts.fastq_id_start - 1, opts.fastq_id_end
+        if fields[lo:hi]:
+            rec.accession = " ".join(fields[lo:hi])
+            rec.description = ""
+    seq, qual = rec.sequence, rec.quality
+    if opts.barcode_length > 0:
+        seq = seq[opts.barcode_length:]
+        if qual:
+            qual = qual[opts.barcode_length:]
+    if opts.endtrim_length > 0:
+        seq = seq[:-opts.endtrim_length] if opts.endtrim_length < len(seq) \
+            else ""
+        if qual:
+            qual = qual[:len(seq)]
+    if qual and opts.quality_shift:
+        qual = "".join(chr(min(126, max(33, ord(c) + opts.quality_shift)))
+                       for c in qual)
+    rec.sequence, rec.quality = seq, qual
+    return rec
+
+
+def preprocess_reads(it: Iterator[Record],
+                     opts: ReadOptions) -> Iterator[Record]:
+    """Single-end preprocessing: chastity skip + per-read transforms."""
+    for rec in it:
+        # single-end: 'both' means the only end ('either' likewise)
+        if opts.filter_chastity != "off" and chastity_fail(rec):
+            continue
+        yield apply_read_options(rec, opts) if opts.active else rec
+
+
+def preprocess_pairs(it, opts: ReadOptions):
+    """Paired preprocessing: chastity either/both semantics + transforms."""
+    for r1, r2 in it:
+        if opts.filter_chastity != "off":
+            c1, c2 = chastity_fail(r1), chastity_fail(r2)
+            if opts.filter_chastity == "either" and (c1 or c2):
+                continue
+            if opts.filter_chastity == "both" and c1 and c2:
+                continue
+        if opts.active:
+            r1, r2 = apply_read_options(r1, opts), apply_read_options(r2, opts)
+        yield r1, r2
+
+
+def check_pair_names(r1: Record, r2: Record) -> bool:
+    """Paired accessions must match after stripping /1, /2 (or .1/.2)
+    suffixes (src/shortread.c Shortread_strip_subscripts)."""
+
+    def base(acc: str) -> str:
+        if len(acc) >= 2 and acc[-2] == "/" and acc[-1] in "12":
+            return acc[:-2]
+        return acc
+
+    return base(r1.accession) == base(r2.accession)
