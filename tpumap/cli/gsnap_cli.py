@@ -194,8 +194,82 @@ def main(argv=None):
     ap.add_argument("-j", "--quality-print-shift", dest="quality_shift",
                     type=int, default=None,
                     help="shift output FASTQ quality scores by this amount")
-    ap.add_argument("-o", "--output", help="output file (default stdout)")
+    ap.add_argument("-o", "--output", "--output-file", help="output file "
+                    "(default stdout)")
     ap.add_argument("--append-output", action="store_true")
+    # output filters (src/outbuffer.c / src/gsnap.c output options)
+    ap.add_argument("--nofails", action="store_true",
+                    help="exclude failed (unmapped) alignments from output")
+    ap.add_argument("--failsonly", action="store_true",
+                    help="print only failed alignments")
+    ap.add_argument("-Q", "--quiet-if-excessive", dest="quiet_if_excessive",
+                    action="store_true",
+                    help="print nothing (nomapping line) when more than "
+                         "--npaths paths are found")
+    ap.add_argument("--only-concordant", dest="only_concordant",
+                    action="store_true",
+                    help="print only concordant paired alignments")
+    ap.add_argument("--omit-concordant-uniq", dest="omit_concordant_uniq",
+                    action="store_true")
+    ap.add_argument("--omit-concordant-mult", dest="omit_concordant_mult",
+                    action="store_true")
+    ap.add_argument("--omit-softclipped", dest="omit_softclipped",
+                    action="store_true",
+                    help="drop alignments whose CIGAR contains soft clips")
+    ap.add_argument("--order-among-best", dest="order_among_best",
+                    default="genomic", choices=["genomic", "random"],
+                    help="tie-break order among equally-scoring paths "
+                         "(this implementation is deterministic: genomic)")
+    ap.add_argument("-O", "--ordered", action="store_true",
+                    help="accepted for compatibility; output is always "
+                         "in input order")
+    ap.add_argument("-t", "--nthreads", type=int, default=None,
+                    help="accepted for compatibility; parallelism comes "
+                         "from device batching, not worker threads")
+    ap.add_argument("-B", "--batch", default=None,
+                    help="accepted for compatibility; the index is always "
+                         "fully resident (HBM/host RAM)")
+    ap.add_argument("--input-buffer-size", dest="batch_size_alias",
+                    type=int, default=None,
+                    help="alias for --batch-size (reads per device batch)")
+    ap.add_argument("--output-buffer-size", type=int, default=None,
+                    help="accepted for compatibility; output is streamed")
+    ap.add_argument("--maxsearch", type=int, default=None,
+                    help="cap on candidate paths searched per read")
+    # SAM options (src/gsnap.c:686-717)
+    ap.add_argument("--sam-extended-cigar", dest="sam_extended_cigar",
+                    action="store_true",
+                    help="use X/= CIGAR codes instead of M")
+    ap.add_argument("--sam-multiple-primaries",
+                    dest="sam_multiple_primaries", action="store_true",
+                    help="equally good alignments all marked primary")
+    ap.add_argument("--sam-sparse-secondaries",
+                    dest="sam_sparse_secondaries", action="store_true",
+                    help="secondary alignments use * for SEQ and QUAL")
+    ap.add_argument("--sam-use-0M", dest="sam_use_0m", type=int, default=1,
+                    help="1 (default): allow 0M CIGAR entries; 0: strip")
+    ap.add_argument("--sam-hardclip-use-S", dest="sam_hardclip_use_s",
+                    action="store_true",
+                    help="accepted for compatibility; this implementation "
+                         "never hard-clips")
+    ap.add_argument("--sam-headers-batch", dest="sam_headers_batch",
+                    type=int, default=None,
+                    help="print SAM headers only for this --part batch")
+    ap.add_argument("--force-xs-dir", dest="force_xs_dir",
+                    action="store_true",
+                    help="replace XS:A:? with XS:A:+")
+    ap.add_argument("--action-if-cigar-error", dest="cigar_action",
+                    default="warning",
+                    choices=["ignore", "warning", "noprint", "abort"],
+                    help="what to do when CIGAR and SEQ lengths disagree")
+    ap.add_argument("--add-paired-nomappers", dest="add_paired_nomappers",
+                    action="store_true",
+                    help="accepted for compatibility; paired output "
+                         "always emits both ends")
+    ap.add_argument("--paired-flag-means-concordant",
+                    dest="paired_flag_means_concordant", type=int,
+                    default=0,
+                    help="1: SAM 0x1 set only for concordant pairs")
     ap.add_argument("--split-output", dest="split_output",
                     help="basename for per-category output files")
     ap.add_argument("--failed-input", dest="failed_input",
@@ -250,6 +324,44 @@ def main(argv=None):
                       else 33))
     if read_opts.fastq_id_end < read_opts.fastq_id_start:
         ap.error("--fastq-id-end must be >= --fastq-id-start")
+    if args.batch_size_alias:
+        args.batch_size = args.batch_size_alias
+
+    def nh_of(rec) -> int:
+        return next((int(t[5:]) for t in rec.tags
+                     if t.startswith("NH:i:")), 1)
+
+    def maybe_excessive(rec):
+        """-Q/--quiet-if-excessive: a read with more than --npaths paths
+        found is reported as nomapping (src/gsnap.c output options)."""
+        if args.quiet_if_excessive and nh_of(rec) > args.npaths:
+            ex = sam.unmapped_record(rec.qname, rec.seq, rec.qual)
+            ex.tags.append("XQ:i:0")
+            return ex
+        return rec
+
+    def cat_ok(cat: str, rec) -> bool:
+        if args.failsonly:
+            return cat == "nomapping"
+        if args.nofails and cat == "nomapping":
+            return False
+        if args.only_concordant and not cat.startswith("concordant"):
+            return False
+        if args.omit_concordant_uniq and cat == "concordant_uniq":
+            return False
+        if args.omit_concordant_mult and cat == "concordant_mult":
+            return False
+        if args.omit_softclipped and "S" in rec.cigar:
+            return False
+        return True
+
+    def shape(rec):
+        return sam.apply_sam_options(
+            rec, extended_cigar_p=args.sam_extended_cigar,
+            use_0m=bool(args.sam_use_0m), force_xs_dir=args.force_xs_dir,
+            sparse_secondaries=args.sam_sparse_secondaries,
+            multiple_primaries=args.sam_multiple_primaries,
+            cigar_action=args.cigar_action)
 
     db = GenomeDB.load(args.dir)
     index = DeviceIndex.from_host(db)
@@ -258,8 +370,11 @@ def main(argv=None):
         sys.stderr.write("error: -v requires a SNP-tolerant database "
                          "(run tpumap-snpindex first)\n")
         return 2
+    cfg_kw = {}
+    if args.maxsearch is not None:
+        cfg_kw["top_k"] = max(1, min(32, args.maxsearch))
     config = AlignConfig(mode=args.mode, snp_tolerant=args.use_snps,
-                         max_mismatch_frac=args.max_mismatches)
+                         max_mismatch_frac=args.max_mismatches, **cfg_kw)
 
     tr = None
     if args.use_transcriptome:
@@ -301,6 +416,9 @@ def main(argv=None):
             failed.write(f">{rec.accession}\n{rec.sequence}\n")
 
     def headers_to(fh_set):
+        if args.sam_headers_batch is not None and (
+                part is None or part[0] != args.sam_headers_batch):
+            return
         if args.format == "sam" and not args.no_sam_headers:
             h = sam.header(db, "tpumap-gsnap " + " ".join(argv),
                            rg=args.rg_id, rg_name=args.rg_name,
@@ -358,6 +476,7 @@ def main(argv=None):
         headers_to({out})
         for (r1, r2), s in zip(pairs, results):
             s.tags.extend(sc.sam_tags(r1.sequence, r1.quality))
+            shape(s)
             out.write(s.line() + "\n")
             if s.flag & 4:
                 write_failed(r2)
@@ -384,17 +503,28 @@ def main(argv=None):
             novelsplicing=bool(args.novelsplicing),
             max_intron=args.max_intron, known=known,
             orientation=args.orientation))
-        cats = {OutputRouter.paired_category(s1, s2)
-                for s1, s2 in results} if args.split_output else set()
+        for s1, s2 in results:
+            if args.paired_flag_means_concordant and not (s1.flag & 2):
+                s1.flag &= ~1
+                s2.flag &= ~1
+        cats = ({OutputRouter.paired_category(s1, s2)
+                 for s1, s2 in results
+                 if cat_ok(OutputRouter.paired_category(s1, s2), s1)}
+                if args.split_output else set())
         headers_to({router.get(c) for c in cats} or {out})
         for (r1, r2), (s1, s2) in zip(pairs, results):
-            tag_rg((s1, s2))
-            f = router.get(OutputRouter.paired_category(s1, s2))
-            f.write(s1.line() + "\n")
-            f.write(s2.line() + "\n")
             if (s1.flag & 4) and (s2.flag & 4):
                 write_failed(r1)
                 write_failed(r2)
+            cat = OutputRouter.paired_category(s1, s2)
+            if not (cat_ok(cat, s1) and cat_ok(cat, s2)):
+                continue
+            tag_rg((s1, s2))
+            shape(s1)
+            shape(s2)
+            f = router.get(cat)
+            f.write(s1.line() + "\n")
+            f.write(s2.line() + "\n")
     else:
         # native tokenizer fast path feeds the batch arrays directly; the
         # Record list is still materialized for SAM output (names/quals)
@@ -442,14 +572,21 @@ def main(argv=None):
                                   1 if s.flag & 16 else 0,
                                   len(rec.sequence), nm) + "\n")
         else:
-            cats = ({OutputRouter.single_category(s) for s in results}
+            shaped = []
+            for rec, s in zip(records, results):
+                s = maybe_excessive(s)
+                shaped.append((rec, s, OutputRouter.single_category(s)))
+            cats = ({c for _r, s, c in shaped if cat_ok(c, s)}
                     if args.split_output else set())
             headers_to({router.get(c) for c in cats} or {out})
-            for rec, s in zip(records, results):
-                tag_rg([s] + list(s.secondaries or ()))
-                router.get(OutputRouter.single_category(s)).write(s.lines())
+            for rec, s, cat in shaped:
                 if s.flag & 4:
                     write_failed(rec)
+                if not cat_ok(cat, s):
+                    continue
+                tag_rg([s] + list(s.secondaries or ()))
+                shape(s)
+                router.get(cat).write(s.lines())
 
     if args.timing:
         dt = time.perf_counter() - t0

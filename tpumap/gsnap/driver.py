@@ -416,7 +416,12 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             max_intron=max_intron, known=known, find_fusions=find_fusions,
             tr_records=tr_records, L=L)
 
-        def _emit(record, method):
+        def _emit(record, method, nh=1):
+            if not record.flag & 4:
+                # NH = number of co-optimal paths found (reference prints
+                # NH:i on every line, src/path-print-sam.c:691,929)
+                record.tags.append(f"NH:i:{max(1, nh)}")
+                record.tags.append("HI:i:1")
             if show_method:
                 record.tags.append(f"YM:Z:{method}")
             if stats is not None:
@@ -464,7 +469,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                     db, rec.accession, rec.sequence, rec.quality,
                     int(res["diag"][i]), int(res["strand"][i]),
                     int(mapq[i]), int(res["nmismatch"][i]), space=space,
-                    snp=config.snp_tolerant), "sub")
+                    snp=config.snp_tolerant), "sub",
+                    nh=int(res["n_best"][i]))
                 if npaths > 1:
                     # secondary alignments (gsnap -n, src/gsnap.c:704):
                     # further co-optimal candidates, flagged 0x100 and
@@ -487,6 +493,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                             dg, st, int(mapq[i]), nm,
                             space=MODE_SPACES[config.mode][st])
                         sec.flag |= 0x100
+                        sec.tags.append(f"NH:i:{max(1, int(res['n_best'][i]))}")
+                        sec.tags.append(f"HI:i:{len(secs) + 2}")
                         secs.append(sec)
                     if secs:
                         out[-1].secondaries = secs
