@@ -133,8 +133,76 @@ def main(argv=None):
     ap.add_argument("-n", "--npaths", type=int, default=1,
                     help="maximum alignments to report per read "
                          "(co-optimal extras are flagged secondary)")
-    ap.add_argument("--pairmax", type=int, default=2000)
-    ap.add_argument("--max-intron", type=int, default=200_000)
+    ap.add_argument("--pairmax", type=int, default=None,
+                    help="max genomic span for a concordant pair "
+                         "(overrides --pairmax-dna/--pairmax-rna)")
+    ap.add_argument("--pairmax-dna", dest="pairmax_dna", type=int,
+                    default=2000,
+                    help="pairmax when splicing is off (src/gsnap.c:378)")
+    ap.add_argument("--pairmax-rna", dest="pairmax_rna", type=int,
+                    default=200_000,
+                    help="pairmax when -N/-s splicing is on")
+    ap.add_argument("--pairexpect", type=int, default=1000,
+                    help="expected insert length; tie-breaks equal-score "
+                         "pairings (src/gsnap.c:383)")
+    ap.add_argument("--pairdev", type=int, default=100,
+                    help="accepted for compatibility (insert-length "
+                         "deviation; ranking uses distance from "
+                         "--pairexpect directly)")
+    ap.add_argument("--max-intron", type=int, default=None,
+                    help="max intron length for novel splices")
+    ap.add_argument("-w", "--localsplicedist", dest="max_intron",
+                    type=int, help="alias for --max-intron "
+                                   "(src/gsnap.c shortsplicedist)")
+    ap.add_argument("-Y", "--max-insertions", dest="max_insertions",
+                    type=int, default=6,
+                    help="max insertion length (src/gsnap.c:407)")
+    ap.add_argument("-Z", "--max-deletions", dest="max_deletions",
+                    type=int, default=9,
+                    help="max deletion length (src/gsnap.c:408)")
+    ap.add_argument("--indel-endlength", dest="indel_endlength", type=int,
+                    default=4,
+                    help="min matched length at ends flanking an indel "
+                         "(src/gsnap.c min_indel_end_matches)")
+    ap.add_argument("--query-unk-mismatch", dest="query_unk_mismatch",
+                    type=int, default=0, choices=[0, 1],
+                    help="count query N bases as mismatches")
+    ap.add_argument("--genome-unk-mismatch", dest="genome_unk_mismatch",
+                    type=int, default=1, choices=[0, 1],
+                    help="count genome N bases as mismatches")
+    ap.add_argument("--min-coverage", dest="min_coverage", type=float,
+                    default=0.0,
+                    help="drop alignments covering less than this "
+                         "fraction of the read")
+    ap.add_argument("--find-dna-chimeras", dest="find_dna_chimeras",
+                    type=int, default=None, choices=[0, 1],
+                    help="distant splicing with poor sites "
+                         "(alias of --find-fusions)")
+    ap.add_argument("--use-localdb", dest="use_localdb", type=int,
+                    default=1, choices=[0, 1],
+                    help="enable the regional salvage scan "
+                         "(localdb equivalent)")
+    ap.add_argument("--merge-distant-samechr", dest="merge_distant_samechr",
+                    action="store_true",
+                    help="report colinear same-chromosome distant splices "
+                         "as one SAM line with an N gap")
+    ap.add_argument("--pass1-min-support", dest="pass1_min_support",
+                    type=int, default=20,
+                    help="reads required to learn an intron in --two-pass "
+                         "pass 1 (src/gsnap.c:381)")
+    ap.add_argument("--resolve-inner", dest="resolve_inner", type=int,
+                    default=None,
+                    help="accepted for compatibility (inner soft-clip "
+                         "resolution; this implementation aligns ends "
+                         "full-length)")
+    ap.add_argument("-V", "--snpsdir", dest="snpsdir", default=None,
+                    help="accepted for compatibility; the SNP index "
+                         "lives inside the database directory")
+    ap.add_argument("--splicingdir", dest="splicingdir", default=None,
+                    help="directory holding the -s splicing map")
+    ap.add_argument("--chrsubset", dest="chrsubset", default=None,
+                    help="restrict reported alignments to this "
+                         "chromosome")
     ap.add_argument("-m", "--max-mismatches", dest="max_mismatches",
                     type=float, default=0.10,
                     help="maximum mismatches as a fraction of read length "
@@ -326,6 +394,24 @@ def main(argv=None):
         ap.error("--fastq-id-end must be >= --fastq-id-start")
     if args.batch_size_alias:
         args.batch_size = args.batch_size_alias
+    # splicing-dependent defaults (src/gsnap.c pairmax_dna/pairmax_rna)
+    splicing_on = bool(args.novelsplicing or args.use_splicing
+                       or args.two_pass or args.splices_read)
+    if args.pairmax is None:
+        args.pairmax = args.pairmax_rna if splicing_on else args.pairmax_dna
+    if args.max_intron is None:
+        args.max_intron = 200_000
+    if args.find_dna_chimeras is not None:
+        args.find_fusions = bool(args.find_dna_chimeras)
+    if (args.splicingdir and args.use_splicing
+            and "/" not in args.use_splicing):
+        import os
+        args.use_splicing = os.path.join(args.splicingdir,
+                                         args.use_splicing)
+    knob_kw = dict(max_insertions=args.max_insertions,
+                   max_deletions=args.max_deletions,
+                   indel_endlength=args.indel_endlength,
+                   use_localdb=bool(args.use_localdb))
 
     def nh_of(rec) -> int:
         return next((int(t[5:]) for t in rec.tags
@@ -333,7 +419,11 @@ def main(argv=None):
 
     def maybe_excessive(rec):
         """-Q/--quiet-if-excessive: a read with more than --npaths paths
-        found is reported as nomapping (src/gsnap.c output options)."""
+        found is reported as nomapping (src/gsnap.c output options);
+        --chrsubset likewise voids alignments outside the subset."""
+        if (args.chrsubset and not rec.flag & 4
+                and rec.rname != args.chrsubset):
+            return sam.unmapped_record(rec.qname, rec.seq, rec.qual)
         if args.quiet_if_excessive and nh_of(rec) > args.npaths:
             ex = sam.unmapped_record(rec.qname, rec.seq, rec.qual)
             ex.tags.append("XQ:i:0")
@@ -353,6 +443,11 @@ def main(argv=None):
             return False
         if args.omit_softclipped and "S" in rec.cigar:
             return False
+        if args.min_coverage > 0 and not rec.flag & 4 and rec.seq != "*":
+            aligned = sum(n for n, op in sam._cigar_ops(rec.cigar)
+                          if op in "MI=X")
+            if aligned < args.min_coverage * len(rec.seq):
+                return False
         return True
 
     def shape(rec):
@@ -374,7 +469,10 @@ def main(argv=None):
     if args.maxsearch is not None:
         cfg_kw["top_k"] = max(1, min(32, args.maxsearch))
     config = AlignConfig(mode=args.mode, snp_tolerant=args.use_snps,
-                         max_mismatch_frac=args.max_mismatches, **cfg_kw)
+                         max_mismatch_frac=args.max_mismatches,
+                         query_unk_mismatch=bool(args.query_unk_mismatch),
+                         genome_unk_mismatch=bool(args.genome_unk_mismatch),
+                         **cfg_kw)
 
     tr = None
     if args.use_transcriptome:
@@ -472,7 +570,7 @@ def main(argv=None):
                                 novelsplicing=bool(args.novelsplicing),
                                 max_intron=args.max_intron,
                                 batch_size=args.batch_size, known=known,
-                                tr=tr)
+                                tr=tr, **knob_kw)
         headers_to({out})
         for (r1, r2), s in zip(pairs, results):
             s.tags.extend(sc.sam_tags(r1.sequence, r1.quality))
@@ -502,7 +600,8 @@ def main(argv=None):
             batch_size=args.batch_size,
             novelsplicing=bool(args.novelsplicing),
             max_intron=args.max_intron, known=known,
-            orientation=args.orientation))
+            orientation=args.orientation, pairexpect=args.pairexpect,
+            **knob_kw))
         for s1, s2 in results:
             if args.paired_flag_means_concordant and not (s1.flag & 2):
                 s1.flag &= ~1
@@ -541,6 +640,7 @@ def main(argv=None):
                                           max_intron=args.max_intron,
                                           batch_size=args.batch_size,
                                           splices_dump=args.splices_dump,
+                                          min_support=args.pass1_min_support,
                                           tr=tr)
         else:
             method_stats = {} if args.stats else None
@@ -551,7 +651,10 @@ def main(argv=None):
                                     tr=tr, find_fusions=args.find_fusions,
                                     npaths=args.npaths,
                                     show_method=args.show_method,
-                                    stats=method_stats)
+                                    stats=method_stats,
+                                    merge_distant_samechr=(
+                                        args.merge_distant_samechr),
+                                    **knob_kw)
             if method_stats is not None:
                 total = sum(method_stats.values()) or 1
                 for m, c in sorted(method_stats.items(),

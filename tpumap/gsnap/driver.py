@@ -52,9 +52,40 @@ MIN_INTRON = 9
 MIN_FUSION_PIECE = 20     # src/path-fusion.c requires substantial ends
 
 
+def _indel_limits_ok(ops, max_insertions: int, max_deletions: int,
+                     indel_endlength: int) -> bool:
+    """Enforce gsnap -Y/--max-insertions, -Z/--max-deletions and
+    --indel-endlength (src/gsnap.c:648-649, min_indel_end_matches) on a
+    DP edit transcript (T_MATCH/T_INS/T_DEL codes, forward order)."""
+    from tpumap.ops import dp as dp_ops
+    if not ops:
+        return True
+    runs = []                     # (op, runlength)
+    for o in ops:
+        if runs and runs[-1][0] == o:
+            runs[-1][1] += 1
+        else:
+            runs.append([o, 1])
+    has_indel = any(o != dp_ops.T_MATCH for o, _n in runs)
+    if not has_indel:
+        return True
+    for o, n in runs:
+        if o == dp_ops.T_INS and n > max_insertions:
+            return False
+        if o == dp_ops.T_DEL and n > max_deletions:
+            return False
+    if runs[0][0] != dp_ops.T_MATCH or runs[0][1] < indel_endlength:
+        return False
+    if runs[-1][0] != dp_ops.T_MATCH or runs[-1][1] < indel_endlength:
+        return False
+    return True
+
+
 def refine_unsolved(db, index, batch, res, config,
                     novelsplicing=False, max_intron=200_000, known=None,
-                    find_fusions=False, tr_records=None, L=None):
+                    find_fusions=False, tr_records=None, L=None,
+                    max_insertions=6, max_deletions=9, indel_endlength=4,
+                    use_localdb=True):
     """The post-cascade refinement ladder shared by the single-end and
     paired-end drivers: banded-DP indels, splice junctions (novel +
     known-partner + localscan salvage), fusions. Returns
@@ -100,6 +131,9 @@ def refine_unsolved(db, index, batch, res, config,
             if int(ref["score"][row]) > sub_score:
                 ops = [o for o in ref["ops"][row][::-1]
                        if o != dp_ops.T_END]
+                if not _indel_limits_ok(ops, max_insertions,
+                                        max_deletions, indel_endlength):
+                    continue
                 dp_result[i] = (int(res["diag"][i])
                                 + int(ref["start_off"][row]),
                                 ops, int(ref["score"][row]))
@@ -145,7 +179,7 @@ def refine_unsolved(db, index, batch, res, config,
         # scan (ops/localscan.py; the Spliceends_* + Localdb_get path).
         # The unaligned portion is delimited host-side by the first/
         # last 20-base exact run against the anchored diagonal.
-        if novelsplicing:
+        if novelsplicing and use_localdb:
             salv = []
             for j, (i, p) in enumerate(zip(sneed, pairs_per_read)):
                 if p or res["diag"][i] == 0xFFFFFFFF:
@@ -381,7 +415,11 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   batch_size: int = 1024, known=None,
                   tr=None, find_fusions: bool = False,
                   npaths: int = 1, show_method: bool = False,
-                  stats: dict | None = None) -> list[sam.SamRecord]:
+                  stats: dict | None = None,
+                  max_insertions: int = 6, max_deletions: int = 9,
+                  indel_endlength: int = 4, use_localdb: bool = True,
+                  merge_distant_samechr: bool = False
+                  ) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -414,7 +452,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         dp_result, splice_result, fusion_result = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
             max_intron=max_intron, known=known, find_fusions=find_fusions,
-            tr_records=tr_records, L=L)
+            tr_records=tr_records, L=L,
+            max_insertions=max_insertions, max_deletions=max_deletions,
+            indel_endlength=indel_endlength, use_localdb=use_localdb)
 
         def _emit(record, method, nh=1):
             if not record.flag & 4:
@@ -446,6 +486,17 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             if i in fusion_result:
                 f = fusion_result[i]
                 if (3 * li - f["score"]) // 6 <= max_equiv + 4:
+                    # --merge-distant-samechr: a colinear same-chromosome
+                    # distant splice becomes ONE line with an N gap
+                    # instead of primary+supplementary (src/gsnap.c:666)
+                    if (merge_distant_samechr and f["dB"] > f["dA"]
+                            and db.chrnum(f["dA"])
+                            == db.chrnum(f["dB"] + f["qstar"])):
+                        _emit(sam.spliced_record(
+                            db, rec.accession, rec.sequence, rec.quality,
+                            f["dA"], f["dB"], f["qstar"], li,
+                            f["strand"], int(mapq[i]), 0), "fusion")
+                        continue
                     recs_f = sam.fusion_records(
                         db, rec.accession, rec.sequence, rec.quality,
                         f["dA"], f["dB"], f["qstar"], f["strand"],

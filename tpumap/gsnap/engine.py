@@ -41,6 +41,10 @@ class AlignConfig:
     # counted against ref OR alt allele
     snp_tolerant: bool = False
     max_mismatch_frac: float = 0.10   # unaligned if worse
+    # N-base semantics (gsnap --query-unk-mismatch/--genome-unk-mismatch):
+    # True = N counts as a mismatch, False = N matches anything
+    query_unk_mismatch: bool = True
+    genome_unk_mismatch: bool = True
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -77,7 +81,9 @@ def align_batch(index: DeviceIndex, batch, config: AlignConfig):
                                          space=space,
                                          index_space="snp" if snp else None)
         nmm = verify.verify_diagonals(index, packed, nmask2, lengths, diags,
-                                      space=space, snp=snp)
+                                      space=space, snp=snp,
+                                      query_unk=config.query_unk_mismatch,
+                                      genome_unk=config.genome_unk_mismatch)
         return diags, nmm
 
     fdiags, fnmm = one_strand(codes, nmask, space_fwd)
@@ -222,15 +228,21 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
             jnp.concatenate([fn2, rn2], axis=0),
             jnp.concatenate([lengths, lengths], axis=0),
             jnp.concatenate([fcands, rcands], axis=0),
-            space=space_fwd, snp=config.snp_tolerant)
+            space=space_fwd, snp=config.snp_tolerant,
+            query_unk=config.query_unk_mismatch,
+            genome_unk=config.genome_unk_mismatch)
         fnmm, rnmm = stacked[:B], stacked[B:]
     else:
         fnmm = verify.verify_diagonals(index, fp, fn2, lengths, fcands,
                                        space=space_fwd,
-                                       snp=config.snp_tolerant)
+                                       snp=config.snp_tolerant,
+                                       query_unk=config.query_unk_mismatch,
+                                       genome_unk=config.genome_unk_mismatch)
         rnmm = verify.verify_diagonals(index, rp, rn2, lengths, rcands,
                                        space=space_rc,
-                                       snp=config.snp_tolerant)
+                                       snp=config.snp_tolerant,
+                                       query_unk=config.query_unk_mismatch,
+                                       genome_unk=config.genome_unk_mismatch)
     K = fcands.shape[1]
     all_diags = jnp.concatenate([fcands, rcands], axis=1)
     all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
@@ -296,7 +308,9 @@ def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
         jnp.concatenate([nmask2, rc_nmask2], axis=0),
         jnp.concatenate([lengths, lengths], axis=0),
         jnp.concatenate([fcands, rcands], axis=0),
-        snp=config.snp_tolerant)
+        snp=config.snp_tolerant,
+        query_unk=config.query_unk_mismatch,
+        genome_unk=config.genome_unk_mismatch)
     fnmm, rnmm = stacked[:B], stacked[B:]
     K = fcands.shape[1]
     all_diags = jnp.concatenate([fcands, rcands], axis=1)

@@ -46,7 +46,8 @@ def rescue_mate(index, codes: jax.Array, lengths: jax.Array, window: int,
 
 
 def _concordant_pairs(cands1, cands2, L1, L2, pairmax,
-                      orientation: str = "FR"):
+                      orientation: str = "FR",
+                      pairexpect: int | None = None):
     """Best concordant (c1, c2) candidate index pair or None.
 
     cands*: (diags uint32[K], strands int32[K], nmm int32[K]).
@@ -88,7 +89,11 @@ def _concordant_pairs(cands1, cands2, L1, L2, pairmax,
             if not ok:
                 continue
             score = int(n1[i]) + int(n2[j])
-            key = (score, insert)
+            # tie-break among equal-score pairings: insert length closest
+            # to --pairexpect (src/gsnap.c expected_pairlength), else
+            # smallest insert
+            key = (score, abs(insert - pairexpect)
+                   if pairexpect is not None else insert)
             if best is None or key < best[0]:
                 best = (key, i, j, insert)
     return best
@@ -102,7 +107,12 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          novelsplicing: bool = False,
                          max_intron: int = 200_000,
                          known=None,
-                         orientation: str = "FR") -> list[tuple[sam.SamRecord, sam.SamRecord]]:
+                         orientation: str = "FR",
+                         pairexpect: int | None = None,
+                         max_insertions: int = 6, max_deletions: int = 9,
+                         indel_endlength: int = 4,
+                         use_localdb: bool = True
+                         ) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
     paired path) after concordance/mate-rescue, so paired RNA reads get
@@ -167,7 +177,9 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
 
         dp_result, splice_result, _fus = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
-            max_intron=max_intron, known=known, L=L)
+            max_intron=max_intron, known=known, L=L,
+            max_insertions=max_insertions, max_deletions=max_deletions,
+            indel_endlength=indel_endlength, use_localdb=use_localdb)
 
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1
@@ -189,7 +201,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                  res["cand_nmm"][i1]),
                 (res["cand_diags"][i2], res["cand_strands"][i2],
                  res["cand_nmm"][i2]), L1, L2, pairmax,
-                orientation=orientation)
+                orientation=orientation, pairexpect=pairexpect)
             e1, e2 = end_info(i1), end_info(i2)
             if cand is not None:
                 _, ci, cj, insert = cand

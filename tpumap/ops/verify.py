@@ -92,7 +92,9 @@ def extract_codes_window(genome_packed: jax.Array, starts: jax.Array,
 
 def mismatch_words(query_packed: jax.Array, genome_window: jax.Array,
                    query_nmask2: jax.Array | None = None,
-                   genome_nmask2: jax.Array | None = None) -> jax.Array:
+                   genome_nmask2: jax.Array | None = None,
+                   query_unk: bool = True,
+                   genome_unk: bool = True) -> jax.Array:
     """Per-word mismatch mask: bit 2*j set iff base j mismatches.
 
     query_packed / genome_window: uint32[..., W]; *_nmask2: same shape,
@@ -100,10 +102,13 @@ def mismatch_words(query_packed: jax.Array, genome_window: jax.Array,
     """
     x = query_packed ^ genome_window
     mm = (x | (x >> 1)) & LOW_PAIRS
+    # unk-mismatch semantics (gsnap --query-unk-mismatch /
+    # --genome-unk-mismatch): N counts as a mismatch (|) or matches
+    # anything (& ~)
     if query_nmask2 is not None:
-        mm = mm | query_nmask2
+        mm = (mm | query_nmask2) if query_unk else (mm & ~query_nmask2)
     if genome_nmask2 is not None:
-        mm = mm | genome_nmask2
+        mm = (mm | genome_nmask2) if genome_unk else (mm & ~genome_nmask2)
     return mm
 
 
@@ -132,7 +137,9 @@ def mismatch_base_mask(mm_words: jax.Array, L: int) -> jax.Array:
 
 def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
                      lengths: jax.Array, diagonals: jax.Array,
-                     space: str | None = None, snp: bool = False) -> jax.Array:
+                     space: str | None = None, snp: bool = False,
+                     query_unk: bool = True,
+                     genome_unk: bool = True) -> jax.Array:
     """Count mismatches of each read against each candidate univdiagonal.
 
     read_packed: uint32[B, W]; read_nmask2: uint32[B, W] (spread bits);
@@ -165,14 +172,16 @@ def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
         read_packed = transform_packed(read_packed, space)
         gwin = transform_packed(gwin, space)
     mm = mismatch_words(read_packed[:, None, :], gwin,
-                        read_nmask2[:, None, :], gn2)
+                        read_nmask2[:, None, :], gn2,
+                        query_unk=query_unk, genome_unk=genome_unk)
     if snp and index.genomealt_packed is not None:
         gwin_alt = extract_packed_window(index.genomealt_packed, starts, W)
         if space is not None:
             from tpumap.ops.mode import transform_packed
             gwin_alt = transform_packed(gwin_alt, space)
         mm_alt = mismatch_words(read_packed[:, None, :], gwin_alt,
-                                read_nmask2[:, None, :], gn2)
+                                read_nmask2[:, None, :], gn2,
+                                query_unk=query_unk, genome_unk=genome_unk)
         mm = mm & mm_alt
     lmask = length_mask_words(lengths, W)[:, None, :]
     counts = count_mismatches(mm, lmask)
