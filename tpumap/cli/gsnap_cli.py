@@ -244,6 +244,18 @@ def main(argv=None):
                                     "of the read identifier (1-based)")
     ap.add_argument("--fastq-id-end", dest="fastq_id_end", type=int,
                     default=1, help="last header field of the identifier")
+    ap.add_argument("-a", "--adapter-strip", dest="adapter_strip",
+                    default="off", choices=["off", "paired"],
+                    help="paired: detect read-through and trim adapters "
+                         "(src/shortread.c chop_primers)")
+    ap.add_argument("--clip-overlap", dest="clip_overlap",
+                    action="store_true",
+                    help="soft-clip the overlapping region of "
+                         "overlapping paired-end alignments")
+    ap.add_argument("--merge-overlap", dest="merge_overlap",
+                    action="store_true",
+                    help="merge overlapping paired-end alignments into "
+                         "a single end (beta, all-M alignments only)")
     ap.add_argument("--filter-chastity", dest="filter_chastity",
                     default="off", choices=["off", "either", "both"],
                     help="skip reads failing the Illumina chastity flag")
@@ -587,6 +599,9 @@ def main(argv=None):
                             read_seqs(args.reads2,
                                       args.read_files_command))
         pairs = list(shard(preprocess_pairs(raw_pairs, read_opts)))
+        if args.adapter_strip == "paired":
+            from tpumap.io.fasta import strip_adapters_pair
+            pairs = [strip_adapters_pair(r1, r2) for r1, r2 in pairs]
         if not args.allow_pe_name_mismatch:
             for r1, r2 in pairs:
                 if not check_pair_names(r1, r2):
@@ -615,6 +630,17 @@ def main(argv=None):
             if (s1.flag & 4) and (s2.flag & 4):
                 write_failed(r1)
                 write_failed(r2)
+            if args.merge_overlap:
+                merged = sam.merge_overlap_pair(db, s1, s2)
+                if merged is not None:
+                    mcat = OutputRouter.single_category(merged)
+                    if cat_ok(mcat, merged):
+                        tag_rg((merged,))
+                        shape(merged)
+                        router.get(mcat).write(merged.line() + "\n")
+                    continue
+            if args.clip_overlap:
+                sam.clip_overlap_pair(db, s1, s2)
             cat = OutputRouter.paired_category(s1, s2)
             if not (cat_ok(cat, s1) and cat_ok(cat, s2)):
                 continue

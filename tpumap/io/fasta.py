@@ -197,3 +197,51 @@ def check_pair_names(r1: Record, r2: Record) -> bool:
         return acc
 
     return base(r1.accession) == base(r2.accession)
+
+
+def strip_adapters_pair(r1: Record, r2: Record,
+                        min_overlap: int = 12) -> tuple[Record, Record]:
+    """gsnap -a/--adapter-strip=paired (src/shortread.c chop_primers):
+    detect paired-end read-through — the fragment is shorter than the
+    read length, so each read runs into the other end's adapter — and
+    trim both reads down to the fragment.
+
+    Model: fragment F of length f; r1 = F[:L1] (+adapter if f < L1),
+    rc(r2) = F[f-L2:f] (+adapter bases before, if f < L2). For each
+    candidate f the overlap of r1 and rc(r2) in fragment coordinates is
+    checked; the best high-identity overlap wins.
+    """
+    from tpumap.utils import dna as _dna
+    s1, s2 = r1.sequence, r2.sequence
+    L1, L2 = len(s1), len(s2)
+    if L1 < min_overlap or L2 < min_overlap:
+        return r1, r2
+    rc2 = _dna.revcomp(s2)
+    best_f, best_score = None, 0
+    for f in range(min_overlap, L1 + L2 - min_overlap + 1):
+        lo, hi = max(0, f - L2), min(L1, f)
+        ov = hi - lo
+        if ov < min_overlap:
+            continue
+        a = s1[lo:hi]
+        b = rc2[lo - (f - L2):hi - (f - L2)]
+        mm = sum(1 for x, y in zip(a, b) if x != y)
+        if mm > ov // 12:
+            continue
+        score = ov - 4 * mm
+        if score > best_score:
+            best_score, best_f = score, f
+    if best_f is None or best_f >= max(L1, L2):
+        return r1, r2          # no read-through evidence
+    f = best_f
+    if f < L1:
+        r1.sequence = s1[:f]
+        if r1.quality:
+            r1.quality = r1.quality[:f]
+    if f < L2:
+        # read 2 sequences from the fragment's far end: its first f bases
+        # are fragment, the rest adapter
+        r2.sequence = s2[:f]
+        if r2.quality:
+            r2.quality = r2.quality[:f]
+    return r1, r2
