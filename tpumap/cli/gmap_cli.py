@@ -196,6 +196,22 @@ def main(argv=None):
                          "intron placement")
     ap.add_argument("-n", "--npaths", type=int, default=1,
                     help="maximum number of paths to report per query")
+    ap.add_argument("-I", "--invertmode", dest="invertmode", type=int,
+                    default=0, choices=[0, 1, 2],
+                    help="minus-strand display: 0 = original cDNA vs "
+                         "genome (-) strand descending (default), "
+                         "1 = inverted cDNA vs (-) strand text, "
+                         "2 = inverted cDNA vs (+) strand text "
+                         "(src/pair.c invertmode)")
+    ap.add_argument("--wraplength", type=int, default=50,
+                    help="alignment block width (default 50)")
+    ap.add_argument("--nolengths", action="store_true",
+                    help="omit intron lengths in the alignment display")
+    ap.add_argument("--nomargin", action="store_true",
+                    help="omit the left margin in -A output")
+    ap.add_argument("--introngap", type=int, default=3,
+                    help="intron-flank bases shown in the alignment "
+                         "(default 3)")
     ap.add_argument("-x", "--chimera-margin", dest="chimera_margin",
                     type=int, default=0,
                     help="report chimeras when an uncovered query margin "
@@ -283,7 +299,12 @@ def main(argv=None):
                                       region_codes, len(qcodes),
                                       chrname=chrname,
                                       genome_offset=chrom_offset,
-                                      summary_only=(fmt == "summary")))
+                                      summary_only=(fmt == "summary"),
+                                      invertmode=args.invertmode,
+                                      wraplength=args.wraplength,
+                                      ngap=args.introngap,
+                                      nolengths=args.nolengths,
+                                      nomargin=args.nomargin))
 
     if args.gseg:
         region = next(read_fasta(args.gseg))

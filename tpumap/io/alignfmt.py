@@ -3,10 +3,17 @@
 Byte-format analog of the reference's default output (src/pair.c
 Pair_print_pathsummary / Pair_print_alignment; golden:
 tests/align.test.ok). The alignment is rendered over a unified column
-stream: one column per aligned query/genome base plus a fixed 9-column
-marker per intron (3 donor bases, '...', 3 acceptor bases; '>>>...>>>'
-match row; intron length centered in the query row), wrapped in 50-column
+stream: one column per aligned query/genome base plus a fixed marker per
+intron (ngap donor bases, '...', ngap acceptor bases; '>>>...>>>' match
+row; intron length centered in the query row), wrapped in wraplength-column
 blocks of ruler / aa.g / genome / match / query / aa.c rows.
+
+Minus-strand queries honor gmap -I/--invertmode (src/pair.c invertmode):
+  0 (default)  cDNA shown in its original orientation; genome minus strand,
+               coordinates descending (the stream is the reverse complement
+               of the aligned stream)
+  1            cDNA inverted; genome minus-strand text, ascending coords
+  2            cDNA inverted; genome plus-strand text (the aligned stream)
 """
 from __future__ import annotations
 
@@ -19,14 +26,22 @@ from tpumap.gmap.translation import best_orf, translate_codes
 from tpumap.utils import dna
 
 BLOCK = 50
-RULER = ""
-for _c in range(1, BLOCK + 1):
-    if _c % 10 == 5:
-        RULER += "."
-    elif _c % 10 == 0:
-        RULER += ":"
-    else:
-        RULER += " "
+_COMP = str.maketrans("ACGTacgt", "TGCAtgca")
+
+
+def make_ruler(block: int) -> str:
+    r = ""
+    for c in range(1, block + 1):
+        if c % 10 == 5:
+            r += "."
+        elif c % 10 == 0:
+            r += ":"
+        else:
+            r += " "
+    return r
+
+
+RULER = make_ruler(BLOCK)
 
 
 def commafmt(n: int) -> str:
@@ -39,24 +54,30 @@ class Column:
     qchar: str = " "
     mchar: str = " "
     gpos: int = -1       # 1-based genomic coordinate or -1
-    qpos: int = -1       # 1-based query coordinate (original orientation)
+    qpos: int = -1       # 1-based query coordinate (displayed numbering)
     aag: str = " "
     aac: str = " "
     aanum: int = -1      # aa index if an aa letter sits here
+    marker: int = -1     # intron-marker group id (-1 = not a marker col)
 
 
 def build_columns(chain: ExonChain, query_codes: np.ndarray,
                   region_codes: np.ndarray, genome_offset: int = 0,
-                  orf=None) -> list[Column]:
-    """Column stream for one path.
+                  orf=None, qpos_map=None, ngap: int = 3,
+                  nolengths: bool = False, aa_dir: int = 1) -> list[Column]:
+    """Column stream for one path, in ALIGNED orientation.
 
     query_codes: ALIGNED orientation codes. genome_offset: added to region
     coords for display (univcoord/chrpos base). orf: optional (qs, qe, aa)
-    from best_orf on the aligned query.
+    from best_orf on the aligned query. qpos_map: aligned 0-based query
+    position -> displayed 1-based number (default q + 1).
     """
     qlen = len(query_codes)
+    if qpos_map is None:
+        qpos_map = lambda q: q + 1   # noqa: E731
     cols: list[Column] = []
-    # amino acid placement: letter at the middle base of each codon
+    width = 2 * ngap + 3
+    # amino acid placement: letter at the first base of each codon
     aag_by_q = {}
     aac_by_q = {}
     aanum_by_q = {}
@@ -66,20 +87,31 @@ def build_columns(chain: ExonChain, query_codes: np.ndarray,
         gside = np.zeros(qlen, dtype=np.uint8)
         covered = np.zeros(qlen, dtype=bool)
         for e in chain.exons:
-            span = e.qend - e.qstart
             gside[e.qstart:e.qend] = region_codes[e.gstart:e.gend]
             covered[e.qstart:e.qend] = True
         n_aa = (orf_e - orf_s) // 3
         for a in range(n_aa):
-            qpos = orf_s + 3 * a
-            if qpos + 2 >= qlen:
-                break
-            # the reference prints the aa letter at the codon's first base
-            aac_by_q[qpos] = translate_codes(query_codes[qpos:qpos + 3])
-            if covered[qpos:qpos + 3].all():
-                aag_by_q[qpos] = translate_codes(gside[qpos:qpos + 3])
+            if aa_dir > 0:
+                qpos = orf_s + 3 * a
+                if qpos + 2 >= qlen:
+                    break
+                cod = query_codes[qpos:qpos + 3]
+                gcod = (gside[qpos:qpos + 3]
+                        if covered[qpos:qpos + 3].all() else cod)
+                aac_by_q[qpos] = translate_codes(cod)
+                aag_by_q[qpos] = translate_codes(gcod)
             else:
-                aag_by_q[qpos] = aac_by_q[qpos]
+                # codons read DESCENDING in aligned space (the original
+                # cDNA orientation of a minus-strand hit); letter at the
+                # reading-direction first base
+                qpos = orf_e - 1 - 3 * a
+                if qpos - 2 < 0:
+                    break
+                cod = dna.revcomp_codes(query_codes[qpos - 2:qpos + 1])
+                gcod = (dna.revcomp_codes(gside[qpos - 2:qpos + 1])
+                        if covered[qpos - 2:qpos + 1].all() else cod)
+                aac_by_q[qpos] = translate_codes(cod)
+                aag_by_q[qpos] = translate_codes(gcod)
             aanum_by_q[qpos] = a + 1
 
     for i, e in enumerate(chain.exons):
@@ -87,37 +119,85 @@ def build_columns(chain: ExonChain, query_codes: np.ndarray,
             prev = chain.exons[i - 1]
             ilen = e.gstart - prev.gend
             if ilen > 0:
-                label = str(ilen)
-                pad = (9 - len(label)) // 2
-                lab = " " * pad + label + " " * (9 - pad - len(label))
-                gleft = [dna.BASES[region_codes[prev.gend + j]] for j in range(3)] \
-                    if prev.gend + 3 <= len(region_codes) else ["N"] * 3
-                gright = [dna.BASES[region_codes[e.gstart - 3 + j]] for j in range(3)] \
-                    if e.gstart - 3 >= 0 else ["N"] * 3
+                label = "" if nolengths else str(ilen)
+                pad = (width - len(label)) // 2
+                lab = " " * pad + label + " " * (width - pad - len(label))
+                gleft = [dna.BASES[region_codes[prev.gend + j]]
+                         for j in range(ngap)] \
+                    if prev.gend + ngap <= len(region_codes) else ["N"] * ngap
+                gright = [dna.BASES[region_codes[e.gstart - ngap + j]]
+                          for j in range(ngap)] \
+                    if e.gstart - ngap >= 0 else ["N"] * ngap
                 gchars = gleft + ["."] * 3 + gright
-                gposs = ([prev.gend + 1 + j for j in range(3)] + [-1] * 3
-                         + [e.gstart - 2 + j for j in range(3)])
-                for j in range(9):
+                gposs = ([prev.gend + 1 + j for j in range(ngap)] + [-1] * 3
+                         + [e.gstart - ngap + 1 + j for j in range(ngap)])
+                mrow = ">" * ngap + "..." + ">" * ngap
+                for j in range(width):
                     cols.append(Column(gchar=gchars[j], qchar=lab[j],
-                                       mchar=">>>...>>>"[j],
+                                       mchar=mrow[j],
                                        gpos=(gposs[j] + genome_offset
-                                             if gposs[j] > 0 else -1)))
+                                             if gposs[j] > 0 else -1),
+                                       marker=i))
         for q in range(e.qstart, e.qend):
             g = e.gstart + (q - e.qstart)
             gc = dna.BASES[region_codes[g]]
             qc = dna.BASES[query_codes[q]]
             cols.append(Column(
                 gchar=gc, qchar=qc, mchar="|" if gc == qc else " ",
-                gpos=g + 1 + genome_offset, qpos=q + 1,
+                gpos=g + 1 + genome_offset, qpos=qpos_map(q),
                 aag=aag_by_q.get(q, " "), aac=aac_by_q.get(q, " "),
                 aanum=aanum_by_q.get(q, -1)))
     return cols
 
 
-def render_blocks(cols: list[Column]) -> str:
+def _complement_cols(cols: list[Column]) -> None:
+    for c in cols:
+        c.gchar = c.gchar.translate(_COMP)
+        if c.marker < 0:
+            c.qchar = c.qchar.translate(_COMP)
+
+
+def _reverse_cols(cols: list[Column], ngap: int,
+                  nolengths: bool) -> list[Column]:
+    """Reverse the stream (mode-0 minus display): complemented genome read
+    descending; intron labels and match arrows re-rendered."""
+    out = list(reversed(cols))
+    for c in out:
+        c.gchar = c.gchar.translate(_COMP)
+        if c.marker < 0:
+            c.qchar = c.qchar.translate(_COMP)
+        else:
+            c.mchar = {"<": ">", ">": "<"}.get(c.mchar, c.mchar)
+    # re-render each marker group's label text left-to-right
+    width = 2 * ngap + 3
+    i = 0
+    while i < len(out):
+        if out[i].marker < 0:
+            i += 1
+            continue
+        j = i
+        while j < len(out) and out[j].marker == out[i].marker:
+            j += 1
+        group = out[i:j]
+        label = ""
+        if not nolengths:
+            digits = "".join(ch for c in group for ch in c.qchar
+                             if ch.isdigit())
+            label = digits[::-1] if digits else ""
+        pad = (width - len(label)) // 2
+        lab = " " * pad + label + " " * (width - pad - len(label))
+        for k, c in enumerate(group):
+            c.qchar = lab[k] if k < len(lab) else " "
+        i = j
+    return out
+
+
+def render_blocks(cols: list[Column], block: int = BLOCK,
+                  margin: bool = True) -> str:
+    ruler_s = make_ruler(block) if block != BLOCK else RULER
     out = []
-    for start in range(0, len(cols), BLOCK):
-        blk = cols[start:start + BLOCK]
+    for start in range(0, len(cols), block):
+        blk = cols[start:start + block]
         gnum = next((c.gpos for c in blk if c.gpos > 0), 0)
         qnum = next((c.qpos for c in blk if c.qpos > 0), 0)
         aagnum = next((c.aanum for c in blk if c.aanum > 0), 0)
@@ -125,48 +205,86 @@ def render_blocks(cols: list[Column]) -> str:
         # every row is a fixed-width buffer (15 + block) — the reference
         # keeps all trailing spaces; aa rows drop their prefix entirely
         # when the block contains no amino-acid letter
-        ruler = f"{start:>14} " + RULER[:len(blk)]
-        aagl = (f"aa.g{aagnum:>10} " if aagnum else " " * 15) + \
-            "".join(c.aag for c in blk)
-        genome = f"{gnum:>14} " + "".join(c.gchar for c in blk)
-        match = " " * 15 + "".join(c.mchar for c in blk)
-        query = f"{qnum:>14} " + "".join(c.qchar for c in blk)
-        aacl = (f"aa.c{aacnum:>10} " if aacnum else " " * 15) + \
-            "".join(c.aac for c in blk)
+        if margin:
+            ruler = f"{start:>14} " + ruler_s[:len(blk)]
+            aagl = (f"aa.g{aagnum:>10} " if aagnum else " " * 15) + \
+                "".join(c.aag for c in blk)
+            genome = f"{gnum:>14} " + "".join(c.gchar for c in blk)
+            match = " " * 15 + "".join(c.mchar for c in blk)
+            query = f"{qnum:>14} " + "".join(c.qchar for c in blk)
+            aacl = (f"aa.c{aacnum:>10} " if aacnum else " " * 15) + \
+                "".join(c.aac for c in blk)
+        else:
+            ruler = ruler_s[:len(blk)]
+            aagl = "".join(c.aag for c in blk)
+            genome = "".join(c.gchar for c in blk)
+            match = "".join(c.mchar for c in blk)
+            query = "".join(c.qchar for c in blk)
+            aacl = "".join(c.aac for c in blk)
         out.append("\n".join([ruler, aagl, genome, match, query, aacl]))
     return "\n\n".join(out) + "\n\n"
 
 
-def exon_summary_lines(chain: ExonChain, genome_offset: int = 0) -> str:
+def exon_summary_lines(chain: ExonChain, genome_offset: int = 0,
+                       qlen: int = 0, view: str = "plus") -> str:
+    """view: 'plus' (ascending), 'minus0' (reversed display: genome
+    descending, query ascending original), or 'minus12' (aligned order,
+    query numbering descending original)."""
     lines = []
-    for i, e in enumerate(chain.exons):
+    exons = list(chain.exons)
+    introns = list(chain.introns)
+    reversed_view = view == "minus0"
+    order = (list(range(len(exons)))[::-1] if reversed_view
+             else list(range(len(exons))))
+    for row, i in enumerate(order):
+        e = exons[i]
         total = e.qend - e.qstart
         pct = round(100 * e.matches / total) if total else 100
-        line = (f"    {e.gstart + 1 + genome_offset}-{e.gend + genome_offset}"
-                f"  ({e.qstart + 1}-{e.qend})   {pct}%")
-        if i < len(chain.introns):
-            intr = chain.introns[i]
+        if view == "minus0":
+            gl = f"{e.gend + genome_offset}-{e.gstart + 1 + genome_offset}"
+            ql = f"({qlen - e.qend + 1}-{qlen - e.qstart})"
+        elif view == "minus12":
+            gl = f"{e.gstart + 1 + genome_offset}-{e.gend + genome_offset}"
+            ql = f"({qlen - e.qstart}-{qlen - e.qend + 1})"
+        else:
+            gl = f"{e.gstart + 1 + genome_offset}-{e.gend + genome_offset}"
+            ql = f"({e.qstart + 1}-{e.qend})"
+        line = f"    {gl}  {ql}   {pct}%"
+        # intron following this exon in DISPLAY order
+        iidx = (i - 1) if reversed_view else i
+        if 0 <= iidx < len(introns) and row < len(order) - 1:
+            intr = introns[iidx]
             if intr.kind == "intron":
-                arrow = {1: "->", -1: "<-", 0: "=="}[chain.cdna_direction]
+                d = chain.cdna_direction * (-1 if reversed_view else 1)
+                arrow = {1: "->", -1: "<-", 0: "=="}[d]
+                # probabilities print in display order: the reversed view
+                # leads with the higher-coordinate (acceptor-in-aligned)
+                # site, which is the donor read on the minus strand
+                p1, p2 = ((intr.acceptor_prob, intr.donor_prob)
+                          if reversed_view
+                          else (intr.donor_prob, intr.acceptor_prob))
                 line += (f" {arrow}   ...{intr.length}...  "
-                         f"{intr.donor_prob:.3f}, {intr.acceptor_prob:.3f}")
+                         f"{p1:.3f}, {p2:.3f}")
         lines.append(line)
     return "\n".join(lines) + "\n"
 
 
 def path_summary(chain: ExonChain, qlen: int, chrname: str | None,
                  genome_offset: int, pathnum: int = 1,
-                 orf=None, aa_changes: str = "") -> str:
+                 orf=None, aa_changes: str = "",
+                 orf_display=None) -> str:
+    minus = bool(chain.strand)
     g_lo = chain.exons[0].gstart + 1 + genome_offset
     g_hi = chain.exons[-1].gend + genome_offset
     q_lo = chain.exons[0].qstart + 1
     q_hi = chain.exons[-1].qend
-    if chain.strand:
+    if minus:
         q_lo, q_hi = qlen - q_hi + 1, qlen - q_lo + 1
-    gspan = g_hi - g_lo + 1
-    strand = "-" if chain.strand else "+"
+        g_lo, g_hi = g_hi, g_lo
+    gspan = g_hi - g_lo + (-1 if minus else 1)
+    strand = "-" if minus else "+"
     dirname = {1: "sense", -1: "antisense", 0: "indeterminate"}[
-        chain.cdna_direction * (-1 if chain.strand else 1)]
+        chain.cdna_direction * (-1 if minus else 1)]
     matches, mm = chain.matches, chain.mismatches
     denom = max(matches + mm, 1)
     cov = 100.0 * (chain.exons[-1].qend - chain.exons[0].qstart) / max(qlen, 1)
@@ -186,25 +304,75 @@ def path_summary(chain: ExonChain, qlen: int, chrname: str | None,
     ]
     if orf is not None:
         orf_s, orf_e, aa = orf
-        lines.append(f"    Translation: {orf_s + 1}..{orf_e} ({len(aa)} aa)")
+        if orf_display is None:
+            orf_display = (orf_s + 1, orf_e)
+        lines.append(
+            f"    Translation: {orf_display[0]}..{orf_display[1]} "
+            f"({len(aa)} aa)")
         lines.append(f"    Amino acid changes: {aa_changes}")
     return "\n".join(lines) + "\n"
 
 
 def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
                     region_codes, qlen: int, chrname: str | None = None,
-                    genome_offset: int = 0, summary_only: bool = False) -> str:
+                    genome_offset: int = 0, summary_only: bool = False,
+                    invertmode: int = 0, wraplength: int = BLOCK,
+                    ngap: int = 3, nolengths: bool = False,
+                    nomargin: bool = False) -> str:
     """Full -A (or -S with summary_only) text for one query, one path."""
-    orf = best_orf(np.asarray(query_codes_aligned))
+    minus = bool(chain.strand)
+    aligned = np.asarray(query_codes_aligned)
+    aa_dir = 1
+    if minus:
+        # translate in the coding direction: sense-in-aligned uses the
+        # aligned codes (reported descending in original numbering);
+        # otherwise the original cDNA orientation (src/pair.c,
+        # src/translation.c behavior observed on the reference)
+        if chain.cdna_direction > 0:
+            orf = best_orf(aligned)
+            orf_display = ((qlen - orf[0], qlen - orf[1] + 1)
+                           if orf is not None else None)
+            orf_for_cols = orf
+        else:
+            orig = dna.revcomp_codes(aligned)
+            orf_orig = best_orf(orig)
+            orf_display = ((orf_orig[0] + 1, orf_orig[1])
+                           if orf_orig is not None else None)
+            # map the original-orientation ORF onto aligned coordinates:
+            # codon at orig [s, s+3) = aligned [Q-s-3, Q-s)
+            orf_for_cols = None
+            if orf_orig is not None:
+                s, e, aa = orf_orig
+                orf_for_cols = (qlen - e, qlen - s, aa)
+            orf = orf_orig
+            aa_dir = -1
+    else:
+        orf = best_orf(aligned)
+        orf_display = None
+        orf_for_cols = orf
     parts = [f">{header}\n", "Paths (1):\n"]
-    parts.append(path_summary(chain, qlen, chrname, genome_offset, orf=orf))
+    parts.append(path_summary(chain, qlen, chrname, genome_offset, orf=orf,
+                              orf_display=orf_display))
+    view = ("plus" if not minus
+            else ("minus0" if invertmode == 0 else "minus12"))
     parts.append("\nAlignments:\n  Alignment for path 1:\n\n")
-    parts.append(exon_summary_lines(chain, genome_offset))
+    parts.append(exon_summary_lines(chain, genome_offset, qlen=qlen,
+                                    view=view))
     if summary_only:
         parts.append("\n")
         return "".join(parts)
     parts.append("\n")
-    cols = build_columns(chain, np.asarray(query_codes_aligned),
-                         np.asarray(region_codes), genome_offset, orf=orf)
-    parts.append(render_blocks(cols))
+    qpos_map = (lambda q: qlen - q) if minus else None
+    cols = build_columns(chain, aligned, np.asarray(region_codes),
+                         genome_offset, orf=orf_for_cols,
+                         qpos_map=qpos_map, ngap=ngap, nolengths=nolengths,
+                         aa_dir=aa_dir)
+    if minus:
+        if invertmode == 0:
+            cols = _reverse_cols(cols, ngap, nolengths)
+        elif invertmode == 1:
+            _complement_cols(cols)
+        # invertmode 2: aligned stream as built
+    parts.append(render_blocks(cols, block=wraplength,
+                               margin=not nomargin))
     return "".join(parts)
