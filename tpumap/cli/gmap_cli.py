@@ -29,25 +29,43 @@ def chain_goodness(chain) -> int:
     return chain.matches - 3 * chain.mismatches
 
 
+def _filter_regions(regions, strand=None, chr_range=None):
+    """gmap --strand / -c/--chrsubset: drop candidate regions on the
+    wrong strand or outside the chromosome subset."""
+    out = []
+    for r in regions:
+        if strand is not None and r[3] != strand:
+            continue
+        if chr_range is not None and not (chr_range[0] <= r[0]
+                                          < chr_range[1]):
+            continue
+        out.append(r)
+    return out
+
+
 def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
                       config: GmapConfig = GmapConfig(),
                       s1config: Stage1Config = Stage1Config(),
-                      npaths: int = 1, known=None):
+                      npaths: int = 1, known=None, strand=None,
+                      chr_range=None):
     """GMAP pipeline for one query: up to npaths region alignments ranked
     by goodness (gmap -n, src/gmap.c maxpaths_report).
 
     Returns [(chain, univ_offset), ...]; exon genome coordinates in each
     chain are region-relative, univ_offset converts to univcoords.
     """
-    regions = find_regions(index, qcodes, qnmask, s1config)
+    regions = _filter_regions(find_regions(index, qcodes, qnmask,
+                                           s1config), strand, chr_range)
     if npaths > 1:
         # tandem/nearby duplicates merge into one coarse diagonal cluster;
         # a second fine-slop clustering pass separates their placements
         from dataclasses import replace
-        fine = find_regions(index, qcodes, qnmask,
-                            replace(s1config,
-                                    maxtotallen=max(4 * len(qcodes), 1000),
-                                    top_regions=2 * npaths))
+        fine = _filter_regions(
+            find_regions(index, qcodes, qnmask,
+                         replace(s1config,
+                                 maxtotallen=max(4 * len(qcodes), 1000),
+                                 top_regions=2 * npaths)),
+            strand, chr_range)
         regions = list(regions) + [r for r in fine if r not in regions]
     from tpumap.gmap.engine import align_cdna_regions
 
@@ -91,7 +109,7 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
 def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
                        config: GmapConfig = GmapConfig(),
                        s1config: Stage1Config = Stage1Config(),
-                       known=None):
+                       known=None, strand=None, chr_range=None):
     """Best path for MANY queries with batched device calls: one stage-1
     call for the whole batch, then one chain call per (Qp, Rp) shape
     bucket — the per-call device latency otherwise dominates GMAP
@@ -100,7 +118,9 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
     from tpumap.gmap.engine import align_cdna_windows
     from tpumap.gmap.stage1 import find_regions_bulk
 
-    regions_per_q = find_regions_bulk(index, encoded, s1config)
+    regions_per_q = [_filter_regions(regs, strand, chr_range)
+                     for regs in find_regions_bulk(index, encoded,
+                                                   s1config)]
 
     def make_pair(qi, region):
         (gstart, gend, _w, strand) = region
@@ -217,8 +237,204 @@ def main(argv=None):
                     help="report chimeras when an uncovered query margin "
                          "of at least this size aligns elsewhere "
                          "(src/chimera.c; 0 disables)")
-    ap.add_argument("queries", help="query FASTA/FASTQ")
+    # input modes (src/gmap.c:523-525)
+    ap.add_argument("-1", "--selfalign", action="store_true",
+                    help="align one stdin FASTA sequence against itself")
+    ap.add_argument("-2", "--pairalign", action="store_true",
+                    help="align two stdin FASTA sequences (first genomic, "
+                         "second cDNA)")
+    ap.add_argument("--cmdline", nargs=2, metavar=("GENOMIC", "CDNA"),
+                    help="align these two command-line sequences")
+    # runtime / output management
+    ap.add_argument("-q", "--part",
+                    help="process only fraction i/n of the queries")
+    ap.add_argument("-O", "--ordered", action="store_true",
+                    help="accepted for compatibility; output is always "
+                         "in input order")
+    ap.add_argument("-t", "--nthreads", type=int, default=None,
+                    help="accepted for compatibility; parallelism comes "
+                         "from device batching")
+    ap.add_argument("-B", "--batch", default=None,
+                    help="accepted for compatibility; the index is "
+                         "always fully resident")
+    ap.add_argument("--input-buffer-size", dest="batch_size", type=int,
+                    default=256, help="queries per device batch")
+    ap.add_argument("--output-buffer-size", type=int, default=None,
+                    help="accepted for compatibility; output is streamed")
+    ap.add_argument("--nofails", action="store_true",
+                    help="exclude queries with no alignment")
+    ap.add_argument("--failsonly", action="store_true",
+                    help="print only queries with no alignment")
+    ap.add_argument("--failed-input", dest="failed_input",
+                    help="write unaligned queries as FASTA to this file")
+    ap.add_argument("--split-output", dest="split_output",
+                    help="basename for per-category output files "
+                         "(nomapping/uniq/mult/chimera)")
+    ap.add_argument("--append-output", action="store_true")
+    # alignment knobs (src/gmap.c computation options)
+    ap.add_argument("--nosplicing", action="store_true",
+                    help="turn off splicing (genomic gaps are deletions)")
+    ap.add_argument("-K", "--intronlength", "--max-intronlength-middle",
+                    dest="max_intronlength", type=int, default=500_000,
+                    help="max length for one internal intron "
+                         "(src/gmap.c:347)")
+    ap.add_argument("--max-intronlength-ends", dest="max_intronlength_ends",
+                    type=int, default=10_000,
+                    help="max length for first/last intron")
+    ap.add_argument("--split-large-introns", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("-w", "--localsplicedist", type=int, default=None,
+                    help="accepted for compatibility (known-splice "
+                         "end distance)")
+    ap.add_argument("--totallength", type=int, default=200_000,
+                    help="max total intron length (src/gmap.c:348)")
+    ap.add_argument("--min-intronlength", dest="min_intronlength",
+                    type=int, default=9,
+                    help="gaps below this are deletions (src/gmap.c:340)")
+    ap.add_argument("--max-deletionlength", dest="max_deletionlength",
+                    type=int, default=30,
+                    help="gaps above this are introns (src/gmap.c:341)")
+    ap.add_argument("--no-chimeras", dest="no_chimeras",
+                    action="store_true",
+                    help="same as --chimera-margin=0")
+    ap.add_argument("--chimera-overlap", type=int, default=0,
+                    help="overlap to show at chimera breakpoints")
+    ap.add_argument("-c", "--chrsubset", dest="chrsubset",
+                    help="limit search to this chromosome")
+    ap.add_argument("--strand", default="both",
+                    choices=["plus", "minus", "both"],
+                    help="genome strand to try aligning to")
+    ap.add_argument("-z", "--direction", dest="direction", default="auto",
+                    choices=["sense_force", "antisense_force",
+                             "sense_filter", "antisense_filter", "auto"],
+                    help="cDNA direction (src/gmap.c -z)")
+    ap.add_argument("--canonical-mode", dest="canonical_mode", type=int,
+                    default=1, choices=[0, 1, 2],
+                    help="reward for canonical/semi-canonical introns")
+    ap.add_argument("--cross-species", dest="cross_species",
+                    action="store_true",
+                    help="more sensitive canonical-splicing search")
+    ap.add_argument("--suboptimal-score", dest="suboptimal_score",
+                    type=float, default=None,
+                    help="with -n: report paths scoring within this of "
+                         "the best (fractions of query length allowed)")
+    ap.add_argument("--trim-end-exons", dest="trim_end_exons", type=int,
+                    default=None,
+                    help="drop terminal exons with fewer matches")
+    ap.add_argument("--allow-close-indels", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--microexon-spliceprob", type=float, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--indel-open", type=int, default=None,
+                    help="accepted for compatibility (DP open penalty)")
+    ap.add_argument("--indel-extend", type=int, default=None,
+                    help="accepted for compatibility (DP extend penalty)")
+    ap.add_argument("--homopolymer", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--prunelevel", type=int, default=0,
+                    help="accepted for compatibility (no pruning)")
+    ap.add_argument("--end-trimming-score", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("-k", "--kmer", type=int, default=None,
+                    help="db k-mer size (validated against the database)")
+    ap.add_argument("--sampling", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--expand-offsets", type=int, default=None,
+                    help="accepted for compatibility")
+    # translation options (src/gmap.c:558-565, src/translation.c)
+    ap.add_argument("-F", "--fulllength", action="store_true",
+                    help="assume full-length protein (ORF starts at Met)")
+    ap.add_argument("-a", "--cdsstart", type=int, default=None,
+                    help="translate from this nucleotide (1-based)")
+    ap.add_argument("-T", "--truncate", action="store_true",
+                    help="accepted for compatibility (implies -F)")
+    ap.add_argument("-Y", "--tolerant", action="store_true",
+                    help="accepted for compatibility (frameshift-"
+                         "corrected translation not performed)")
+    ap.add_argument("--alt-start-codons", dest="alt_start_codons",
+                    action="store_true",
+                    help="also allow GTG/TTG initiation codons")
+    ap.add_argument("--translation-code", dest="translation_code",
+                    type=int, default=1,
+                    help="NCBI genetic code for translation (default 1)")
+    # GFF3 options (src/gmap.c:567-571)
+    ap.add_argument("--gff3-add-separators", dest="gff3_add_separators",
+                    type=int, default=1, choices=[0, 1],
+                    help="print ### after each query (default 1)")
+    ap.add_argument("--gff3-swap-phase", dest="gff3_swap_phase",
+                    type=int, default=0, choices=[0, 1],
+                    help="swap CDS phase 1 <-> 2")
+    ap.add_argument("--gff3-fasta-annotation", type=int, default=0,
+                    help="accepted for compatibility")
+    ap.add_argument("--gff3-cds", dest="gff3_cds", default="cdna",
+                    choices=["cdna", "genomic"],
+                    help="accepted for compatibility (cDNA translation "
+                         "is used for CDS coordinates)")
+    # SAM options (src/gmap.c:573-584)
+    ap.add_argument("--no-sam-headers", action="store_true")
+    ap.add_argument("--sam-use-0M", dest="sam_use_0m", type=int, default=1)
+    ap.add_argument("--sam-extended-cigar", dest="sam_extended_cigar",
+                    action="store_true",
+                    help="use X/= CIGAR codes instead of M")
+    ap.add_argument("--sam-flipped", dest="sam_flipped",
+                    action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--force-xs-dir", dest="force_xs_dir",
+                    action="store_true", help="replace XS:A:? with XS:A:+")
+    ap.add_argument("--md-lowercase-snp", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--action-if-cigar-error", dest="cigar_action",
+                    default="warning",
+                    choices=["ignore", "warning", "noprint", "abort"])
+    ap.add_argument("--read-group-id", dest="rg_id")
+    ap.add_argument("--read-group-name", dest="rg_name")
+    ap.add_argument("--read-group-library", dest="rg_library")
+    ap.add_argument("--read-group-platform", dest="rg_platform")
+    ap.add_argument("-j", "--quality-print-shift", dest="quality_shift",
+                    type=int, default=0,
+                    help="shift output FASTQ quality scores")
+    ap.add_argument("--quality-protocol", dest="quality_protocol",
+                    choices=["sanger", "illumina"])
+    # map annotation (src/gmap.c -m/-M, --mapexons/--mapboth/--nflanking)
+    ap.add_argument("-m", "--map", dest="mapfile",
+                    help="IIT map file of annotations to report per path")
+    ap.add_argument("-M", "--mapdir", dest="mapdir",
+                    help="directory holding the -m map file (default: "
+                         "<db>.maps inside the database directory)")
+    ap.add_argument("--mapexons", action="store_true",
+                    help="look up map hits for each exon separately")
+    ap.add_argument("--mapboth", action="store_true",
+                    help="report hits from both genome strands (this "
+                         "implementation always reports all overlaps)")
+    ap.add_argument("--nflanking", type=int, default=0,
+                    help="also show this many flanking map entries on "
+                         "each side")
+    ap.add_argument("-5", "--md5", action="store_true",
+                    help="print an MD5 checksum line for each query")
+    ap.add_argument("--print-comment", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--version", action="version",
+                    version="tpumap-gmap "
+                            + __import__("tpumap").__version__
+                            + " (capability reference: GMAP 2024-02-22)")
+    ap.add_argument("--check", action="store_true",
+                    help="check runtime assumptions and exit")
+    ap.add_argument("queries", nargs="?", help="query FASTA/FASTQ")
     args = ap.parse_args(argv)
+
+    if args.check:
+        from tpumap.cli.gsnap_cli import run_check
+        return run_check()
+    if args.no_chimeras:
+        args.chimera_margin = 0
+    if args.truncate:
+        args.fulllength = True
+    from tpumap.gmap import translation as _translation
+    if args.translation_code != 1:
+        _translation.set_translation_code(args.translation_code)
+    _translation.set_alt_start_codons(args.alt_start_codons)
+    if args.quality_protocol == "illumina" and not args.quality_shift:
+        args.quality_shift = -31
 
     out = sys.stdout
     cmdline = "tpumap-gmap " + " ".join(argv)
@@ -239,44 +455,168 @@ def main(argv=None):
     if fmt.startswith("gff3"):
         out.write(gff3.header(cmdline))
 
+    config = GmapConfig(
+        max_intron=args.max_intronlength,
+        min_intronlength=args.min_intronlength,
+        max_deletionlength=args.max_deletionlength,
+        splicing=not args.nosplicing,
+        canonical_mode=2 if args.cross_species else args.canonical_mode)
+    from dataclasses import replace as _dc_replace
+    s1config = Stage1Config(maxtotallen=args.totallength)
+    want_strand = {"plus": 0, "minus": 1, "both": None}[args.strand]
+
+    from tpumap.cli.gsnap_cli import OutputRouter, parse_part
+    part = parse_part(args.part) if args.part else None
+
+    def shard(it):
+        for i, item in enumerate(it):
+            if part is None or i % part[1] == part[0]:
+                yield item
+
+    router = OutputRouter(args.split_output, out,
+                          append=args.append_output)
+    failed = open(args.failed_input,
+                  "a" if args.append_output else "w") \
+        if args.failed_input else None
+
+    def query_category(pieces):
+        if not pieces:
+            return "nomapping"
+        if args.chimera_margin > 0 and len(pieces) > 1:
+            return "chimera"
+        return "uniq" if len(pieces) == 1 else "mult"
+
+    def handle_failure(rec, pieces):
+        """--failed-input / --nofails / --failsonly bookkeeping.
+        Returns True if the alignments should be printed."""
+        if not pieces and failed is not None:
+            failed.write(f">{rec.header}\n{rec.sequence}\n")
+        if args.failsonly:
+            if not pieces:
+                router.get("nomapping").write(f">{rec.header}\n")
+            return False
+        if args.nofails and not pieces:
+            return False
+        return bool(pieces)
+
+    def direction_ok(chain):
+        if args.direction == "auto":
+            return True
+        d = chain.cdna_direction * (-1 if chain.strand else 1)
+        if args.direction in ("sense_force", "sense_filter"):
+            return d >= 0
+        return d <= 0
+
+    def postprocess(pieces, qlen):
+        """-z direction filter, --trim-end-exons, --suboptimal-score."""
+        if args.trim_end_exons is not None:
+            from tpumap.gmap.engine import trim_end_exons
+            pieces = [(trim_end_exons(c, args.trim_end_exons), off)
+                      for c, off in pieces]
+        pieces = [(c, off) for c, off in pieces
+                  if c.exons and direction_ok(c)]
+        if args.suboptimal_score is not None and pieces:
+            v = args.suboptimal_score
+            margin = v * qlen if 0 < v < 1 else v
+            best = max(chain_goodness(c) for c, _ in pieces)
+            pieces = [(c, off) for c, off in pieces
+                      if chain_goodness(c) >= best - margin]
+        return pieces
+
+    _dest = [out]
+    orf_kw = {"fulllength": args.fulllength,
+              "cdsstart": args.cdsstart - 1 if args.cdsstart else None}
+
+    def shape_sam_text(txt):
+        from tpumap.io import sam as sam_mod
+        out_l = []
+        for l in txt.splitlines():
+            f = l.split("\t")
+            rec = sam_mod.SamRecord(f[0], int(f[1]), f[2], int(f[3]),
+                                    int(f[4]), f[5], f[6], int(f[7]),
+                                    int(f[8]), f[9], f[10], f[11:])
+            if args.rg_id:
+                rec.tags.append(f"RG:Z:{args.rg_id}")
+            if args.quality_shift and rec.qual != "*":
+                rec.qual = "".join(
+                    chr(min(126, max(33, ord(c) + args.quality_shift)))
+                    for c in rec.qual)
+            sam_mod.apply_sam_options(
+                rec, extended_cigar_p=args.sam_extended_cigar,
+                use_0m=bool(args.sam_use_0m),
+                force_xs_dir=args.force_xs_dir,
+                cigar_action=args.cigar_action)
+            out_l.append(rec.line() + "\n")
+        return "".join(out_l)
+
+    def transform(txt):
+        """Output-shaping flags applied to formatted text
+        (--gff3-add-separators/--gff3-swap-phase, SAM options)."""
+        if fmt.startswith("gff3"):
+            if not args.gff3_add_separators:
+                txt = "".join(l for l in txt.splitlines(True)
+                              if l.strip() != "###")
+            if args.gff3_swap_phase:
+                out_l = []
+                for l in txt.splitlines(True):
+                    f = l.rstrip("\n").split("\t")
+                    if len(f) >= 8 and f[2] == "CDS" and f[7] in ("1", "2"):
+                        f[7] = "2" if f[7] == "1" else "1"
+                        l = "\t".join(f) + "\n"
+                    out_l.append(l)
+                txt = "".join(out_l)
+        elif fmt in ("samse", "sampe") and txt and not txt.startswith("@"):
+            txt = shape_sam_text(txt)
+        return txt
+
+    class _TW:
+        def __init__(self, f):
+            self.f = f
+
+        def write(self, txt):
+            self.f.write(transform(txt))
+
+    def dest():
+        return _TW(_dest[0])
+
     def emit(chain, rec, qcodes, seqid, source, chrom_offset,
              region_codes=None, chrname=None, tsize=0):
         from tpumap.io import gmapfmt
         aligned = dna.revcomp_codes(qcodes) if chain.strand else qcodes
         if fmt == "gff3_match_cdna":
-            out.write(gff3.match_cdna(chain, rec.accession, seqid, source,
+            dest().write(gff3.match_cdna(chain, rec.accession, seqid, source,
                                       chrom_offset=chrom_offset,
                                       qlen=len(qcodes)))
         elif fmt == "gff3_gene":
-            out.write(gff3.gene(chain, rec.accession, seqid, source,
+            dest().write(gff3.gene(chain, rec.accession, seqid, source,
                                 query_codes=qcodes,
                                 chrom_offset=chrom_offset,
                                 qlen=len(qcodes)))
         elif fmt == "gff3_match_est":
-            out.write(gmapfmt.est_match(chain, rec.accession, seqid, source,
+            dest().write(gmapfmt.est_match(chain, rec.accession, seqid, source,
                                         qlen=len(qcodes),
                                         chrom_offset=chrom_offset))
         elif fmt == "psl":
-            out.write(gmapfmt.psl(chain, rec.accession, len(qcodes), seqid,
+            dest().write(gmapfmt.psl(chain, rec.accession, len(qcodes), seqid,
                                   tsize, chrom_offset=chrom_offset))
         elif fmt == "bedpe":
             from tpumap.utils import dna as dna_mod
             aligned_seq = dna_mod.decode(aligned,
                                          __import__("numpy").zeros(
                                              len(aligned), bool))
-            out.write(gmapfmt.bedpe(chain, chrname or seqid,
+            dest().write(gmapfmt.bedpe(chain, chrname or seqid,
                                     chrom_offset=chrom_offset,
                                     query_seq=aligned_seq))
         elif fmt == "splicesites":
-            out.write(gmapfmt.splicesites(chain, rec.accession,
+            dest().write(gmapfmt.splicesites(chain, rec.accession,
                                           chrname or "",
                                           chrom_offset=chrom_offset))
         elif fmt == "introns":
-            out.write(gmapfmt.introns_fmt(chain, rec.accession,
+            dest().write(gmapfmt.introns_fmt(chain, rec.accession,
                                           chrname or "",
                                           chrom_offset=chrom_offset))
         elif fmt in ("samse", "sampe"):
-            out.write(gmapfmt.sam_se(chain, rec.accession, rec.sequence,
+            dest().write(gmapfmt.sam_se(chain, rec.accession, rec.sequence,
                                      rec.quality, seqid,
                                      chrom_offset=chrom_offset,
                                      qlen=len(qcodes),
@@ -284,18 +624,19 @@ def main(argv=None):
                                      region_codes=region_codes))
         elif fmt.startswith("exons:"):
             kind = fmt.split(":")[1]
-            out.write(gmapfmt.exons_fmt(chain, rec.header, aligned,
+            dest().write(gmapfmt.exons_fmt(chain, rec.header, aligned,
                                         region_codes,
                                         genomic=kind.startswith("genomic"),
                                         with_introns="+introns" in kind))
         elif fmt in ("protein_dna", "protein_gen"):
-            out.write(gmapfmt.protein_fmt(chain, rec.header, aligned,
+            dest().write(gmapfmt.protein_fmt(chain, rec.header, aligned,
                                           region_codes,
-                                          genomic=(fmt == "protein_gen")))
+                                          genomic=(fmt == "protein_gen"),
+                                          orf_kw=orf_kw))
         else:
             from tpumap.io.alignfmt import print_alignment
             aligned = dna.revcomp_codes(qcodes) if chain.strand else qcodes
-            out.write(print_alignment(rec.header, chain, aligned,
+            dest().write(print_alignment(rec.header, chain, aligned,
                                       region_codes, len(qcodes),
                                       chrname=chrname,
                                       genome_offset=chrom_offset,
@@ -304,70 +645,199 @@ def main(argv=None):
                                       wraplength=args.wraplength,
                                       ngap=args.introngap,
                                       nolengths=args.nolengths,
-                                      nomargin=args.nomargin))
+                                      nomargin=args.nomargin,
+                                      **orf_kw))
 
-    if args.gseg:
+    region = None
+    queries = None
+    if args.cmdline:
+        from tpumap.io.fasta import Record
+        region = Record("genomic", "", args.cmdline[0])
+        queries = [Record("cdna", "", args.cmdline[1])]
+    elif args.selfalign:
+        rec0 = next(read_fasta(sys.stdin))
+        region, queries = rec0, [rec0]
+    elif args.pairalign:
+        it = read_fasta(sys.stdin)
+        region = next(it)
+        queries = [next(it)]
+    elif args.gseg:
         region = next(read_fasta(args.gseg))
+        if args.queries is None:
+            ap.error("need a query FASTA/FASTQ file")
+        queries = read_fasta(args.queries)
+
+    if region is not None:
         rcodes, rnmask = dna.encode(region.sequence)
-        config = GmapConfig()
-        for rec in read_fasta(args.queries):
+        for rec in shard(queries):
+            if args.md5:
+                import hashlib
+                out.write(f"{rec.accession}\t"
+                          f"{hashlib.md5(rec.sequence.upper().encode()).hexdigest()}\n")
             qcodes, qnmask = dna.encode(rec.sequence)
-            chain = align_cdna_both(qcodes, qnmask, rcodes, rnmask, config)
-            if chain is None:
+            chain = align_cdna_both(qcodes, qnmask, rcodes, rnmask, config,
+                                    strand=want_strand)
+            pieces = postprocess(
+                [(chain, 0)] if chain is not None and chain.exons else [],
+                len(qcodes))
+            if not handle_failure(rec, pieces):
                 continue
-            emit(chain, rec, qcodes, region.accession, region.accession, 0,
-                 region_codes=rcodes, tsize=len(rcodes))
+            _dest[0] = router.get(query_category(pieces))
+            for chain, _off in pieces:
+                emit(chain, rec, qcodes, region.accession, region.accession,
+                     0, region_codes=rcodes, tsize=len(rcodes))
+        router.close()
+        if failed is not None:
+            failed.close()
+        return
     elif args.dir:
         db = GenomeDB.load(args.dir)
+        if args.queries is None:
+            ap.error("need a query FASTA/FASTQ file")
+        if args.kmer is not None and args.kmer != db.k:
+            raise ValueError(f"database was built with -k {db.k}, "
+                             f"not {args.kmer}")
         index = DeviceIndex.from_host(db)
         source = args.db or db.name
+        if fmt in ("samse", "sampe") and not args.no_sam_headers:
+            from tpumap.io import sam as sam_mod
+            out.write(sam_mod.header(db, cmdline, rg=args.rg_id,
+                                     rg_name=args.rg_name,
+                                     rg_library=args.rg_library,
+                                     rg_platform=args.rg_platform))
+        chr_range = None
+        if args.chrsubset:
+            if args.chrsubset not in db.chrom_names:
+                raise ValueError(f"unknown chromosome {args.chrsubset!r}")
+            c = db.chrom_names.index(args.chrsubset)
+            chr_range = (int(db.chrom_offsets[c]),
+                         int(db.chrom_offsets[c + 1]))
         known = None
         if args.use_splicing:
             from tpumap.gsnap.knownsplicing import KnownSplicing
             from tpumap.io.iit import IIT
             known = KnownSplicing.from_splicing_iit(
                 IIT.read(args.use_splicing), db)
+        mapiit = mapname = None
+        if args.mapfile:
+            import os
+            from tpumap.io.iit import IIT
+            cands = [args.mapfile]
+            if args.mapdir:
+                cands.append(os.path.join(args.mapdir, args.mapfile))
+            cands.append(os.path.join(args.dir, f"{db.name}.maps",
+                                      args.mapfile))
+            path = next((c for c in cands if c and os.path.exists(c)),
+                        None)
+            if path is None:
+                raise ValueError(f"map file {args.mapfile!r} not found")
+            mapiit = IIT.read(path)
+            mapname = os.path.basename(path)
+            if mapname.endswith(".iit"):
+                mapname = mapname[:-4]
+
+        def map_hits_text(pieces):
+            """gmap -m: the Maps section (reference format:
+            'Map hits for path N (count):' + tab-separated entries)."""
+            parts = ["\nMaps:\n"]
+            for pi, (chain, univ_off) in enumerate(pieces, 1):
+                ci = db.chrnum(univ_off + chain.exons[0].gstart)
+                chrname = db.chrom_names[ci]
+                off = univ_off - int(db.chrom_offsets[ci])
+                if args.mapexons:
+                    spans = [(e.gstart, e.gend) for e in chain.exons]
+                else:
+                    spans = [(chain.exons[0].gstart,
+                              chain.exons[-1].gend)]
+                seen, hits = set(), []
+                for gs, ge in spans:
+                    for i in mapiit.get(chrname, gs + 1 + off, ge + off):
+                        if int(i) not in seen:
+                            seen.add(int(i))
+                            hits.append(int(i))
+                if args.nflanking > 0:
+                    divno = mapiit.div_index(chrname)
+                    if divno >= 0:
+                        d = mapiit.divdata[divno]
+                        base = mapiit.cum_nintervals()[divno]
+                        lo = chain.exons[0].gstart + 1 + off
+                        hi = chain.exons[-1].gend + off
+                        left = sorted(
+                            (int(d.highs[r]), r) for r in
+                            range(len(d.lows)) if d.highs[r] < lo)
+                        right = sorted(
+                            (int(d.lows[r]), r) for r in
+                            range(len(d.lows)) if d.lows[r] > hi)
+                        for _c, r in left[-args.nflanking:] + \
+                                right[:args.nflanking]:
+                            gi = r + base + 1
+                            if gi not in seen:
+                                seen.add(gi)
+                                hits.append(gi)
+                parts.append(f"  Map hits for path {pi} ({len(hits)}):\n")
+                for gi in hits:
+                    div, low, high, sign, _t = mapiit.interval(gi)
+                    coords = (f"{high}..{low}" if sign < 0
+                              else f"{low}..{high}")
+                    parts.append(f"\t{mapname}\t{div}:{coords}\t"
+                                 f"{mapiit.labels[gi - 1]}\n")
+                parts.append("\n")
+            return "".join(parts)
+
+        def emit_query(rec, qcodes, pieces):
+            if args.md5:
+                import hashlib
+                out.write(f"{rec.accession}\t"
+                          f"{hashlib.md5(rec.sequence.upper().encode()).hexdigest()}\n")
+            pieces = postprocess(pieces, len(qcodes))
+            pieces = [(c, off) for c, off in pieces
+                      if passes_filters(c, len(qcodes), args.min_coverage,
+                                        args.min_identity)]
+            if not handle_failure(rec, pieces):
+                return
+            _dest[0] = router.get(query_category(pieces))
+            for chain, univ_off in pieces:
+                _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off,
+                             source)
+            if mapiit is not None and fmt in ("align", "summary"):
+                _dest[0].write(map_hits_text(pieces))
+
         if args.chimera_margin == 0 and args.npaths == 1:
             # bulk path: batched device calls across queries
-            recs = list(read_fasta(args.queries))
-            BATCH = 256
+            recs = list(shard(read_fasta(args.queries)))
+            BATCH = args.batch_size
             for bstart in range(0, len(recs), BATCH):
                 group = recs[bstart:bstart + BATCH]
                 encoded = [dna.encode(r.sequence) for r in group]
                 results = align_queries_bulk(db, index, encoded,
-                                             known=known)
+                                             config, s1config, known=known,
+                                             strand=want_strand,
+                                             chr_range=chr_range)
                 for rec, (qcodes, qnmask), hit in zip(group, encoded,
                                                       results):
-                    if hit is None:
-                        continue
-                    chain, univ_off = hit
-                    if not passes_filters(chain, len(qcodes),
-                                          args.min_coverage,
-                                          args.min_identity):
-                        continue
-                    _emit_db_hit(db, emit, fmt, rec, qcodes, chain,
-                                 univ_off, source)
-            return
-
-        for rec in read_fasta(args.queries):
-            qcodes, qnmask = dna.encode(rec.sequence)
-            if args.chimera_margin > 0:
-                from tpumap.gmap.chimera import align_query_chimera
-                pieces = align_query_chimera(
-                    db, index, qcodes, qnmask, GmapConfig(), Stage1Config(),
-                    chimera_margin=args.chimera_margin)
-            else:
-                pieces = align_query_paths(db, index, qcodes, qnmask,
-                                           npaths=args.npaths, known=known)
-            for chain, univ_off in pieces:
-                if not passes_filters(chain, len(qcodes),
-                                      args.min_coverage,
-                                      args.min_identity):
-                    continue
-                _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off,
-                             source)
+                    emit_query(rec, qcodes,
+                               [hit] if hit is not None else [])
+        else:
+            for rec in shard(read_fasta(args.queries)):
+                qcodes, qnmask = dna.encode(rec.sequence)
+                if args.chimera_margin > 0:
+                    from tpumap.gmap.chimera import align_query_chimera
+                    pieces = align_query_chimera(
+                        db, index, qcodes, qnmask, config, s1config,
+                        chimera_margin=args.chimera_margin)
+                else:
+                    pieces = align_query_paths(db, index, qcodes, qnmask,
+                                               config, s1config,
+                                               npaths=args.npaths,
+                                               known=known,
+                                               strand=want_strand,
+                                               chr_range=chr_range)
+                emit_query(rec, qcodes, pieces)
+        router.close()
+        if failed is not None:
+            failed.close()
     else:
-        ap.error("need -g or -D")
+        ap.error("need -g, -D, --cmdline, --selfalign, or --pairalign")
 
 
 def passes_filters(chain, qlen, min_coverage, min_identity):

@@ -82,6 +82,17 @@ class GmapConfig:
     n_segments: int = 64
     max_intron: int = 500_000
     max_qgap: int = 24
+    # genomic-gap classification (gmap --min-intronlength /
+    # --max-deletionlength, src/gmap.c:340-341): gaps below
+    # min_intronlength are deletions, above max_deletionlength introns,
+    # in between decided by splice-site evidence
+    min_intronlength: int = 9
+    max_deletionlength: int = 30
+    # gmap --nosplicing: treat every genomic gap as a deletion
+    splicing: bool = True
+    # gmap --canonical-mode: 0 = no reward for canonical introns,
+    # 1 = reward (default), 2 = stronger reward (--cross-species)
+    canonical_mode: int = 1
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -347,8 +358,13 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         costB = np.cumsum(mmB[::-1])[::-1][1:len(cand) + 1]  # B mm in [q*, hi]
         cost = (costA + costB).astype(np.float64) * MM_COST
         bonus, kinds = splice_score_canonical(region_codes, dA, dB, cand)
+        if config.canonical_mode == 0:
+            bonus = np.zeros_like(bonus)
+        elif config.canonical_mode == 2:
+            bonus = 2.0 * bonus
         glen = dB - dA
-        if glen >= MIN_INTRON:
+        splice_ok = config.splicing and glen >= config.min_intronlength
+        if splice_ok:
             # MaxEnt donor/acceptor probabilities refine the placement
             # (the reference's bridge scoring, dynprog_genome.c)
             dprob = maxent.donor_prob_at(region_codes, region_nmask,
@@ -358,7 +374,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
             bonus = bonus + PROB_WEIGHT * (dprob + aprob)
         else:
             dprob = aprob = np.zeros(len(cand))
-        if known is not None and glen >= MIN_INTRON:
+        if known is not None and splice_ok:
             left = univ_off + dA + cand.astype(np.int64)
             right = univ_off + dB + cand.astype(np.int64)
             k_s = (np.isin(left, known.donor)
@@ -370,7 +386,9 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         j = int(np.argmax(score))
         qstar = int(cand[j])
         boundaries.append(qstar)
-        if dB > dA and glen >= MIN_INTRON:
+        is_intron = (dB > dA and splice_ok
+                     and (glen > config.max_deletionlength or kinds[j]))
+        if is_intron:
             introns.append(Intron("intron", glen, kinds[j],
                                   donor_prob=float(dprob[j]),
                                   acceptor_prob=float(aprob[j])))
@@ -466,13 +484,26 @@ def _set_direction(result: ExonChain) -> None:
 
 
 def align_cdna_both(query_codes, query_nmask, region_codes, region_nmask,
-                    config: GmapConfig = GmapConfig()):
-    """Try + and - query orientations; return (best chain, strand)."""
-    fwd = align_cdna(query_codes, query_nmask, region_codes, region_nmask,
-                     config)
-    rc = dna.revcomp_codes(query_codes)
-    rcn = query_nmask[::-1].copy()
-    rev = align_cdna(rc, rcn, region_codes, region_nmask, config)
+                    config: GmapConfig = GmapConfig(), strand=None):
+    """Try + and - query orientations; return (best chain, strand).
+
+    strand (gmap --strand): 0 = plus only, 1 = minus only, None = both."""
+    fwd = None
+    if strand in (None, 0):
+        fwd = align_cdna(query_codes, query_nmask, region_codes,
+                         region_nmask, config)
+    rev = None
+    if strand in (None, 1):
+        rc = dna.revcomp_codes(query_codes)
+        rcn = query_nmask[::-1].copy()
+        rev = align_cdna(rc, rcn, region_codes, region_nmask, config)
+    if rev is None:
+        if fwd is not None:
+            fwd.strand = 0
+        return fwd
+    if fwd is None:
+        rev.strand = 1
+        return rev
 
     def goodness(c):
         if c is None:
@@ -485,3 +516,23 @@ def align_cdna_both(query_codes, query_nmask, region_codes, region_nmask,
         return fwd
     rev.strand = 1
     return rev
+
+
+def trim_end_exons(chain: ExonChain, minendexon: int) -> ExonChain:
+    """gmap --trim-end-exons: drop terminal exons with fewer than
+    `minendexon` matches (src/gmap.c minendexon)."""
+    exons = list(chain.exons)
+    introns = list(chain.introns)
+    changed = False
+    while len(exons) > 1 and exons[0].matches < minendexon:
+        exons.pop(0)
+        introns.pop(0)
+        changed = True
+    while len(exons) > 1 and exons[-1].matches < minendexon:
+        exons.pop()
+        introns.pop()
+        changed = True
+    if not changed:
+        return chain
+    return ExonChain(exons=exons, introns=introns, strand=chain.strand,
+                     cdna_direction=chain.cdna_direction)

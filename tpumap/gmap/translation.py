@@ -37,17 +37,74 @@ _STANDARD = {
 }
 
 
+# NCBI genetic-code variants (gmap --translation-code, src/gmap.c
+# translation codes help): stored as overrides of the standard table.
+_CODE_OVERRIDES = {
+    1: {},
+    2: {"AGA": "*", "AGG": "*", "ATA": "M", "TGA": "W"},
+    3: {"ATA": "M", "CTT": "T", "CTC": "T", "CTA": "T", "CTG": "T",
+        "TGA": "W"},
+    4: {"TGA": "W"},
+    5: {"AGA": "S", "AGG": "S", "ATA": "M", "TGA": "W"},
+    6: {"TAA": "Q", "TAG": "Q"},
+    9: {"AAA": "N", "AGA": "S", "AGG": "S", "TGA": "W"},
+    10: {"TGA": "C"},
+    11: {},
+    12: {"CTG": "S"},
+    13: {"AGA": "G", "AGG": "G", "ATA": "M", "TGA": "W"},
+    14: {"AAA": "N", "AGA": "S", "AGG": "S", "TAA": "Y", "TGA": "W"},
+    15: {"TAG": "Q"},
+    16: {"TAG": "L"},
+    21: {"TGA": "W", "ATA": "M", "AGA": "S", "AGG": "S", "AAA": "N"},
+    22: {"TCA": "*", "TAG": "L"},
+    23: {"TTA": "*"},
+    24: {"AGA": "S", "AGG": "K", "TGA": "W"},
+    25: {"TGA": "G"},
+    26: {"CTG": "A"},
+    29: {"TAA": "Y", "TAG": "Y"},
+    30: {"TAA": "E", "TAG": "E"},
+    31: {"TGA": "W"},
+    33: {"TAA": "Y", "TGA": "W", "AGA": "S", "AGG": "K"},
+}
+
+_ACTIVE = dict(_STANDARD)
+# initiation codons beyond ATG (gmap --alt-start-codons)
+_ALT_STARTS = ("GTG", "TTG")
+_alt_start_p = [False]
+
+
+def set_translation_code(code: int) -> None:
+    """Select the NCBI genetic code used by all translation output."""
+    if code not in _CODE_OVERRIDES:
+        raise ValueError(f"unsupported translation code {code} "
+                         f"(supported: {sorted(_CODE_OVERRIDES)})")
+    _ACTIVE.clear()
+    _ACTIVE.update(_STANDARD)
+    _ACTIVE.update(_CODE_OVERRIDES[code])
+
+
+def set_alt_start_codons(enable: bool) -> None:
+    _alt_start_p[0] = bool(enable)
+
+
 def translate_codes(codes: np.ndarray) -> str:
     """2-bit codes -> aa string (length len//3)."""
     out = []
     for i in range(0, len(codes) - 2, 3):
         codon = _BASES[codes[i]] + _BASES[codes[i + 1]] + _BASES[codes[i + 2]]
-        out.append(_STANDARD[codon])
+        out.append(_ACTIVE[codon])
     return "".join(out)
 
 
+def _is_start(codes: np.ndarray, aa_index: int, frame: int) -> bool:
+    p = frame + 3 * aa_index
+    codon = "".join(_BASES[c] for c in codes[p:p + 3])
+    return codon == "ATG" or (_alt_start_p[0] and codon in _ALT_STARTS)
+
+
 def best_orf(codes: np.ndarray,
-             fulllength: bool = False) -> tuple[int, int, str]:
+             fulllength: bool = False,
+             cdsstart: int | None = None) -> tuple[int, int, str]:
     """Best ORF per the reference's rules (translation.c
     find_bounds_forward): in each frame the FIRST candidate ORF starts at
     the frame's first codon (no Met required unless fulllength); after a
@@ -60,6 +117,20 @@ def best_orf(codes: np.ndarray,
     (stop excluded) — the reported span (e.g. "Translation: 2..4006
     (1334 aa)") counts the stop codon in the span but not in the aa count.
     """
+    if cdsstart is not None:
+        # gmap -a/--cdsstart: translate from the given 1-based nucleotide
+        frame = cdsstart % 3
+        s = (cdsstart - frame) // 3
+        aa = translate_codes(codes[frame:])
+        e = len(aa) - 1
+        endstop = False
+        for i in range(s, len(aa)):
+            if aa[i] == "*":
+                e, endstop = i, True
+                break
+        qs = frame + 3 * s
+        qe = frame + 3 * e + 3
+        return (qs, qe, aa[s:e] if endstop else aa[s:e + 1])
     per_frame = []
     for frame in range(3):
         aa = translate_codes(codes[frame:])
@@ -69,7 +140,8 @@ def best_orf(codes: np.ndarray,
         bestorf, beststart, bestend, endstop = 0, 0, max(len(aa) - 1, 0), False
         for i, c in enumerate(aa):
             if needmet:
-                if c == "M":
+                if c == "M" or (_alt_start_p[0]
+                                and _is_start(codes, i, frame)):
                     orf = 1
                     start = i
                     needmet = False

@@ -318,10 +318,15 @@ def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
                     genome_offset: int = 0, summary_only: bool = False,
                     invertmode: int = 0, wraplength: int = BLOCK,
                     ngap: int = 3, nolengths: bool = False,
-                    nomargin: bool = False) -> str:
+                    nomargin: bool = False, fulllength: bool = False,
+                    cdsstart: int | None = None) -> str:
     """Full -A (or -S with summary_only) text for one query, one path."""
     minus = bool(chain.strand)
     aligned = np.asarray(query_codes_aligned)
+
+    def _orf(codes):
+        return best_orf(codes, fulllength=fulllength, cdsstart=cdsstart)
+
     aa_dir = 1
     if minus:
         # translate in the coding direction: sense-in-aligned uses the
@@ -329,13 +334,13 @@ def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
         # otherwise the original cDNA orientation (src/pair.c,
         # src/translation.c behavior observed on the reference)
         if chain.cdna_direction > 0:
-            orf = best_orf(aligned)
+            orf = _orf(aligned)
             orf_display = ((qlen - orf[0], qlen - orf[1] + 1)
                            if orf is not None else None)
             orf_for_cols = orf
         else:
             orig = dna.revcomp_codes(aligned)
-            orf_orig = best_orf(orig)
+            orf_orig = _orf(orig)
             orf_display = ((orf_orig[0] + 1, orf_orig[1])
                            if orf_orig is not None else None)
             # map the original-orientation ORF onto aligned coordinates:
@@ -347,7 +352,7 @@ def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
             orf = orf_orig
             aa_dir = -1
     else:
-        orf = best_orf(aligned)
+        orf = _orf(aligned)
         orf_display = None
         orf_for_cols = orf
     parts = [f">{header}\n", "Paths (1):\n"]

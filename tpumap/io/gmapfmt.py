@@ -178,9 +178,10 @@ def exons_fmt(chain: ExonChain, header: str, query_codes_aligned: np.ndarray,
 
 def protein_fmt(chain: ExonChain, header: str,
                 query_codes_aligned: np.ndarray,
-                region_codes: np.ndarray, genomic: bool = False) -> str:
+                region_codes: np.ndarray, genomic: bool = False, orf_kw=None) -> str:
     """-P (cDNA translation) / -Q (genomic translation)."""
-    orf_s, orf_e, aa = best_orf(np.asarray(query_codes_aligned))
+    orf_s, orf_e, aa = best_orf(np.asarray(query_codes_aligned),
+                                **(orf_kw or {}))
     if genomic:
         qlen = len(query_codes_aligned)
         gside = np.zeros(qlen, dtype=np.uint8)
