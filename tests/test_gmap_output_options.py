@@ -133,3 +133,34 @@ def test_map_annotation(world, tmp_path):
     assert "Map hits for path 1 (2):" in out
     assert "\tmymap\tchr1:3001..3360\tgene1" in out
     assert "\tmymap\tchr1:3100..3200\tgene2" in out
+
+
+import pathlib
+import subprocess
+
+REFBIN = pathlib.Path("/tmp/refbin")
+need_oracle = pytest.mark.skipif(not (REFBIN / "gmap").exists(),
+                                 reason="reference oracle unavailable")
+
+
+@need_oracle
+@pytest.mark.parametrize("flags", [["-3"], ["-4"], ["-f", "7"],
+                                   ["-f", "8"], ["-f", "9"]])
+def test_extra_formats_oracle_parity(world, flags):
+    ref = subprocess.run([str(REFBIN / "gmap"), "-g",
+                          str(world / "g.fa")] + flags
+                         + [str(world / "q.fa")],
+                         capture_output=True, text=True).stdout
+    mine = run_gmap(flags + ["-g", str(world / "g.fa"),
+                             str(world / "q.fa")])
+    assert mine == ref
+
+
+def test_map_exons_format(world):
+    out = run_gmap(["-f", "map_exons", "-D", str(world / "g"),
+                    str(world / "q.fa")])
+    lines = out.splitlines()
+    assert lines[0] == ">q1 chr1:3001..3360"
+    assert lines[1] == "q1"
+    assert lines[2] == "3001 3080"
+    assert lines[3] == "3281 3360"

@@ -194,11 +194,18 @@ def main(argv=None):
     ap.add_argument("-f", "--format", default=None,
                     choices=["1", "psl", "2", "gff3_gene", "3",
                              "gff3_match_cdna", "4", "gff3_match_est",
-                             "6", "splicesites", "introns", "samse", "sampe", "bedpe"])
+                             "6", "splicesites", "introns", "samse",
+                             "sampe", "bedpe", "7", "map_exons",
+                             "8", "map_ranges", "9", "coords"])
     ap.add_argument("-A", "--align", action="store_true",
                     help="show alignment (text format)")
     ap.add_argument("-S", "--summary", action="store_true",
                     help="show summary of alignments (text format)")
+    ap.add_argument("-3", "--continuous", action="store_true",
+                    help="show alignment in three continuous lines")
+    ap.add_argument("-4", "--continuous-by-exon", dest="continuous_by_exon",
+                    action="store_true",
+                    help="show alignment in three lines per exon")
     ap.add_argument("-E", "--exons", choices=["cdna", "genomic",
                                               "cdna+introns",
                                               "genomic+introns"])
@@ -440,6 +447,10 @@ def main(argv=None):
     cmdline = "tpumap-gmap " + " ".join(argv)
     if args.align:
         fmt = "align"
+    elif args.continuous:
+        fmt = "continuous"
+    elif args.continuous_by_exon:
+        fmt = "continuous_by_exon"
     elif args.summary:
         fmt = "summary"
     elif args.exons:
@@ -451,6 +462,7 @@ def main(argv=None):
     else:
         fmt = {"1": "psl", "2": "gff3_gene", "3": "gff3_match_cdna",
                "4": "gff3_match_est", "6": "splicesites",
+               "7": "map_exons", "8": "map_ranges", "9": "coords",
                None: "gff3_match_cdna"}.get(args.format, args.format)
     if fmt.startswith("gff3"):
         out.write(gff3.header(cmdline))
@@ -628,6 +640,36 @@ def main(argv=None):
                                         region_codes,
                                         genomic=kind.startswith("genomic"),
                                         with_introns="+introns" in kind))
+        elif fmt == "continuous":
+            from tpumap.io.alignfmt import continuous_fmt
+            dest().write(continuous_fmt(rec.header, chain, aligned,
+                                        region_codes, len(qcodes),
+                                        genome_offset=chrom_offset,
+                                        invertmode=args.invertmode))
+        elif fmt == "continuous_by_exon":
+            from tpumap.io.alignfmt import (continuous_by_exon_body,
+                                            print_alignment)
+            dest().write(print_alignment(rec.header, chain, aligned,
+                                         region_codes, len(qcodes),
+                                         chrname=chrname,
+                                         genome_offset=chrom_offset,
+                                         summary_only=True,
+                                         invertmode=args.invertmode,
+                                         **orf_kw))
+            dest().write(continuous_by_exon_body(chain, aligned,
+                                                 region_codes, len(qcodes),
+                                                 genome_offset=chrom_offset,
+                                                 invertmode=args.invertmode))
+        elif fmt in ("map_exons", "map_ranges"):
+            dest().write(gmapfmt.iit_map_fmt(chain, rec.accession,
+                                             rec.header, chrname,
+                                             chrom_offset=chrom_offset,
+                                             exons=(fmt == "map_exons")))
+        elif fmt == "coords":
+            from tpumap.io.alignfmt import coords_fmt
+            dest().write(coords_fmt(rec.header, chain, aligned,
+                                    region_codes, len(qcodes),
+                                    genome_offset=chrom_offset))
         elif fmt in ("protein_dna", "protein_gen"):
             dest().write(gmapfmt.protein_fmt(chain, rec.header, aligned,
                                           region_codes,
@@ -859,7 +901,9 @@ def _emit_db_hit(db, emit, fmt, rec, qcodes, chain, univ_off, source):
     tsize = int(db.chrom_offsets[chrom_idx + 1]
                 - db.chrom_offsets[chrom_idx])
     need_region = fmt in ("align", "summary", "samse", "sampe",
-                          "protein_gen") or fmt.startswith("exons:")
+                          "protein_gen", "continuous",
+                          "continuous_by_exon",
+                          "coords") or fmt.startswith("exons:")
     emit(chain, rec, qcodes, seqid, source, chrom_offset,
          region_codes=db.get_codes(univ_off, g_hi + 16).astype(np.uint8)
          if need_region else None,

@@ -381,3 +381,85 @@ def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
     parts.append(render_blocks(cols, block=wraplength,
                                margin=not nomargin))
     return "".join(parts)
+
+
+def continuous_rows(chain: ExonChain, query_codes_aligned, region_codes,
+                    qlen: int, genome_offset: int = 0,
+                    invertmode: int = 0) -> list[Column]:
+    """Column stream for the continuous formats (gmap -3/-4), honoring
+    the minus-strand invertmode like print_alignment."""
+    minus = bool(chain.strand)
+    aligned = np.asarray(query_codes_aligned)
+    qpos_map = (lambda q: qlen - q) if minus else None
+    cols = build_columns(chain, aligned, np.asarray(region_codes),
+                         genome_offset, orf=None, qpos_map=qpos_map)
+    if minus:
+        if invertmode == 0:
+            cols = _reverse_cols(cols, 3, False)
+        elif invertmode == 1:
+            _complement_cols(cols)
+    return cols
+
+
+def continuous_fmt(header: str, chain: ExonChain, query_codes_aligned,
+                   region_codes, qlen: int, genome_offset: int = 0,
+                   invertmode: int = 0) -> str:
+    """gmap -3: one genome/match/query row triple for the whole path
+    (src/pair.c Pair_print_continuous)."""
+    cols = continuous_rows(chain, query_codes_aligned, region_codes, qlen,
+                           genome_offset, invertmode)
+    g = "".join(c.gchar for c in cols)
+    m = "".join(c.mchar for c in cols)
+    q = "".join(c.qchar for c in cols)
+    return f">{header}\n{g}\n{m}\n{q}\n"
+
+
+def continuous_by_exon_body(chain: ExonChain, query_codes_aligned,
+                            region_codes, qlen: int,
+                            genome_offset: int = 0,
+                            invertmode: int = 0) -> str:
+    """gmap -4 body: three rows per exon (src/pair.c
+    Pair_print_continuous_byexon)."""
+    cols = continuous_rows(chain, query_codes_aligned, region_codes, qlen,
+                           genome_offset, invertmode)
+    # split at marker groups
+    blocks, cur = [], []
+    for c in cols:
+        if c.marker >= 0:
+            if cur:
+                blocks.append(cur)
+                cur = []
+        else:
+            cur.append(c)
+    if cur:
+        blocks.append(cur)
+    parts = []
+    for blk in blocks:
+        g = "".join(c.gchar for c in blk)
+        m = "".join(c.mchar for c in blk)
+        q = "".join(c.qchar for c in blk)
+        parts.append(f"{g}\n{m}\n{q}\n\n")
+    return "".join(parts)
+
+
+def coords_fmt(header: str, chain: ExonChain, query_codes_aligned,
+               region_codes, qlen: int, genome_offset: int = 0) -> str:
+    """gmap -f 9 (coords): one line per aligned base:
+    'aaNum[ aaLetter]\\tqpos base\\tgpos gpos gbase\\t[aag]'
+    (src/pair.c Pair_print_coordinates)."""
+    aligned = np.asarray(query_codes_aligned)
+    orf = best_orf(aligned)
+    cols = build_columns(chain, aligned, np.asarray(region_codes),
+                         genome_offset, orf=orf)
+    parts = [f">{header}\n"]
+    aanum = 0
+    for c in cols:
+        if c.marker >= 0 or c.qpos < 0:
+            continue
+        if c.aanum > 0:
+            aanum = c.aanum
+        aa_c = f"{aanum} {c.aac}" if c.aac != " " else f"{aanum}"
+        aa_g = c.aag if c.aag != " " else ""
+        parts.append(f"{aa_c}\t{c.qpos} {c.qchar}\t"
+                     f"{c.gpos} {c.gpos} {c.gchar}\t{aa_g}\n")
+    return "".join(parts)

@@ -215,3 +215,25 @@ def bedpe(chain: ExonChain, chrname: str, chrom_offset: int = 0,
                 f"{chrname}\t{right_start - 1}\t{right_start}\t"
                 f"INSERTION\t0\t+\t+\t{ins}")
     return "".join(l + "\n" for l in lines)
+
+
+def iit_map_fmt(chain, accession: str, header: str,
+                chrname: str | None, chrom_offset: int = 0,
+                exons: bool = False) -> str:
+    """gmap -f 8 (map_ranges) / -f 7 (map_exons):
+    '>acc chr:lo..hi' + query header line [+ per-exon 'lo hi' lines]
+    (src/pair.c Pair_print_iit_map / Pair_print_iit_exon_map)."""
+    lo = chain.exons[0].gstart + 1 + chrom_offset
+    hi = chain.exons[-1].gend + chrom_offset
+    if chain.strand:
+        lo, hi = hi, lo
+    out = [f">{accession} {chrname or ''}:{lo}..{hi}\n{header}\n"]
+    if exons:
+        es = chain.exons if not chain.strand else list(reversed(chain.exons))
+        for e in es:
+            a = e.gstart + 1 + chrom_offset
+            b = e.gend + chrom_offset
+            if chain.strand:
+                a, b = b, a
+            out.append(f"{a} {b}\n")
+    return "".join(out)
