@@ -420,6 +420,59 @@ def main(argv=None):
                     help="print an MD5 checksum line for each query")
     ap.add_argument("--print-comment", action="store_true",
                     help="accepted for compatibility")
+    ap.add_argument("--time", action="store_true", dest="timing",
+                    help="print alignment timing to stderr")
+    ap.add_argument("--quiet-if-excessive", dest="quiet_if_excessive",
+                    action="store_true",
+                    help="print nothing when more than -n paths found")
+    ap.add_argument("--read-files-command", dest="read_files_command",
+                    help="read input via the stdout of `COMMAND file`")
+    ap.add_argument("--splicingdir", dest="splicingdir",
+                    help="directory holding the -s splicing map")
+    ap.add_argument("-V", "--snpsdir", dest="snpsdir", default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("-v", "--use-snps", dest="use_snps", default=None,
+                    help="accepted for compatibility; gmap alignments "
+                         "are reference-based (gsnap -v implements SNP "
+                         "tolerance)")
+    ap.add_argument("--mode", default="standard",
+                    help="accepted for compatibility; cmet/atoi modes "
+                         "are implemented in the gsnap engine")
+    ap.add_argument("--require-splicedir", action="store_true",
+                    help="report spliced paths only when the intron "
+                         "direction is determinate")
+    ap.add_argument("--alphabet", default=None,
+                    help="PMAP-only in the reference; accepted and "
+                         "ignored")
+    ap.add_argument("--nucleotide", "-8", action="store_true",
+                    help="PMAP-only in the reference; accepted and "
+                         "ignored")
+    ap.add_argument("--reference", default=None,
+                    help="accepted for compatibility (relative "
+                         "alignment is not performed)")
+    ap.add_argument("--stage2-start", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--stage2-end", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--stage3debug", default=None,
+                    help="accepted for compatibility (debug builds only "
+                         "in the reference)")
+    ap.add_argument("--diagnostic", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--graphic", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--noexceptions", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--use-shared-memory", type=int, default=None,
+                    help="N/A: the index is HBM/host-RAM resident")
+    ap.add_argument("--preload-shared-memory", action="store_true",
+                    help="N/A: the index is HBM/host-RAM resident")
+    ap.add_argument("--unload-shared-memory", action="store_true",
+                    help="N/A: the index is HBM/host-RAM resident")
+    ap.add_argument("--cmetdir", default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--atoidir", default=None,
+                    help="accepted for compatibility")
     ap.add_argument("--version", action="version",
                     version="tpumap-gmap "
                             + __import__("tpumap").__version__
@@ -442,6 +495,17 @@ def main(argv=None):
     _translation.set_alt_start_codons(args.alt_start_codons)
     if args.quality_protocol == "illumina" and not args.quality_shift:
         args.quality_shift = -31
+    if (args.splicingdir and args.use_splicing
+            and "/" not in args.use_splicing):
+        import os
+        args.use_splicing = os.path.join(args.splicingdir,
+                                         args.use_splicing)
+    if args.use_snps:
+        sys.stderr.write("note: gmap alignments are reference-based; "
+                         "use gsnap -v for SNP-tolerant alignment\n")
+    import time as _time
+    _t0 = _time.perf_counter()
+    _nq = [0]
 
     out = sys.stdout
     cmdline = "tpumap-gmap " + " ".join(argv)
@@ -512,6 +576,9 @@ def main(argv=None):
         return bool(pieces)
 
     def direction_ok(chain):
+        if args.require_splicedir and chain.cdna_direction == 0 \
+                and any(i.kind == "intron" for i in chain.introns):
+            return False
         if args.direction == "auto":
             return True
         d = chain.cdna_direction * (-1 if chain.strand else 1)
@@ -520,7 +587,11 @@ def main(argv=None):
         return d <= 0
 
     def postprocess(pieces, qlen):
-        """-z direction filter, --trim-end-exons, --suboptimal-score."""
+        """-z direction filter, --trim-end-exons, --suboptimal-score,
+        --quiet-if-excessive."""
+        _nq[0] += 1
+        if args.quiet_if_excessive and len(pieces) > args.npaths:
+            return []
         if args.trim_end_exons is not None:
             from tpumap.gmap.engine import trim_end_exons
             pieces = [(trim_end_exons(c, args.trim_end_exons), off)
@@ -707,7 +778,7 @@ def main(argv=None):
         region = next(read_fasta(args.gseg))
         if args.queries is None:
             ap.error("need a query FASTA/FASTQ file")
-        queries = read_fasta(args.queries)
+        queries = read_fasta(args.queries, args.read_files_command)
 
     if region is not None:
         rcodes, rnmask = dna.encode(region.sequence)
@@ -846,7 +917,8 @@ def main(argv=None):
 
         if args.chimera_margin == 0 and args.npaths == 1:
             # bulk path: batched device calls across queries
-            recs = list(shard(read_fasta(args.queries)))
+            recs = list(shard(read_fasta(args.queries,
+                                         args.read_files_command)))
             BATCH = args.batch_size
             for bstart in range(0, len(recs), BATCH):
                 group = recs[bstart:bstart + BATCH]
@@ -860,7 +932,8 @@ def main(argv=None):
                     emit_query(rec, qcodes,
                                [hit] if hit is not None else [])
         else:
-            for rec in shard(read_fasta(args.queries)):
+            for rec in shard(read_fasta(args.queries,
+                                        args.read_files_command)):
                 qcodes, qnmask = dna.encode(rec.sequence)
                 if args.chimera_margin > 0:
                     from tpumap.gmap.chimera import align_query_chimera
@@ -878,6 +951,10 @@ def main(argv=None):
         router.close()
         if failed is not None:
             failed.close()
+        if args.timing:
+            dt = _time.perf_counter() - _t0
+            sys.stderr.write(f"Aligned {_nq[0]} queries in {dt:.3f} s "
+                             f"({_nq[0] / max(dt, 1e-9):.1f} queries/sec)\n")
     else:
         ap.error("need -g, -D, --cmdline, --selfalign, or --pairalign")
 

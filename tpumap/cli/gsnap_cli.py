@@ -203,6 +203,93 @@ def main(argv=None):
     ap.add_argument("--chrsubset", dest="chrsubset", default=None,
                     help="restrict reported alignments to this "
                          "chromosome")
+    # accepted-for-compatibility long tail (obsolete/deprecated/unused
+    # reference options; see src/gsnap.c)
+    ap.add_argument("--end-detail", default=None,
+                    help="deprecated in the reference; accepted and "
+                         "ignored")
+    ap.add_argument("--split-simple", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--show-univdiagonal", dest="show_univdiagonal",
+                    action="store_true",
+                    help="tag each alignment with its univdiagonal "
+                         "(XU:i)")
+    ap.add_argument("--show-refdiff", action="store_true",
+                    help="accepted for compatibility (SNP-tolerant "
+                         "output always shows reference differences)")
+    ap.add_argument("--print-snps", action="store_true",
+                    help="accepted for compatibility (marked 'not fully "
+                         "implemented' in the reference)")
+    ap.add_argument("--md-report-snps", action="store_true",
+                    help="accepted for compatibility (MD is always "
+                         "reference-based; XW/XV carry SNP-explained "
+                         "counts)")
+    ap.add_argument("--only-tr-consistent", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("-e", "--use-mask", default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--cmetdir", default=None,
+                    help="accepted for compatibility; mode indexes live "
+                         "inside the database directory")
+    ap.add_argument("--atoidir", default=None,
+                    help="accepted for compatibility; mode indexes live "
+                         "inside the database directory")
+    ap.add_argument("--transcriptdir", default=None,
+                    help="directory holding the -c transcriptome "
+                         "(default: <db>.transcripts in the database "
+                         "directory)")
+    ap.add_argument("-k", "--kmer", type=int, default=None,
+                    help="db k-mer size (validated against the database)")
+    ap.add_argument("--sampling", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--expand-offsets", type=int, default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--noexceptions", action="store_true",
+                    help="accepted for compatibility (failures always "
+                         "produce a one-line error)")
+    ap.add_argument("--use-shared-memory", type=int, default=None,
+                    help="N/A: the index is HBM/host-RAM resident")
+    ap.add_argument("--preload-shared-memory", action="store_true",
+                    help="N/A: the index is HBM/host-RAM resident")
+    ap.add_argument("--unload-shared-memory", action="store_true",
+                    help="N/A: the index is HBM/host-RAM resident")
+    ap.add_argument("--unload", default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--use-sarray", type=int, default=None,
+                    help="obsolete in the reference; accepted and ignored")
+    ap.add_argument("--terminal-threshold", type=int, default=None,
+                    help="obsolete in the reference; accepted and ignored")
+    ap.add_argument("--trim-mismatch-score", type=int, default=None,
+                    help="accepted for compatibility (ends are aligned "
+                         "full-length)")
+    ap.add_argument("-M", "--suboptimal-levels", dest="suboptimal_levels",
+                    type=int, default=0,
+                    help="accepted for compatibility (marked 'not "
+                         "currently implemented' in the reference too)")
+    ap.add_argument("--indels-dump", default=None,
+                    help="accepted for compatibility (two-pass learning "
+                         "dumps splice sites; learned-indel tables are "
+                         "not maintained)")
+    ap.add_argument("--indels-read", default=None,
+                    help="accepted for compatibility")
+    ap.add_argument("--no-soft-clips", action="store_true",
+                    help="accepted for compatibility (substitution "
+                         "alignments are always full-length)")
+    ap.add_argument("--extend-soft-clips", action="store_true",
+                    help="accepted for compatibility")
+    ap.add_argument("--tallydir", default=None,
+                    help="disabled in the reference; accepted and ignored")
+    ap.add_argument("--use-tally", default=None,
+                    help="disabled in the reference; accepted and ignored")
+    ap.add_argument("--runlengthdir", default=None,
+                    help="disabled in the reference; accepted and ignored")
+    ap.add_argument("--use-runlength", default=None,
+                    help="disabled in the reference; accepted and ignored")
+    ap.add_argument("--transcriptdb", dest="use_transcriptome_alias",
+                    default=None,
+                    help="alias for -c/--use-transcriptome")
+    ap.add_argument("--transcriptome-mode", default=None,
+                    help="accepted for compatibility")
     ap.add_argument("-m", "--max-mismatches", dest="max_mismatches",
                     type=float, default=0.10,
                     help="maximum mismatches as a fraction of read length "
@@ -358,6 +445,10 @@ def main(argv=None):
                     dest="find_fusions",
                     help="search for distant/translocation split reads "
                          "(emitted as primary + supplementary with SA tags)")
+    ap.add_argument("--10x-well-position", dest="well_position",
+                    type=int, default=4,
+                    help="colon-separated accession field appended to "
+                         "CB (0 disables; default 4)")
     ap.add_argument("--10x-whitelist", dest="whitelist",
                     help="10x cell-barcode whitelist; read 1 = barcode+UMI, "
                          "read 2 is aligned and tagged CR/CY/CB/UR/UY")
@@ -382,6 +473,8 @@ def main(argv=None):
 
     if args.check:
         return run_check()
+    if args.use_transcriptome_alias and not args.use_transcriptome:
+        args.use_transcriptome = args.use_transcriptome_alias
     if args.reads is None:
         ap.error("need an input FASTA/FASTQ file")
     if args.dir is None:
@@ -463,6 +556,11 @@ def main(argv=None):
         return True
 
     def shape(rec):
+        if args.show_univdiagonal and not rec.flag & 4 \
+                and rec.rname in db.chrom_names:
+            ud = (int(db.chrom_offsets[db.chrom_names.index(rec.rname)])
+                  + rec.pos - 1)
+            rec.tags.append(f"XU:i:{ud}")
         return sam.apply_sam_options(
             rec, extended_cigar_p=args.sam_extended_cigar,
             use_0m=bool(args.sam_use_0m), force_xs_dir=args.force_xs_dir,
@@ -471,6 +569,9 @@ def main(argv=None):
             cigar_action=args.cigar_action)
 
     db = GenomeDB.load(args.dir)
+    if args.kmer is not None and args.kmer != db.k:
+        raise ValueError(f"database was built with -k {db.k}, "
+                         f"not {args.kmer}")
     index = DeviceIndex.from_host(db)
     if args.use_snps and (db.mode_indexes is None
                           or "snp" not in db.mode_indexes):
@@ -490,7 +591,9 @@ def main(argv=None):
     if args.use_transcriptome:
         import os
         from tpumap.gsnap.transcriptome import Transcriptome
-        trdir = os.path.join(args.dir, f"{db.name}.transcripts",
+        trdir = os.path.join(args.transcriptdir or
+                             os.path.join(args.dir,
+                                          f"{db.name}.transcripts"),
                              args.use_transcriptome)
         transcriptome = Transcriptome.load(trdir)
         tr = (transcriptome, DeviceIndex.from_host(transcriptome.trdb))
@@ -585,7 +688,9 @@ def main(argv=None):
                                 tr=tr, **knob_kw)
         headers_to({out})
         for (r1, r2), s in zip(pairs, results):
-            s.tags.extend(sc.sam_tags(r1.sequence, r1.quality))
+            s.tags.extend(sc.sam_tags(r1.sequence, r1.quality,
+                                      accession=r1.accession,
+                                      wellpos=args.well_position))
             shape(s)
             out.write(s.line() + "\n")
             if s.flag & 4:

@@ -80,13 +80,21 @@ class SingleCell:
             return best
         return None
 
-    def sam_tags(self, read1_seq: str, read1_qual: str | None) -> list[str]:
+    def sam_tags(self, read1_seq: str, read1_qual: str | None,
+                 accession: str | None = None,
+                 wellpos: int = 0) -> list[str]:
         bc, bq, umi, uq = self.split_read1(read1_seq, read1_qual)
         tags = [f"CR:Z:{bc}"]
         if bq:
             tags.append(f"CY:Z:{bq}")
         cb = self.correct(bc, bq)
         if cb is not None:
+            # --10x-well-position: colon-separated accession field
+            # appended to CB (src/gsnap.c wellpos, default 4)
+            if wellpos > 0 and accession:
+                fields = accession.split(":")
+                if len(fields) >= wellpos:
+                    cb = f"{cb}-{fields[wellpos - 1]}"
             tags.append(f"CB:Z:{cb}")
         tags.append(f"UR:Z:{umi}")
         if uq:

@@ -54,8 +54,9 @@ def _open_text(path: str | os.PathLike | io.IOBase,
     return open(path, "rt")
 
 
-def read_fasta(path) -> Iterator[Record]:
-    fh = _open_text(path)
+def read_fasta(path, read_files_command: str | None = None
+               ) -> Iterator[Record]:
+    fh = _open_text(path, read_files_command)
     acc, desc, chunks = None, "", []
     for line in fh:
         line = line.rstrip("\r\n")
