@@ -109,7 +109,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpumap-gsnap")
     ap.add_argument("-D", "--dir", help="database directory")
     ap.add_argument("-d", "--db", help="database name (informational)")
-    ap.add_argument("-A", "--format", default="sam", choices=["sam", "m8"])
+    ap.add_argument("-A", "--format", default="sam",
+                    choices=["sam", "m8", "default", "standard", "gsnap"],
+                    help="output format (note: the reference defaults to "
+                         "its native format; tpumap-gsnap defaults to "
+                         "sam — use -A default for the native format)")
     ap.add_argument("-N", "--novelsplicing", type=int, default=0)
     ap.add_argument("-c", "--use-transcriptome", dest="use_transcriptome",
                     help="transcriptome index name (built with "
@@ -792,7 +796,15 @@ def main(argv=None):
                                    key=lambda kv: -kv[1]):
                     sys.stderr.write(
                         f"method {m}: {c} ({100.0 * c / total:.1f}%)\n")
-        if args.format == "m8":
+        if args.format in ("default", "standard", "gsnap"):
+            from tpumap.io.gsnapfmt import native_alignment
+            for rec, s in zip(records, results):
+                s = maybe_excessive(s)
+                hdr_seq = s.seq if s.seq != "*" else rec.sequence
+                out.write(native_alignment(db, hdr_seq, rec.accession, s))
+                if s.flag & 4:
+                    write_failed(rec)
+        elif args.format == "m8":
             from tpumap.io.m8 import m8_line
             for rec, s in zip(records, results):
                 if s.flag & 4:
