@@ -735,6 +735,21 @@ def main(argv=None):
                  if cat_ok(OutputRouter.paired_category(s1, s2), s1)}
                 if args.split_output else set())
         headers_to({router.get(c) for c in cats} or {out})
+        if args.format in ("default", "standard", "gsnap"):
+            from tpumap.io.gsnapfmt import native_alignment
+            for (r1, r2), (s1, s2) in zip(pairs, results):
+                for rr, ss in ((r1, s1), (r2, s2)):
+                    hdr = ss.seq if ss.seq != "*" else rr.sequence
+                    out.write(native_alignment(db, hdr, rr.accession, ss))
+                if (s1.flag & 4) and (s2.flag & 4):
+                    write_failed(r1)
+                    write_failed(r2)
+            router.close()
+            if failed is not None:
+                failed.close()
+            if args.output:
+                out.close()
+            return 0
         for (r1, r2), (s1, s2) in zip(pairs, results):
             if (s1.flag & 4) and (s2.flag & 4):
                 write_failed(r1)
