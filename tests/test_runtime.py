@@ -161,3 +161,44 @@ def test_interleaved_paired(world, tmp_path):
     f1, f2 = (int(l.split("\t")[1]) for l in lines)
     assert f1 & 64 and f2 & 128          # first/second in pair
     assert f1 & 2 and f2 & 2             # proper pair
+
+
+def test_failure_isolation(monkeypatch):
+    """align_records_isolated quarantines a poison batch to per-read
+    retries; the poison read comes back as an unmapped record."""
+    import numpy as np
+    from tpumap.gsnap import driver as drv
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    from tpumap.io.fasta import Record
+
+    rng = np.random.default_rng(61)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        import pathlib
+        gfa = pathlib.Path(d) / "g.fa"
+        gfa.write_text(">chr1\n" + seq + "\n")
+        db = build_db(gfa, name="g", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    recs = [Record(f"r{i}", "", seq[100 * i:100 * i + 80])
+            for i in range(4)]
+
+    real = drv.align_records
+    calls = {"n": 0}
+
+    def poisoned(db_, index_, records, *a, **kw):
+        calls["n"] += 1
+        if len(records) > 1:                    # batch call: blow up
+            raise RuntimeError("poison read in batch")
+        if records[0].accession == "r2":        # poison read alone
+            raise RuntimeError("poison read")
+        return real(db_, index_, records, *a, **kw)
+
+    monkeypatch.setattr(drv, "align_records", poisoned)
+    out = drv.align_records_isolated(db, index, recs, batch_size=4)
+    assert len(out) == 4
+    assert not out[0].flag & 4
+    assert out[2].flag & 4                      # poison read unmapped
+    assert out[2].qname == "r2"
+    assert not out[3].flag & 4

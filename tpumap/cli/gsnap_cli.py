@@ -16,7 +16,7 @@ import sys
 from tpumap.cli._errors import clean_errors
 import time
 
-from tpumap.gsnap.driver import align_records
+from tpumap.gsnap.driver import align_records, align_records_isolated
 from tpumap.gsnap.engine import AlignConfig
 from tpumap.gsnap.paired import align_paired_records
 from tpumap.index.build import GenomeDB
@@ -794,17 +794,17 @@ def main(argv=None):
                                           tr=tr)
         else:
             method_stats = {} if args.stats else None
-            results = align_records(db, index, records, config,
-                                    novelsplicing=bool(args.novelsplicing),
-                                    max_intron=args.max_intron,
-                                    batch_size=args.batch_size, known=known,
-                                    tr=tr, find_fusions=args.find_fusions,
-                                    npaths=args.npaths,
-                                    show_method=args.show_method,
-                                    stats=method_stats,
-                                    merge_distant_samechr=(
-                                        args.merge_distant_samechr),
-                                    **knob_kw)
+            results = align_records_isolated(
+                db, index, records, config,
+                novelsplicing=bool(args.novelsplicing),
+                max_intron=args.max_intron,
+                batch_size=args.batch_size, known=known,
+                tr=tr, find_fusions=args.find_fusions,
+                npaths=args.npaths,
+                show_method=args.show_method,
+                stats=method_stats,
+                merge_distant_samechr=args.merge_distant_samechr,
+                **knob_kw)
             if method_stats is not None:
                 total = sum(method_stats.values()) or 1
                 for m, c in sorted(method_stats.items(),

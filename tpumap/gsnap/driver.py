@@ -609,3 +609,39 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def align_records_isolated(db, index, records, config=AlignConfig(),
+                           batch_size: int = 1024, **kw):
+    """Failure isolation (SURVEY §5 / the reference's signal handler that
+    prints the problem read, src/gmap.c:4651-4708): align in batch_size
+    groups; a group that raises is quarantined and re-run one read at a
+    time, so a single poison read costs one batch retry instead of the
+    whole run, and its accession is reported on stderr. Reads that still
+    fail are emitted as unmapped records."""
+    out = []
+    for i in range(0, len(records), batch_size):
+        grp = records[i:i + batch_size]
+        try:
+            out.extend(align_records(db, index, grp, config,
+                                     batch_size=batch_size, **kw))
+            continue
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:
+            sys.stderr.write(f"warning: batch starting at read {i} failed "
+                             f"({type(exc).__name__}: {exc}); retrying "
+                             f"reads individually\n")
+        for rec in grp:
+            try:
+                out.extend(align_records(db, index, [rec], config,
+                                         batch_size=batch_size, **kw))
+            except KeyboardInterrupt:
+                raise
+            except Exception as exc:
+                sys.stderr.write(f"error: read {rec.accession} failed "
+                                 f"({type(exc).__name__}: {exc}); "
+                                 f"reported as unmapped\n")
+                out.append(sam.unmapped_record(rec.accession, rec.sequence,
+                                               rec.quality))
+    return out
