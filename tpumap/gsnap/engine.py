@@ -264,17 +264,15 @@ def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
     qpos_list = [jnp.zeros_like(qlast), jnp.minimum(1, qlast),
                  jnp.minimum(2, qlast), jnp.maximum(qlast - 2, 0),
                  jnp.maximum(qlast - 1, 0), qlast]
-    oligo_list = []
-    for qp in qpos_list:
-        o = jnp.zeros((B,), jnp.uint32)
-        for j in range(k):
-            idx = jnp.minimum(qp + j, L - 1)
-            o = (o << 2) | jnp.take_along_axis(
-                codes, idx[:, None].astype(jnp.int32),
-                axis=1)[:, 0].astype(jnp.uint32)
-        oligo_list.append(o)
-    fwd_oligos = jnp.stack(oligo_list, axis=1)            # [B, 6]
     fwd_qpos = jnp.stack(qpos_list, axis=1)               # [B, 6]
+    # rolling k-mers over the whole read (k elementwise passes, NO
+    # per-position gathers — gathered elements are the cost unit on this
+    # chip), then one [B, 6] take for the end positions
+    acc = jnp.zeros((B, L), jnp.uint32)
+    for j in range(k):
+        acc = (acc << 2) | jnp.roll(codes, -j, axis=1).astype(jnp.uint32)
+    fwd_oligos = jnp.take_along_axis(acc, fwd_qpos.astype(jnp.int32),
+                                     axis=1)              # [B, 6]
     # rc oligo at rc-position (len - k - q) == revcomp of fwd oligo at q;
     # all 6 end positions map onto the same 6 windows
     rc_oligos = pack.revcomp_kmer(fwd_oligos, k)
@@ -303,21 +301,54 @@ def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
     rc_packed = pack.revcomp_packed(packed, lengths)
     rc_nmask2 = pack.revcomp_packed(nmask2, lengths, complement=False)
 
+    packed2 = jnp.concatenate([packed, rc_packed], axis=0)
+    nmask22 = jnp.concatenate([nmask2, rc_nmask2], axis=0)
+    lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+    cands2 = jnp.concatenate([fcands, rcands], axis=0)     # [2B, ENDS_K]
+
+    if ENDS_K > ENDS_VERIFY_K:
+        # probe prefilter: full verification gathers ~W words per lane;
+        # ONE 16-base probe word ranks the lanes first so only the best
+        # ENDS_VERIFY_K get the full gather (a wrong diagonal mismatches
+        # ~12/16 probe bases; a true one ~0)
+        cands2 = _probe_rank(index, packed2, lengths2, cands2,
+                             ENDS_VERIFY_K)
+
     stacked = verify.verify_diagonals(
-        index, jnp.concatenate([packed, rc_packed], axis=0),
-        jnp.concatenate([nmask2, rc_nmask2], axis=0),
-        jnp.concatenate([lengths, lengths], axis=0),
-        jnp.concatenate([fcands, rcands], axis=0),
+        index, packed2, nmask22, lengths2, cands2,
         snp=config.snp_tolerant,
         query_unk=config.query_unk_mismatch,
         genome_unk=config.genome_unk_mismatch)
     fnmm, rnmm = stacked[:B], stacked[B:]
-    K = fcands.shape[1]
-    all_diags = jnp.concatenate([fcands, rcands], axis=1)
+    K = cands2.shape[1]
+    all_diags = jnp.concatenate([cands2[:B], cands2[B:]], axis=1)
     all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
     strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
                                jnp.ones((B, K), jnp.int32)], axis=1)
     return select_best(all_diags, all_nmm, strands, lengths, config)
+
+
+ENDS_VERIFY_K = 3   # lanes fully verified after the probe prefilter
+
+
+def _probe_rank(index, packed2: jax.Array, lengths2: jax.Array,
+                cands2: jax.Array, keep: int) -> jax.Array:
+    """Rank candidate lanes by a single mid-read 16-base probe word and
+    keep the `keep` best (invalid lanes stay 0xFFFFFFFF and sort last)."""
+    valid = cands2 != jnp.uint32(0xFFFFFFFF)
+    # probe word index: a word fully inside the read for lengths >= 32
+    # (length//32 => word at bases [16*w, 16*w+16) <= length for w>=1)
+    pw = jnp.clip((lengths2 // 32).astype(jnp.int32), 0,
+                  packed2.shape[1] - 1)
+    rw = jnp.take_along_axis(packed2, pw[:, None], axis=1)[:, 0]
+    starts = jnp.where(valid, cands2, 0) + (pw.astype(jnp.uint32) * 16)[:, None]
+    gw = verify.extract_packed_window(index.genome_packed, starts, 1)[..., 0]
+    diff = rw[:, None] ^ gw
+    mm2 = (diff | (diff >> 1)) & jnp.uint32(0x55555555)
+    probe_mm = jax.lax.population_count(mm2).astype(jnp.int32)
+    probe_mm = jnp.where(valid, probe_mm, jnp.int32(999))
+    _neg, top_idx = jax.lax.top_k(-probe_mm, keep)
+    return jnp.take_along_axis(cands2, top_idx, axis=1)
 
 
 ENDS_K = 8   # unique candidate lanes kept per strand in the fast rung
