@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from tpumap.gsnap.engine import (AlignConfig, align_batch_cascaded,
+                                 align_batch_cascaded_packed,
                                  mapq_from_scores)
 from tpumap.index.build import GenomeDB
 from tpumap.index.device import DeviceIndex
@@ -27,6 +28,17 @@ def pad_to_bucket(n: int, buckets=(32, 64, 96, 128, 160, 192, 256, 384, 512)) ->
         if n <= b:
             return b
     return ((n + 511) // 512) * 512
+
+
+def _pack_batch(batch):
+    """Host-pack a make_batch dict for transfer (4x fewer bytes to the
+    tunnel-attached chip; unpacked again on device)."""
+    import jax.numpy as jnp
+    from tpumap.ops import pack
+    return {"packed": jnp.asarray(pack.pack_reads_host(batch["codes"])),
+            "pnmask": jnp.asarray(
+                pack.pack_reads_host(batch["nmask"].astype(np.uint8))),
+            "lengths": jnp.asarray(batch["lengths"])}
 
 
 def make_batch(records: list[Record], batch_size: int, L: int):
@@ -443,8 +455,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         tr_records = {}
         if tr is not None:
             tr_records = _tr_rung(db, tr, chunk, batch, config)
-        res = align_batch_cascaded(
-            index, {k: jnp.asarray(v) for k, v in batch.items()}, config)
+        res = align_batch_cascaded_packed(
+            index, _pack_batch(batch), config, L)
         res = {k: np.asarray(v) for k, v in res.items()}
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"])

@@ -559,3 +559,19 @@ def mapq_from_scores(nmm: np.ndarray, second: np.ndarray, n_best: np.ndarray,
         mapq = np.where(p_err > 0, -10.0 * np.log10(p_err + 1e-12), 40.0)
     mapq = np.where(n_best > 1, 0.0, mapq)
     return np.clip(mapq, 0, 40).astype(np.int32)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def align_batch_cascaded_packed(index: DeviceIndex, pbatch,
+                                config: AlignConfig, L: int,
+                                solved_nmm: int = 3,
+                                stage2_rows: int = 512):
+    """align_batch_cascaded fed by HOST-PACKED reads: pbatch holds
+    packed uint32[B, W] (pack_reads_host), pnmask uint32[B, W] (N flags
+    packed the same way) and lengths int32[B]. The 4x-smaller transfer
+    matters on a tunnel-attached chip; codes are unpacked on device."""
+    codes = pack.unpack_reads(pbatch["packed"], L)
+    nmask = pack.unpack_reads(pbatch["pnmask"], L).astype(jnp.bool_)
+    batch = {"codes": codes, "nmask": nmask, "lengths": pbatch["lengths"]}
+    return align_batch_cascaded(index, batch, config, solved_nmm,
+                                stage2_rows)

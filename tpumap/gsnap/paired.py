@@ -118,8 +118,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
     paired path) after concordance/mate-rescue, so paired RNA reads get
     junction records too (the Stage1_paired_read + Pathpair machinery,
     src/stage1hr-paired.c)."""
-    from tpumap.gsnap.driver import (make_batch, pad_to_bucket,
-                                     refine_unsolved)
+    from tpumap.gsnap.driver import (_pack_batch, make_batch,
+                                     pad_to_bucket, refine_unsolved)
 
     out = []
     for start in range(0, len(pairs), batch_size):
@@ -129,9 +129,10 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         B = pad_to_bucket(2 * n)
         L = pad_to_bucket(max(len(r.sequence) for r in flat))
         batch = make_batch(flat, B, L)
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        from tpumap.gsnap.engine import align_batch_cascaded_packed
         res = {k: np.asarray(v)
-               for k, v in align_batch_cascaded(index, jbatch, config).items()}
+               for k, v in align_batch_cascaded_packed(
+                   index, _pack_batch(batch), config, L).items()}
 
         # mate rescue where exactly one end has candidates
         rescue_rows = []

@@ -102,3 +102,27 @@ def revcomp_kmer(oligos: jax.Array, k: int) -> jax.Array:
     x = x ^ jnp.uint32(0xFFFFFFFF)
     # the k-mer now occupies the TOP 2k bits reversed; shift down
     return (x >> jnp.uint32(32 - 2 * k)) & ((jnp.uint32(1) << jnp.uint32(2 * k)) - jnp.uint32(1) if k < 16 else jnp.uint32(0xFFFFFFFF))
+
+
+def pack_reads_host(codes) -> "np.ndarray":
+    """Host (numpy) twin of pack_reads: [B, L] uint8 -> [B, W] uint32.
+
+    Packing on the host shrinks the host->device transfer 4x (the
+    tunnel-attached TPU makes transfer bytes a first-order cost)."""
+    import numpy as np
+    B, L = codes.shape
+    W = words_for(L)
+    pad = W * BASES_PER_WORD - L
+    if pad:
+        codes = np.pad(codes, ((0, 0), (0, pad)))
+    lanes = codes.reshape(B, W, BASES_PER_WORD).astype(np.uint32)
+    shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, None, :]
+    return (lanes << shifts).sum(axis=2, dtype=np.uint32)
+
+
+def unpack_reads(packed: jax.Array, L: int) -> jax.Array:
+    """Device inverse of pack_reads: [B, W] uint32 -> [B, L] uint8."""
+    B, W = packed.shape
+    shifts = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))
+    lanes = (packed[..., :, None] >> shifts) & jnp.uint32(3)
+    return lanes.reshape(B, W * BASES_PER_WORD)[:, :L].astype(jnp.uint8)
