@@ -135,12 +135,16 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
     best = {}
 
     def run_round(work):            # work: list of (qi, region)
-        # one device call per window-size group (on-device region
-        # extraction; two groups bound the padding waste of the rare
-        # wide regions without multiplying per-call dispatch overhead)
-        small = [(qi, r) for qi, r in work if r[1] - r[0] <= 65536]
-        wide = [(qi, r) for qi, r in work if r[1] - r[0] > 65536]
-        for subset in (small, wide):
+        # one device call per window-size bucket (on-device region
+        # extraction): the chain stage's region sort costs ~Rp log Rp
+        # per problem, so padding every window to the round's maximum
+        # multiplies the sort work of the common small windows
+        from collections import defaultdict
+        from tpumap.gmap.engine import _bucket
+        groups = defaultdict(list)
+        for qi, r in work:
+            groups[_bucket(r[1] - r[0])].append((qi, r))
+        for _sz, subset in sorted(groups.items()):
             if not subset:
                 continue
             pairs = [make_pair(qi, r) for qi, r in subset]

@@ -125,13 +125,39 @@ def _chain_pipeline_batch(q_codes, q_valid, r_codes, r_valid,
             q_codes, q_valid, r_codes, r_valid)
 
 
+CHAIN_M = 128   # compacted chain members returned per problem
+
+
+def _compact_chain(segs, order, in_chain):
+    """Device-side compaction of the chain result: the full [N, S] segment
+    arrays are ~MBs of mostly-invalid entries, and device->host bytes are
+    the bottleneck on a tunnel-attached chip. Returns
+    (diag, qstart, qend, ok) int32/bool [N, CHAIN_M] — only the in-chain,
+    valid members, in chain order."""
+    S = order.shape[-1]
+
+    def row(order_row, in_chain_row, diag, qs, qe, valid):
+        key = jnp.where(in_chain_row,
+                        jnp.arange(S, dtype=jnp.int32),
+                        jnp.int32(S) + jnp.arange(S, dtype=jnp.int32))
+        perm = jnp.argsort(key)
+        sel = order_row[perm][:CHAIN_M]
+        ok = in_chain_row[perm][:CHAIN_M] & valid[sel]
+        return (jnp.where(ok, diag[sel], 0), jnp.where(ok, qs[sel], 0),
+                jnp.where(ok, qe[sel], 0), ok)
+
+    return jax.vmap(row)(order, in_chain, segs["diag"], segs["qstart"],
+                         segs["qend"], segs["valid"])
+
+
 @partial(jax.jit, static_argnums=(6, 7))
 def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
                             win_start, win_len, Rp: int,
                             config: GmapConfig):
     """Chain pipeline with ON-DEVICE region extraction: the genome already
     lives in HBM, so shipping [N, Rp] region code arrays from the host
-    (tens of MB over the device tunnel) is replaced by a window gather."""
+    (tens of MB over the device tunnel) is replaced by a window gather.
+    Returns the COMPACTED chain (see _compact_chain)."""
     from tpumap.ops import verify as verify_ops
 
     r_codes = verify_ops.extract_codes_window(genome_packed, win_start, Rp)
@@ -140,9 +166,10 @@ def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
     in_len = (jnp.arange(Rp, dtype=jnp.int32)[None, :]
               < win_len[:, None])
     r_valid = in_len & ~nbase
-    return jax.vmap(
+    segs, order, in_chain = jax.vmap(
         lambda a, b, c, d: _chain_pipeline(a, b, c, d, config))(
             q_codes, q_valid, r_codes, r_valid)
+    return _compact_chain(segs, order, in_chain)
 
 
 def align_cdna_windows(index, db, pairs: list,
@@ -170,22 +197,22 @@ def align_cdna_windows(index, db, pairs: list,
         qv[i, :len(qq)] = ~nn.astype(bool)
         ws[i] = gstart
         wl[i] = glen
-    segs, order, in_chain = _chain_pipeline_windows(
+    cdiag, cqs, cqe, cok = _chain_pipeline_windows(
         index.genome_packed, index.genome_nmask, jnp.asarray(qc),
         jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl), Rp, config)
-    segs = {k: np.asarray(v) for k, v in segs.items()}
-    order = np.asarray(order)
-    in_chain = np.asarray(in_chain)
+    cdiag = np.asarray(cdiag)
+    cqs = np.asarray(cqs)
+    cqe = np.asarray(cqe)
+    cok = np.asarray(cok)
 
     out = []
     for i, (qq, nn, gstart, glen, strand) in enumerate(pairs):
-        members = [s for s in order[i][in_chain[i]] if segs["valid"][i][s]]
-        if not members:
+        sel = np.nonzero(cok[i])[0]
+        if len(sel) == 0:
             out.append(None)
             continue
-        chain = [(int(segs["diag"][i][s]) - chain_ops.DIAG_BIAS,
-                  int(segs["qstart"][i][s]), int(segs["qend"][i][s]))
-                 for s in members]
+        chain = [(int(cdiag[i][s]) - chain_ops.DIAG_BIAS,
+                  int(cqs[i][s]), int(cqe[i][s])) for s in sel]
         rcodes = db.get_codes(gstart, glen)
         rnmask = db.get_nmask(gstart, glen).astype(bool)
         result = refine_chain(qq, nn, rcodes, rnmask, chain, config,
