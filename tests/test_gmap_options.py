@@ -137,3 +137,30 @@ def test_trim_end_exons():
     assert len(t.exons) == 1
     assert t.exons[0].qstart == 5
     assert not t.introns
+
+
+def test_repetitive_region_fallback(tmp_path):
+    """A query inside a tandem repeat: every oligo is overabundant, so
+    the normal occupancy cap finds no anchors; the keep_overabundant
+    retry still aligns it (full coverage)."""
+    import numpy as np
+    from tpumap.cli.gmap_cli import align_queries_bulk
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    from tpumap.utils import dna as dna_mod
+
+    rng = np.random.default_rng(71)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 31))
+    flank1 = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    flank2 = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    genome = flank1 + unit * 200 + flank2
+    gfa = tmp_path / "g.fa"
+    gfa.write_text(">chr1\n" + genome + "\n")
+    db = build_db(gfa, name="rep", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    q = genome[3000 + 31 * 5:3000 + 31 * 5 + 250]    # pure repeat query
+    enc = [dna_mod.encode(q)]
+    res = align_queries_bulk(db, index, enc)
+    assert res[0] is not None
+    chain, _off = res[0]
+    assert chain.coverage >= 0.9 * len(q)

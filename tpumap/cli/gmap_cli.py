@@ -93,6 +93,15 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
             if chain is None or not chain.exons:
                 continue
             paths.append((chain, gstart))
+    if not paths and regions:
+        # repetitive-region fallback (see align_queries_bulk)
+        from dataclasses import replace as _rep
+        retry = align_cdna_regions(qcodes, qnmask, inputs_for(regions[:1]),
+                                   _rep(config, max_occ=128,
+                                        keep_overabundant=True),
+                                   known=known)
+        if retry and retry[0] is not None and retry[0].exons:
+            paths.append((retry[0], regions[0][0]))
     paths.sort(key=lambda p: -chain_goodness(p[0]))
     # drop duplicate placements (same genomic span)
     seen, uniq = set(), []
@@ -121,6 +130,17 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
     regions_per_q = [_filter_regions(regs, strand, chr_range)
                      for regs in find_regions_bulk(index, encoded,
                                                    s1config)]
+    # stage-1 repetitive fallback: a query whose every oligo is
+    # overabundant yields no regions at all; retry those with
+    # keep-first-occ semantics
+    noregion = [qi for qi, regs in enumerate(regions_per_q) if not regs]
+    if noregion:
+        from dataclasses import replace as _rep1
+        s1_hi = _rep1(s1config, max_occ=64, keep_overabundant=True)
+        retry = find_regions_bulk(index, [encoded[qi] for qi in noregion],
+                                  s1_hi)
+        for qi, regs in zip(noregion, retry):
+            regions_per_q[qi] = _filter_regions(regs, strand, chr_range)
 
     def make_pair(qi, region):
         (gstart, gend, _w, strand) = region
@@ -177,6 +197,19 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
         rest.extend((qi, r) for r in regs[1:])
     if rest:
         run_round(rest)
+    # repetitive-region fallback: a query with candidate regions but no
+    # chain may have had every oligo over the occupancy cap (tandem
+    # repeats); retry its top region with a high cap
+    missing = [qi for qi in range(len(encoded))
+               if best.get(qi) is None and regions_per_q[qi]]
+    if missing:
+        from dataclasses import replace
+        cfg_hi = replace(config, max_occ=128, keep_overabundant=True)
+        pairs = [make_pair(qi, regions_per_q[qi][0]) for qi in missing]
+        res = align_cdna_windows(index, db, pairs, cfg_hi, known=known)
+        for qi, p, ch in zip(missing, pairs, res):
+            if ch is not None and ch.exons:
+                best[qi] = (ch, p[2])
     return [best.get(qi) for qi in range(len(encoded))]
 
 

@@ -78,7 +78,11 @@ class ExonChain:
 @dataclass(frozen=True)
 class GmapConfig:
     index_k: int = 8
-    max_occ: int = 64
+    # per-oligo occurrence cap inside a region window. The anchor sort in
+    # anchors_to_segments costs ~N*Qp*max_occ*log^2: 64 -> 16 cut GMAP
+    # chain time ~25% with identical results on the bench (mostly-unique
+    # windows); raise for heavily repetitive targets
+    max_occ: int = 16
     n_segments: int = 64
     max_intron: int = 500_000
     max_qgap: int = 24
@@ -93,6 +97,9 @@ class GmapConfig:
     # gmap --canonical-mode: 0 = no reward for canonical introns,
     # 1 = reward (default), 2 = stronger reward (--cross-species)
     canonical_mode: int = 1
+    # keep the first max_occ hits of overabundant oligos instead of
+    # dropping them (the repetitive-region retry path)
+    keep_overabundant: bool = False
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -107,7 +114,9 @@ def _chain_pipeline(q_codes, q_valid, r_codes, r_valid, config: GmapConfig):
         acc = (acc << 2) | jnp.roll(q_codes, -j).astype(jnp.uint32)
         ok = ok & jnp.roll(q_valid, -j)
     ok = ok & (jnp.arange(Q) < Q - k + 1)
-    diag, q, aok = chain_ops.anchors_from_query(so, sp, acc, ok, config.max_occ)
+    diag, q, aok = chain_ops.anchors_from_query(
+        so, sp, acc, ok, config.max_occ,
+        keep_overabundant=config.keep_overabundant)
     segs = chain_ops.anchors_to_segments(diag, q, aok, config.n_segments, k,
                                          config.max_qgap)
     order, in_chain = chain_ops.chain_segments(segs, config.max_intron)

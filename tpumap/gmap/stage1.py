@@ -38,6 +38,9 @@ class Stage1Config:
     # default max intron length
     maxtotallen: int = 200_000
     region_pad: int = 2_000
+    # repetitive-region fallback: keep first-max_occ hits of
+    # overabundant oligos instead of dropping them
+    keep_overabundant: bool = False
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -48,7 +51,8 @@ def _region_diags(index, codes, nmask, lengths, config: Stage1Config):
     diags = seed.lookup_diagonals(index.offsets, index.positions,
                                   oligos[:, ::config.sample_interval],
                                   valid[:, ::config.sample_interval],
-                                  qpos, config.max_occ)
+                                  qpos, config.max_occ,
+                                  keep_overabundant=config.keep_overabundant)
     B = diags.shape[0]
     return seed.prevalent_diagonals(diags.reshape(B, -1),
                                     config.top_regions,

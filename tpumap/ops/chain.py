@@ -61,7 +61,7 @@ def region_index(codes: jax.Array, valid: jax.Array, k: int):
 
 def anchors_from_query(sorted_oligos: jax.Array, sorted_pos: jax.Array,
                        q_oligos: jax.Array, q_valid: jax.Array,
-                       max_occ: int):
+                       max_occ: int, keep_overabundant: bool = False):
     """For each query oligo, up to max_occ region positions.
 
     Returns (diag uint32[Q, max_occ], q int32[Q, max_occ], valid bool).
@@ -75,7 +75,13 @@ def anchors_from_query(sorted_oligos: jax.Array, sorted_pos: jax.Array,
     lane = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
     idx = start.astype(jnp.int32)[:, None] + lane
     pos = jnp.take(sorted_pos, idx, mode="clip")
-    ok = (q_valid & (count <= max_occ))[:, None] & (lane < count[:, None])
+    # overabundant oligos are dropped entirely by default (the stage2
+    # overabundance mask); keep_overabundant instead keeps their first
+    # max_occ hits — the repetitive-region fallback
+    if keep_overabundant:
+        ok = q_valid[:, None] & (lane < count[:, None])
+    else:
+        ok = (q_valid & (count <= max_occ))[:, None] & (lane < count[:, None])
     q = jnp.arange(Q, dtype=jnp.int32)
     diag = pos.astype(jnp.int32) - q[:, None] + DIAG_BIAS
     diag = jnp.where(ok, diag, jnp.int32(0x7FFFFFFF)).astype(jnp.uint32)

@@ -41,7 +41,8 @@ def query_oligos(codes: jax.Array, nmask: jax.Array, lengths: jax.Array,
 
 def lookup_diagonals(offsets: jax.Array, positions: jax.Array,
                      oligos: jax.Array, valid: jax.Array,
-                     qpos: jax.Array, max_occ: int) -> jax.Array:
+                     qpos: jax.Array, max_occ: int,
+                     keep_overabundant: bool = False) -> jax.Array:
     """Gather up to max_occ genomic positions per oligo as univdiagonals.
 
     offsets: uint32[4^k+1]; positions: uint32[P+pad]; oligos: uint32[B, NQ];
@@ -55,7 +56,9 @@ def lookup_diagonals(offsets: jax.Array, positions: jax.Array,
     start = jnp.take(offsets, oligos_c, mode="clip")
     end = jnp.take(offsets, oligos_c + 1, mode="clip")
     count = (end - start).astype(jnp.int32)
-    ok = valid & (count <= max_occ)
+    # keep_overabundant: repetitive-region fallback keeps the first
+    # max_occ hits instead of dropping the oligo
+    ok = valid if keep_overabundant else (valid & (count <= max_occ))
     lane = jnp.arange(max_occ, dtype=jnp.int32)[None, None, :]
     idx = start.astype(jnp.int32)[..., None] + lane
     pos = jnp.take(positions, idx, mode="clip")
