@@ -158,17 +158,27 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
         # one device call per window-size bucket (on-device region
         # extraction): the chain stage's region sort costs ~Rp log Rp
         # per problem, so padding every window to the round's maximum
-        # multiplies the sort work of the common small windows
+        # multiplies the sort work of the common small windows.
+        # ALL groups are dispatched (async) before any is finished, so
+        # host-side junction refinement of group k overlaps the device
+        # compute of groups k+1..n
         from collections import defaultdict
-        from tpumap.gmap.engine import _bucket
+        from tpumap.gmap.engine import (_bucket,
+                                        align_cdna_windows_dispatch,
+                                        align_cdna_windows_finish)
         groups = defaultdict(list)
         for qi, r in work:
             groups[_bucket(r[1] - r[0])].append((qi, r))
+        handles = []
         for _sz, subset in sorted(groups.items()):
             if not subset:
                 continue
             pairs = [make_pair(qi, r) for qi, r in subset]
-            res = align_cdna_windows(index, db, pairs, config, known=known)
+            handles.append((subset, pairs,
+                            align_cdna_windows_dispatch(index, pairs,
+                                                        config)))
+        for subset, pairs, h in handles:
+            res = align_cdna_windows_finish(db, h, known=known)
             for (qi, _r), p, ch in zip(subset, pairs, res):
                 if ch is None or not ch.exons:
                     continue

@@ -181,16 +181,12 @@ def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
     return _compact_chain(segs, order, in_chain)
 
 
-def align_cdna_windows(index, db, pairs: list,
-                       config: GmapConfig = GmapConfig(), known=None):
-    """Chain + refine MANY (query, genome-window) problems in one device
-    call with on-device region extraction.
-
-    pairs: list of (qcodes, qnmask, gstart, glen, strand); qcodes already
-    in aligned orientation. Returns [ExonChain|None] parallel to pairs.
-    """
-    if not pairs:
-        return []
+def align_cdna_windows_dispatch(index, pairs: list,
+                                config: GmapConfig = GmapConfig()):
+    """Dispatch the device chain stage for a window group WITHOUT
+    blocking (async): returns an opaque handle for
+    align_cdna_windows_finish. Dispatching several groups before
+    finishing any lets host-side refinement overlap device compute."""
     Qp = _bucket(max(len(p[0]) for p in pairs))
     Rp = _bucket(max(p[3] for p in pairs))
     if Qp // 16 > config.n_segments:
@@ -206,9 +202,15 @@ def align_cdna_windows(index, db, pairs: list,
         qv[i, :len(qq)] = ~nn.astype(bool)
         ws[i] = gstart
         wl[i] = glen
-    cdiag, cqs, cqe, cok = _chain_pipeline_windows(
+    dev = _chain_pipeline_windows(
         index.genome_packed, index.genome_nmask, jnp.asarray(qc),
         jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl), Rp, config)
+    return (pairs, config, dev)
+
+
+def align_cdna_windows_finish(db, handle, known=None):
+    """Fetch a dispatched group's chains and run host refinement."""
+    pairs, config, (cdiag, cqs, cqe, cok) = handle
     cdiag = np.asarray(cdiag)
     cqs = np.asarray(cqs)
     cqe = np.asarray(cqe)
@@ -230,6 +232,20 @@ def align_cdna_windows(index, db, pairs: list,
             result.strand = strand
         out.append(result)
     return out
+
+
+def align_cdna_windows(index, db, pairs: list,
+                       config: GmapConfig = GmapConfig(), known=None):
+    """Chain + refine MANY (query, genome-window) problems in one device
+    call with on-device region extraction.
+
+    pairs: list of (qcodes, qnmask, gstart, glen, strand); qcodes already
+    in aligned orientation. Returns [ExonChain|None] parallel to pairs.
+    """
+    if not pairs:
+        return []
+    return align_cdna_windows_finish(
+        db, align_cdna_windows_dispatch(index, pairs, config), known=known)
 
 
 def align_cdna_pairs(pairs: list, config: GmapConfig = GmapConfig(),
