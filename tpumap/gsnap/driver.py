@@ -445,19 +445,31 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     import jax.numpy as jnp
 
     out = []
-    for start in range(0, len(records), batch_size):
+
+    def _dispatch(start):
+        """Build + async-dispatch one batch's cascade; host work on the
+        previous batch overlaps this batch's device compute."""
         chunk = records[start:start + batch_size]
-        B = pad_to_bucket(len(chunk)) if len(chunk) < batch_size else batch_size
+        B = (pad_to_bucket(len(chunk)) if len(chunk) < batch_size
+             else batch_size)
         L = pad_to_bucket(max(len(r.sequence) for r in chunk))
         batch = make_batch(chunk, B, L)
+        dev = align_batch_cascaded_packed(index, _pack_batch(batch),
+                                          config, L)
+        return chunk, batch, L, dev
+
+    starts = list(range(0, len(records), batch_size))
+    pending = _dispatch(starts[0]) if starts else None
+    for si, start in enumerate(starts):
+        chunk, batch, L, dev = pending
+        pending = (_dispatch(starts[si + 1])
+                   if si + 1 < len(starts) else None)
 
         # transcriptome-first rung
         tr_records = {}
         if tr is not None:
             tr_records = _tr_rung(db, tr, chunk, batch, config)
-        res = align_batch_cascaded_packed(
-            index, _pack_batch(batch), config, L)
-        res = {k: np.asarray(v) for k, v in res.items()}
+        res = {k: np.asarray(v) for k, v in dev.items()}
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"])
 
