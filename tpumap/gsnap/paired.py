@@ -121,18 +121,27 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
     from tpumap.gsnap.driver import (_pack_batch, make_batch,
                                      pad_to_bucket, refine_unsolved)
 
-    out = []
-    for start in range(0, len(pairs), batch_size):
+    from tpumap.gsnap.engine import align_batch_cascaded_packed
+
+    def _dispatch(start):
         chunk = pairs[start:start + batch_size]
-        n = len(chunk)
         flat = [r for p in chunk for r in p]
-        B = pad_to_bucket(2 * n)
+        B = pad_to_bucket(2 * len(chunk))
         L = pad_to_bucket(max(len(r.sequence) for r in flat))
         batch = make_batch(flat, B, L)
-        from tpumap.gsnap.engine import align_batch_cascaded_packed
-        res = {k: np.asarray(v)
-               for k, v in align_batch_cascaded_packed(
-                   index, _pack_batch(batch), config, L).items()}
+        dev = align_batch_cascaded_packed(index, _pack_batch(batch),
+                                          config, L)
+        return chunk, batch, L, dev
+
+    out = []
+    starts = list(range(0, len(pairs), batch_size))
+    pending = _dispatch(starts[0]) if starts else None
+    for si, start in enumerate(starts):
+        chunk, batch, L, dev = pending
+        pending = (_dispatch(starts[si + 1])
+                   if si + 1 < len(starts) else None)
+        n = len(chunk)
+        res = {k: np.asarray(v) for k, v in dev.items()}
 
         # mate rescue where exactly one end has candidates
         rescue_rows = []
