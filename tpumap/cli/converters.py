@@ -298,3 +298,302 @@ def vcf_iit_main(argv=None):
     if args.input:
         fh.close()
     return 0
+
+
+# --- dbSNP / GVF / Ensembl / transcript-splicesites / MD converters ---------
+
+_REVC = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+# exception types explicitly known to util/dbsnp_iit.pl's %allowp table
+# (all currently 0 = exclude); unknown types are excluded implicitly
+_DBSNP_ALLOWP = {
+    "RefAlleleMismatch": 0, "RefAlleleRevComp": 0, "DuplicateObserved": 0,
+    "MixedObserved": 0, "FlankMismatchGenomeLonger": 0,
+    "FlankMismatchGenomeEqual": 0, "FlankMismatchGenomeShorter": 0,
+    "NamedDeletionZeroSpan": 0, "NamedInsertionNonzeroSpan": 0,
+    "SingleClassLongerSpan": 0, "SingleClassZeroSpan": 0,
+    "SingleClassTriAllelic": 0, "SingleClassQuadAllelic": 0,
+    "ObservedWrongFormat": 0, "ObservedTooLong": 0,
+    "ObservedContainsIupac": 0, "ObservedMismatch": 0,
+    "MultipleAlignments": 0, "NonIntegerChromCount": 0,
+    "AlleleFreqSumNot1": 0, "InconsistentAlleles": 0,
+    "SingleAlleleFreq": 0,
+}
+
+
+def _snp_line(rsid, chrname, chrpos, a, b, strand):
+    if strand == "-":
+        a, b = _REVC[a], _REVC[b]
+    snp_type = a + b if a <= b else b + a
+    return f">{rsid} {chrname}:{chrpos} {snp_type} {strand}\n"
+
+
+def dbsnp_iit_main(argv=None):
+    """util/dbsnp_iit.pl: UCSC dbSNP flat file -> SNP IIT input
+    ('>rsid chr:pos XY strand' lines for single-base SNPs)."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog="tpumap-dbsnp_iit")
+    ap.add_argument("-c", dest="chr", default=None,
+                    help="restrict to this chromosome")
+    ap.add_argument("-w", dest="weight", type=int, default=1,
+                    help="max item weight to accept (1=most confident)")
+    ap.add_argument("-e", dest="exceptions", default=None,
+                    help="UCSC exceptions file (rsids to exclude)")
+    ap.add_argument("files", nargs="*", default=["-"])
+    args = ap.parse_args(argv)
+
+    exclude = set()
+    if args.exceptions:
+        import gzip
+        op = gzip.open if args.exceptions.endswith(".gz") else open
+        with op(args.exceptions, "rt") as fh:
+            for line in fh:
+                f = line.rstrip("\r\n").split("\t")
+                if len(f) > 5 and _DBSNP_ALLOWP.get(f[5], 0) == 0:
+                    exclude.add(f[4])
+
+    def lines():
+        for path in args.files:
+            fh = sys.stdin if path == "-" else open(path)
+            yield from fh
+            if path != "-":
+                fh.close()
+
+    for line in lines():
+        f = line.rstrip("\r\n").split("\t")
+        if len(f) < 18 or f[11] != "single":
+            continue
+        chrname = f[1]
+        if args.chr and chrname != args.chr:
+            continue
+        if int(f[17]) > args.weight:
+            continue
+        rsid = f[4]
+        if rsid in exclude:
+            continue
+        if len(f) > 18 and f[18].strip() and any(
+                _DBSNP_ALLOWP.get(e, 0) == 0
+                for e in f[18].split(",") if e.strip()):
+            continue
+        obs = f[9]
+        if (len(obs) == 3 and obs[1] == "/" and obs[0] in _REVC
+                and obs[2] in _REVC):
+            sys.stdout.write(_snp_line(rsid, chrname, int(f[2]) + 1,
+                                       obs[0], obs[2], f[6]))
+    return 0
+
+
+def gvf_iit_main(argv=None):
+    """util/gvf_iit.pl: GVF SNV records -> SNP IIT input."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog="tpumap-gvf_iit")
+    ap.add_argument("files", nargs="*", default=["-"])
+    args = ap.parse_args(argv)
+    for path in args.files:
+        fh = sys.stdin if path == "-" else open(path)
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\r\n").split("\t")
+            if len(f) < 9 or f[2] != "SNV":
+                continue
+            rsid = alleleA = alleleB = None
+            for item in f[8].split(";"):
+                if item.startswith("Dbxref="):
+                    rsid = item.split("=", 1)[1].split(":")[-1]
+                elif item.startswith("Reference_seq="):
+                    alleleA = item.split("=", 1)[1][:1]
+                elif item.startswith("Variant_seq="):
+                    alleleB = item.split("=", 1)[1][:1]
+            strand = f[6]
+            if (rsid is None or strand not in ("+", "=")
+                    or alleleA not in _REVC or alleleB not in _REVC):
+                continue
+            a, b = alleleA, alleleB
+            snp_type = a + b if a <= b else b + a
+            sys.stdout.write(f">{rsid} {f[0]}:{f[3]} {snp_type} {strand}\n")
+        if path != "-":
+            fh.close()
+    return 0
+
+
+def ensembl_genes_main(argv=None):
+    """util/ensembl_genes.pl: processed ensGene table -> genes IIT input
+    (same row layout as the reference script: acc, chr:..., strand at
+    col 3, exon count at col 6, starts/ends lists at cols 7/8, gene
+    name at col 10)."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog="tpumap-ensembl_genes")
+    ap.add_argument("-P", action="store_true",
+                    help="remove 'chr' prefix from chromosome names")
+    ap.add_argument("files", nargs="*", default=["-"])
+    args = ap.parse_args(argv)
+    for path in args.files:
+        fh = sys.stdin if path == "-" else open(path)
+        for line in fh:
+            f = line.rstrip("\r\n").split("\t")
+            if len(f) < 11:
+                continue
+            acc = f[0].lstrip(">")
+            chrname = f[1].split(":")[0]
+            if args.P:
+                chrname = chrname.replace("chr", "", 1)
+            strand = f[3]
+            starts = [int(x) for x in f[7].split(",") if x]
+            ends = [int(x) for x in f[8].split(",") if x]
+            genename = f[10]
+            if len(starts) != int(f[6]):
+                sys.stderr.write(f"Reported number of exons {f[7]} != "
+                                 f"observed {len(starts)}: Skipping "
+                                 f"{line.rstrip()}\n")
+                continue
+            if strand == "+":
+                sys.stdout.write(f">{acc} {chrname}:{starts[0] + 1}.."
+                                 f"{ends[-1]}\n{genename}\n")
+                for s, e in zip(starts, ends):
+                    sys.stdout.write(f"{s + 1} {e}\n")
+            elif strand == "-":
+                starts_r = starts[::-1]
+                ends_r = ends[::-1]
+                sys.stdout.write(f">{acc} {chrname}:{ends_r[0]}.."
+                                 f"{starts_r[-1] + 1}\n{genename}\n")
+                for s, e in zip(starts_r, ends_r):
+                    sys.stdout.write(f"{e} {s + 1}\n")
+            else:
+                sys.stderr.write("Strand is neither + nor -: Skipping "
+                                 f"{line.rstrip()}\n")
+        if path != "-":
+            fh.close()
+    return 0
+
+
+def _gtf_info(attrs: str) -> dict:
+    import re
+    out = {}
+    for m in re.finditer(r'(\S+) "([^"]+)";?|(\S+) ([^\s;]+);?', attrs):
+        if m.group(1):
+            out.setdefault(m.group(1), m.group(2))
+        elif m.group(3):
+            out.setdefault(m.group(3), m.group(4))
+    return out
+
+
+def gtf_transcript_splicesites_main(argv=None):
+    """util/gtf_transcript_splicesites.pl (no -d mode): GTF exons ->
+    TRANSCRIPT-coordinate donor/acceptor sites
+    ('>gene.tr.exonI/N tr:q..q+1 donor 0 +chr@gpos')."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog="tpumap-gtf_transcript_splicesites")
+    ap.add_argument("-E", action="store_true",
+                    help="order exons by the exon_number attribute")
+    ap.add_argument("files", nargs="*", default=["-"])
+    args = ap.parse_args(argv)
+
+    def flush(exons, gene, tid, chrname, strand, sortp):
+        if not exons:
+            return
+        ex = sorted(exons) if sortp else exons
+        qends, qstarts = [], []
+        qpos = 0
+        if strand == "-" and sortp:
+            ex = ex[::-1]
+        for s, e in ex:
+            qstarts.append(qpos)
+            qpos += e - s + 1
+            qends.append(qpos)
+        qstarts = qstarts[1:]
+        qends = qends[:-1]
+        n = len(ex)
+        if strand == "-":
+            # donor at the exon START, acceptor at the next exon's END
+            don = [s for s, _ in ex][:-1]
+            acc = [e for _, e in ex][1:]
+            pre = "-"
+        else:
+            don = [e for _, e in ex][:-1]
+            acc = [s for s, _ in ex][1:]
+            pre = "+"
+        for i in range(n - 1):
+            sys.stdout.write(
+                f">{gene}.{tid}.exon{i + 1}/{n} {tid}:{qends[i]}.."
+                f"{qends[i] + 1} donor 0 {pre}{chrname}@{don[i]}\n")
+            sys.stdout.write(
+                f">{gene}.{tid}.exon{i + 2}/{n} {tid}:{qstarts[i]}.."
+                f"{qstarts[i] + 1} acceptor 0 {pre}{chrname}@{acc[i]}\n")
+
+    exons, gene, tid, chrname, strand, sortp = [], "", "", "", "+", False
+    for path in args.files:
+        fh = sys.stdin if path == "-" else open(path)
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\r\n").split("\t")
+            if len(f) < 9 or f[2] != "exon":
+                continue
+            info = _gtf_info(f[8])
+            t = info.get("transcript_id", "")
+            if t != tid:
+                flush(exons, gene, tid, chrname, strand, sortp)
+                exons, sortp = [], False
+                gene = info.get("gene_id", info.get("gene_name", ""))
+                tid, chrname, strand = t, f[0], f[6]
+            if args.E and "exon_number" in info:
+                enum = int(info["exon_number"]) - 1
+                while len(exons) <= enum:
+                    exons.append(None)
+                exons[enum] = (int(f[3]), int(f[4]))
+            else:
+                sortp = True
+                exons.append((int(f[3]), int(f[4])))
+        if path != "-":
+            fh.close()
+    flush(exons, gene, tid, chrname, strand, sortp)
+    return 0
+
+
+def md_coords_main(argv=None):
+    """util/md_coords.pl, non-interactive subset: NCBI seq_contig.md ->
+    gmap_build coords file. Columns are given via -c
+    contig,chr,start,end,dir[,strain] (the reference's interactive
+    column/strain detection is replaced by explicit flags)."""
+    import argparse
+    import sys
+    ap = argparse.ArgumentParser(prog="tpumap-md_coords")
+    ap.add_argument("-c", dest="cols", required=True,
+                    help="contig,chr,chrstart,chrend,dir[,strain] "
+                         "0-based column numbers")
+    ap.add_argument("-o", dest="out", default="coords.txt")
+    ap.add_argument("--strain", default=None,
+                    help="keep only rows of this strain (reference "
+                         "strain)")
+    ap.add_argument("mdfile")
+    args = ap.parse_args(argv)
+    cols = [int(x) for x in args.cols.split(",")]
+    ccol, chcol, scol, ecol, dcol = cols[:5]
+    stcol = cols[5] if len(cols) > 5 else None
+    with open(args.mdfile) as fh, open(args.out, "w") as out:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\r\n").split("\t")
+            if len(f) <= max(ccol, chcol, scol, ecol, dcol):
+                continue
+            if stcol is not None and args.strain and \
+                    f[stcol] != args.strain:
+                continue
+            contig = f[ccol]
+            chrname = f[chcol]
+            try:
+                s, e = int(f[scol]), int(f[ecol])
+            except ValueError:
+                continue
+            if f[dcol] == "-":
+                out.write(f"{contig}\t{chrname}:{e}..{s}\n")
+            else:
+                out.write(f"{contig}\t{chrname}:{s}..{e}\n")
+    sys.stderr.write(f"Wrote {args.out}\n")
+    return 0
