@@ -597,3 +597,38 @@ def md_coords_main(argv=None):
                 out.write(f"{contig}\t{chrname}:{s}..{e}\n")
     sys.stderr.write(f"Wrote {args.out}\n")
     return 0
+
+
+_TOOLS = {
+    "gff3_splicesites": lambda a: gff3_splicesites_main(a),
+    "gff3_introns": lambda a: gff3_introns_main(a),
+    "gff3_genes": lambda a: gff3_genes_main(a),
+    "gtf_splicesites": lambda a: gtf_splicesites_main(a),
+    "gtf_introns": lambda a: gtf_introns_main(a),
+    "gtf_genes": lambda a: gtf_genes_main(a),
+    "gtf_transcript_splicesites":
+        lambda a: gtf_transcript_splicesites_main(a),
+    "psl_splicesites": lambda a: psl_splicesites_main(a),
+    "psl_introns": lambda a: psl_introns_main(a),
+    "psl_genes": lambda a: psl_genes_main(a),
+    "vcf_iit": lambda a: vcf_iit_main(a),
+    "dbsnp_iit": lambda a: dbsnp_iit_main(a),
+    "gvf_iit": lambda a: gvf_iit_main(a),
+    "ensembl_genes": lambda a: ensembl_genes_main(a),
+    "md_coords": lambda a: md_coords_main(a),
+}
+
+
+def main(argv=None):
+    """Dispatcher: `python -m tpumap.cli.converters <tool> [args...]`."""
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in _TOOLS:
+        sys.stderr.write("usage: python -m tpumap.cli.converters "
+                         "<tool> [args...]\ntools: "
+                         + " ".join(sorted(_TOOLS)) + "\n")
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return _TOOLS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
