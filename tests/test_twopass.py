@@ -121,3 +121,65 @@ def test_two_pass_rescues_short_anchor(world, tmp_path):
     ks2 = KnownSplicing.load(str(tmp_path / "sp.npz"))
     out2 = align_records(db, index, [r_short], known=ks2, batch_size=64)
     assert f"{intron}N" in out2[0].cigar
+
+
+def test_known_indels_learn_dump_load(tmp_path):
+    """KnownIndels: CIGAR harvesting, persistence, site queries."""
+    from tpumap.gsnap.knownindels import KnownIndels
+    from tpumap.io.sam import SamRecord
+
+    recs = [
+        SamRecord("a", 0, "chr1", 101, 40, "50M3D50M"),
+        SamRecord("b", 0, "chr1", 96, 40, "55M3D45M"),
+        SamRecord("c", 0, "chr1", 300, 40, "20M2I78M"),
+        SamRecord("d", 4, "*", 0, 0, "*"),
+    ]
+    ki = KnownIndels.from_sam(_FakeDB(), recs, min_support=1)
+    assert ki.nsites == 2                    # del@150 (support 2), ins@319
+    assert ki.any_in(150, 151)
+    assert ki.near(151, slop=3)
+    assert not ki.any_in(200, 300)
+    ki2 = KnownIndels.from_sam(_FakeDB(), recs, min_support=2)
+    assert ki2.nsites == 1                   # only the shared deletion
+    p = tmp_path / "indels"
+    ki.dump(str(p))
+    back = KnownIndels.load(str(p))
+    assert back.nsites == ki.nsites
+    assert (back.coords == ki.coords).all()
+
+
+def test_known_indels_lower_trigger(tmp_path):
+    """A read with a small end-proximal deletion (too few mismatches to
+    trigger DP, end run too short for the default endlength) is rescued
+    when the site is known (--indels-read semantics)."""
+    import numpy as np
+    from tpumap.gsnap.driver import align_records
+    from tpumap.gsnap.knownindels import KnownIndels
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    from tpumap.io.fasta import Record
+
+    rng = np.random.default_rng(83)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 6000))
+    gfa = tmp_path / "g.fa"
+    gfa.write_text(">chr1\n" + seq + "\n")
+    db = build_db(gfa, name="g", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    # position chosen so all 3 post-deletion bases mismatch: 3
+    # substitution mismatches is below the DP trigger (4) and the 3-base
+    # end run is below --indel-endlength (4) — only the known-site path
+    # can produce the deletion call
+    p = 1500
+    # deletion of 3 bases after 97 read bases: at most 3 trailing
+    # mismatches -> below the DP trigger, and a 3-base end run is below
+    # the default --indel-endlength
+    read = seq[p:p + 97] + seq[p + 100:p + 103]
+    rec = Record("kd", "", read)
+    plain = align_records(db, index, [rec])
+    assert "3D" not in plain[0].cigar
+    ki = KnownIndels(np.array([p + 97], np.uint64),
+                     np.array([-3], np.int32), np.array([5], np.int64))
+    rescued = align_records(db, index, [rec], known_indels=ki)
+    # the DP may slide the deletion left through matching context
+    # (94M3D6M is score-equivalent to 97M3D3M)
+    assert "3D" in rescued[0].cigar

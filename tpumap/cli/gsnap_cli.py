@@ -270,12 +270,13 @@ def main(argv=None):
                     type=int, default=0,
                     help="accepted for compatibility (marked 'not "
                          "currently implemented' in the reference too)")
-    ap.add_argument("--indels-dump", default=None,
-                    help="accepted for compatibility (two-pass learning "
-                         "dumps splice sites; learned-indel tables are "
-                         "not maintained)")
-    ap.add_argument("--indels-read", default=None,
-                    help="accepted for compatibility")
+    ap.add_argument("--indels-dump", dest="indels_dump", default=None,
+                    help="write the learned indel table (.npz) after "
+                         "--two-pass pass 1")
+    ap.add_argument("--indels-read", dest="indels_read", default=None,
+                    help="read a previously learned indel table (.npz); "
+                         "reads overlapping known sites get DP "
+                         "refinement at a lower mismatch trigger")
     ap.add_argument("--no-soft-clips", action="store_true",
                     help="accepted for compatibility (substitution "
                          "alignments are always full-length)")
@@ -517,10 +518,15 @@ def main(argv=None):
         import os
         args.use_splicing = os.path.join(args.splicingdir,
                                          args.use_splicing)
+    known_indels = None
+    if args.indels_read:
+        from tpumap.gsnap.knownindels import KnownIndels
+        known_indels = KnownIndels.load(args.indels_read)
     knob_kw = dict(max_insertions=args.max_insertions,
                    max_deletions=args.max_deletions,
                    indel_endlength=args.indel_endlength,
-                   use_localdb=bool(args.use_localdb))
+                   use_localdb=bool(args.use_localdb),
+                   known_indels=known_indels)
 
     def nh_of(rec) -> int:
         return next((int(t[5:]) for t in rec.tags
@@ -790,6 +796,7 @@ def main(argv=None):
                                           max_intron=args.max_intron,
                                           batch_size=args.batch_size,
                                           splices_dump=args.splices_dump,
+                                          indels_dump=args.indels_dump,
                                           min_support=args.pass1_min_support,
                                           tr=tr)
         else:

@@ -62,6 +62,9 @@ MIN_INTRON = 9
 
 
 MIN_FUSION_PIECE = 20     # src/path-fusion.c requires substantial ends
+KNOWN_INDEL_BONUS = 12    # score credit for an indel at a learned site
+#                           (two mismatch-equivalents; known indels are
+#                           preferred over marginal substitution calls)
 
 
 def _indel_limits_ok(ops, max_insertions: int, max_deletions: int,
@@ -97,7 +100,7 @@ def refine_unsolved(db, index, batch, res, config,
                     novelsplicing=False, max_intron=200_000, known=None,
                     find_fusions=False, tr_records=None, L=None,
                     max_insertions=6, max_deletions=9, indel_endlength=4,
-                    use_localdb=True):
+                    use_localdb=True, known_indels=None):
     """The post-cascade refinement ladder shared by the single-end and
     paired-end drivers: banded-DP indels, splice junctions (novel +
     known-partner + localscan salvage), fusions. Returns
@@ -114,10 +117,20 @@ def refine_unsolved(db, index, batch, res, config,
     chunk_len = res["nmismatch"].shape[0]
 
     # second stage: DP refinement of high-mismatch reads (the indel
-    # path; batch-compacted like the reference's method ladder)
-    need = [i for i in range(chunk_len)
-            if res["nmismatch"][i] >= INDEL_NMM_TRIGGER
-            and res["diag"][i] != 0xFFFFFFFF and i not in tr_records]
+    # path; batch-compacted like the reference's method ladder). Reads
+    # overlapping a LEARNED indel site (gsnap --indels-read / pass 2 of
+    # --two-pass, src/knownindels.c) qualify at a lower mismatch count.
+    def _needs_dp(i):
+        if res["diag"][i] == 0xFFFFFFFF or i in tr_records:
+            return False
+        if res["nmismatch"][i] >= INDEL_NMM_TRIGGER:
+            return True
+        if known_indels is not None and res["nmismatch"][i] >= 1:
+            d = int(res["diag"][i])
+            return known_indels.any_in(d, d + int(batch["lengths"][i]))
+        return False
+
+    need = [i for i in range(chunk_len) if _needs_dp(i)]
     dp_result = {}
     if need:
         nb = pad_to_bucket(len(need))
@@ -140,11 +153,27 @@ def refine_unsolved(db, index, batch, res, config,
         for row, i in enumerate(need):
             li = int(batch["lengths"][i])
             sub_score = 3 * li - 6 * int(res["nmismatch"][i])
-            if int(ref["score"][row]) > sub_score:
-                ops = [o for o in ref["ops"][row][::-1]
-                       if o != dp_ops.T_END]
+            ops = [o for o in ref["ops"][row][::-1]
+                   if o != dp_ops.T_END]
+            # an indel placed AT a learned site relaxes the end-length
+            # requirement and gets a score bonus (known indels admit
+            # placements novel ones would not, src/knownindels.c)
+            eff_endlength = indel_endlength
+            bonus = 0
+            if known_indels is not None:
+                g = int(res["diag"][i]) + int(ref["start_off"][row])
+                goff = 0
+                for o in ops:
+                    if o != dp_ops.T_MATCH and known_indels.near(
+                            g + goff):
+                        eff_endlength = min(indel_endlength, 2)
+                        bonus = KNOWN_INDEL_BONUS
+                        break
+                    if o != dp_ops.T_INS:
+                        goff += 1
+            if int(ref["score"][row]) + bonus > sub_score:
                 if not _indel_limits_ok(ops, max_insertions,
-                                        max_deletions, indel_endlength):
+                                        max_deletions, eff_endlength):
                     continue
                 dp_result[i] = (int(res["diag"][i])
                                 + int(ref["start_off"][row]),
@@ -430,8 +459,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   stats: dict | None = None,
                   max_insertions: int = 6, max_deletions: int = 9,
                   indel_endlength: int = 4, use_localdb: bool = True,
-                  merge_distant_samechr: bool = False
-                  ) -> list[sam.SamRecord]:
+                  merge_distant_samechr: bool = False,
+                  known_indels=None) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -478,7 +507,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             max_intron=max_intron, known=known, find_fusions=find_fusions,
             tr_records=tr_records, L=L,
             max_insertions=max_insertions, max_deletions=max_deletions,
-            indel_endlength=indel_endlength, use_localdb=use_localdb)
+            indel_endlength=indel_endlength, use_localdb=use_localdb,
+            known_indels=known_indels)
 
         def _emit(record, method, nh=1):
             if not record.flag & 4:

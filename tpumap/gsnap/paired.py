@@ -111,7 +111,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          pairexpect: int | None = None,
                          max_insertions: int = 6, max_deletions: int = 9,
                          indel_endlength: int = 4,
-                         use_localdb: bool = True
+                         use_localdb: bool = True, known_indels=None
                          ) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
@@ -189,7 +189,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             db, index, batch, res, config, novelsplicing=novelsplicing,
             max_intron=max_intron, known=known, L=L,
             max_insertions=max_insertions, max_deletions=max_deletions,
-            indel_endlength=indel_endlength, use_localdb=use_localdb)
+            indel_endlength=indel_endlength, use_localdb=use_localdb,
+            known_indels=known_indels)
 
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1

@@ -90,10 +90,15 @@ def analyze_insertlengths(records):
 
 def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
                    batch_size: int = 1024, min_support: int = 1,
-                   splices_dump: str | None = None, tr=None):
-    """Full two-pass single-end driver. Returns (sam_records, knownsplicing)."""
+                   splices_dump: str | None = None,
+                   indels_dump: str | None = None, tr=None):
+    """Full two-pass single-end driver. Returns (sam_records, knownsplicing).
+
+    Pass 1 also learns the indel table (Path_learn_indels analog); known
+    indels feed pass 2's DP triggering and --indels-dump persists them."""
     from tpumap.gsnap.driver import align_records
     from tpumap.gsnap.engine import AlignConfig
+    from tpumap.gsnap.knownindels import KnownIndels
 
     config = config or AlignConfig()
     pass1 = align_records(db, index, records, config, novelsplicing=True,
@@ -102,7 +107,11 @@ def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
     ks = learn_knownsplicing(db, pass1, min_support)
     if splices_dump:
         ks.dump(splices_dump)
+    ki = KnownIndels.from_sam(db, pass1, min_support)
+    if indels_dump:
+        ki.dump(indels_dump)
     pass2 = align_records(db, index, records, config, novelsplicing=True,
                           max_intron=max_intron, batch_size=batch_size,
-                          known=ks if ks.nsites else None, tr=tr)
+                          known=ks if ks.nsites else None,
+                          known_indels=ki if ki.nsites else None, tr=tr)
     return pass2, ks
