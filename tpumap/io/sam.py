@@ -76,6 +76,20 @@ _SPACE_MAPS = {
 }
 
 
+_native_md = None
+
+
+def _get_native_md():
+    global _native_md
+    if _native_md is None:
+        try:
+            from tpumap.native import get_lib
+            _native_md = get_lib() or False
+        except Exception:
+            _native_md = False
+    return _native_md
+
+
 def md_and_nm(read_seq: str, genome_seq: str,
               space: str | None = None) -> tuple[str, int]:
     """MD tag + NM count for an ungapped alignment.
@@ -84,6 +98,13 @@ def md_and_nm(read_seq: str, genome_seq: str,
     read as T in bisulfite data) are counted as matches, like the
     reference's mode-aware mismatch kernels.
     """
+    if space is None and len(read_seq) == len(genome_seq):
+        lib = _get_native_md()
+        if lib:
+            buf = bytes(4 * len(read_seq) + 16)
+            nm = lib.md_nm(read_seq.encode(), genome_seq.encode(),
+                           len(read_seq), buf)
+            return buf[:buf.index(0)].decode(), int(nm)
     conv = _SPACE_MAPS.get(space, {})
     md, run, nm = [], 0, 0
     for r, g in zip(read_seq, genome_seq):

@@ -46,6 +46,9 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_long,
             c_long_p, c_long_p, c_long_p, c_long_p, c_long_p,
             ctypes.c_long, ctypes.c_long]
+        lib.md_nm.restype = ctypes.c_long
+        lib.md_nm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_long, ctypes.c_char_p]
         lib.encode_records.restype = None
         lib.encode_records.argtypes = [
             ctypes.c_char_p, c_long_p, c_long_p, ctypes.c_long,

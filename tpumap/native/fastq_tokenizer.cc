@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 
 extern "C" {
 
@@ -135,3 +136,29 @@ void encode_records(const char *buf,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MD/NM computation (src/path-print-sam.c MD-string role): compare the
+// oriented read against the genome text and emit the SAM MD value.
+// Returns NM (mismatch count); writes the MD string (NUL-terminated)
+// into md_out (caller provides >= 4*n+8 bytes).
+extern "C" long md_nm(const char* read, const char* genome, long n,
+                      char* md_out) {
+    long nm = 0;
+    long run = 0;
+    char* p = md_out;
+    for (long i = 0; i < n; i++) {
+        // N never matches (the reference counts N as a mismatch)
+        if (read[i] == genome[i] && read[i] != 'N') {
+            run++;
+        } else {
+            p += sprintf(p, "%ld", run);
+            *p++ = genome[i];
+            run = 0;
+            nm++;
+        }
+    }
+    p += sprintf(p, "%ld", run);
+    *p = '\0';
+    return nm;
+}
