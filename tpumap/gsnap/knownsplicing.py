@@ -201,6 +201,8 @@ class KnownSplicing:
 def coords_in_set(sorted_set, coords):
     """Vectorized membership: True where coords appear in sorted_set."""
     import jax.numpy as jnp
+    if sorted_set.shape[0] == 0:
+        return jnp.zeros(coords.shape, jnp.bool_)
     idx = jnp.searchsorted(sorted_set, coords)
     idx = jnp.minimum(idx, sorted_set.shape[0] - 1)
     return jnp.take(sorted_set, idx) == coords

@@ -1,0 +1,357 @@
+"""Batched multi-junction path solver + end trimming (device kernels).
+
+TPU re-expression of the reference's path-solving/trimming stack:
+
+* ``src/path-solve.c`` (Path_solve_from_diagonals, combine_leftright_paths,
+  MAX_DEPTH_MIDDLE): resolving a read against several candidate diagonals
+  with splice junctions / deletions between them;
+* ``src/path-trim.c`` (Path_trim_qstart/qend) + ``src/genomebits_trim.c``
+  (Genomebits_trim_qstart/qend): soft-clip trimming of dirty read ends by
+  match/mismatch scoring;
+* ``src/splice.c`` (Splice_resolve): junction placement by
+  mismatch-vs-canonical-dinucleotide/known-site tradeoff.
+
+The reference solves one read at a time by bounded recursive descent over
+data-dependent candidates. Here the whole candidate set is solved with ONE
+dynamic program over query positions — a local-alignment chain DP:
+
+    H[k] = best score of an alignment ending at query position q while on
+           candidate diagonal k
+
+with transitions (a) extend on the same diagonal (match/mismatch score),
+(b) open a fresh alignment at q (the prefix [0, q) is soft-clipped for
+free), (c) jump from a genomically-earlier diagonal k' to k paying a
+deletion cost (gap < min_intron) or an intron cost scored by canonical
+dinucleotides (GT-AG/GC-AG/AT-AC and antisense) and known splice sites.
+Ending is free anywhere (suffix soft-clipped), so end trimming falls out
+of the local-alignment semantics rather than being a separate pass.
+
+The DP is a lax.scan over query positions with [R, K, K] transition math
+per step — all elementwise/reduce VPU ops, no data-dependent control
+flow; traceback is a second (reverse) scan producing fixed-size segment
+arrays. R is the compacted unsolved-read set, so the O(L·K²) work runs on
+a few hundred rows, not the whole batch.
+
+Scores are integers scaled by 8 (one match = +8) so fractional bonuses
+stay integral.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+INVALID = jnp.uint32(0xFFFFFFFF)
+NEG = jnp.int32(-(2 ** 20))
+
+MAX_SEGMENTS = 8        # = K: segments visit strictly increasing diagonals,
+#                         so a K-candidate set yields at most K segments
+#                         (>= reference MAX_DEPTH bounds, path-solve.c:14-20)
+
+
+@dataclass(frozen=True)
+class PathScoring:
+    """Integer scores, scaled so one match = +8.
+
+    Mismatch defaults to -24 (= -3 matches, the reference's
+    trim_mismatch_score default, src/gsnap.c); with per-base qualities the
+    mismatch cost is quality-weighted instead (MAPQ_loglik_string role,
+    src/mapq.c). Junction economics: a canonical GT-AG intron costs a net
+    40 (must save >= 2 mismatches to open), semi-canonical 50/60,
+    noncanonical 90 (>= 3 mismatches), a known junction 16 — mirroring
+    Splice_resolve's preference order (known > GT-AG > GC-AG > AT-AC >
+    noncanonical, src/splice.c).
+    """
+    match: int = 8
+    mismatch: int = -24
+    del_open: int = -24          # 1-base deletion
+    del_extend: int = -8         # per additional deleted base
+    splice_base: int = -90       # noncanonical junction
+    bonus_gtag: int = 50
+    bonus_gcag: int = 40
+    bonus_atac: int = 30
+    bonus_known: int = 74        # net -16: known junctions open readily
+    min_intron: int = 9          # same as path-solve.c MIN_INTRONLEN
+    max_intron: int = 200_000
+
+
+def quality_mismatch_cost(quals: jax.Array) -> jax.Array:
+    """Per-base mismatch cost from phred qualities (uint8[..., L]).
+
+    Q30 -> -24 (the flat default); low-quality bases are nearly free to
+    mismatch, the MAPQ_loglik_string weighting idea (src/mapq.h:18-20)
+    applied to alignment scoring.
+    """
+    q = jnp.minimum(quals.astype(jnp.int32), 40)
+    return -(8 + (q * 8) // 15)
+
+
+# dinucleotide codes (2-bit base codes a=0 c=1 g=2 t=3, hi*4+lo)
+_GT, _AG, _GC, _AT, _CT, _AC = 11, 2, 9, 3, 7, 1
+
+
+@partial(jax.jit, static_argnames=("scoring", "with_quals"))
+def chain_solve(index, codes: jax.Array, nmask: jax.Array,
+                lengths: jax.Array, diags: jax.Array,
+                scoring: PathScoring = PathScoring(),
+                with_quals: bool = False,
+                quals: jax.Array | None = None,
+                known=None):
+    """Solve each read against its candidate diagonal set.
+
+    codes uint8[R, L] in the ALIGNED orientation (caller orients rc reads),
+    nmask bool[R, L], lengths int32[R], diags uint32[R, K] candidate
+    univdiagonals (INVALID-padded; unsorted OK — sorted internally).
+    quals: uint8[R, L] phred scores (used iff with_quals).
+    known: optional dict of sorted uint32 coord arrays
+    {donor, acceptor, antidonor, antiacceptor} (gsnap/knownsplicing.py).
+
+    Returns dict (all device arrays):
+      score int32[R]          best local chain score
+      q_start/q_end int32[R]  aligned query interval [q_start, q_end)
+      nsegs int32[R]          number of segments (1 = no junction)
+      seg_q int32[R, S]       segment start query positions, ascending
+      seg_diag uint32[R, S]   univdiagonal per segment
+      nmm int32[R]            mismatches inside the aligned interval
+    """
+    R, L = codes.shape
+    K = diags.shape[1]
+    S = MAX_SEGMENTS
+
+    # sort candidates by diagonal so junction/deletion jumps are k' < k
+    diags_sorted = jnp.sort(diags, axis=1)
+    valid_k = diags_sorted != INVALID
+    d0 = jnp.where(valid_k, diags_sorted, 0)
+
+    from tpumap.ops import verify
+    gwin = verify.extract_codes_window(index.genome_packed, d0, L + 1)
+    mm = (codes[:, None, :] != gwin[..., :L])
+    if getattr(index, "genome_has_n", True):
+        gn2 = verify.extract_bit_window(index.genome_nmask, d0,
+                                        (L + 15) // 16)
+        gnb = verify.mismatch_base_mask(gn2, L)
+        mm = mm | gnb
+    mm = mm | nmask[:, None, :]
+
+    inlen = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+    if with_quals:
+        miscost = quality_mismatch_cost(quals)[:, None, :]
+    else:
+        miscost = jnp.int32(scoring.mismatch)
+    s = jnp.where(mm, miscost, jnp.int32(scoring.match))
+    s = jnp.where(inlen[:, None, :] & valid_k[..., None], s, 0)
+
+    # dinucleotides starting at each genome offset q: don[r, k, q] is the
+    # pair (q, q+1) on diagonal k; the acceptor dinuc for a boundary at q
+    # is the pair (q-2, q-1) = don[..., q-2]
+    don = (gwin[..., 0:L] * 4 + gwin[..., 1:L + 1]).astype(jnp.int32)
+    acc = jnp.concatenate(
+        [jnp.full((R, K, 2), 16, jnp.int32), don[..., :L - 2]], axis=-1)
+
+    if known is not None:
+        from tpumap.gsnap.knownsplicing import coords_in_set
+        qs = jnp.arange(L, dtype=jnp.uint32)[None, None, :]
+        site = d0[..., None] + qs                       # [R, K, L]
+        kdon = coords_in_set(known["donor"], site)
+        kacc = coords_in_set(known["acceptor"], site)
+        kantidon = coords_in_set(known["antidonor"], site)
+        kantiacc = coords_in_set(known["antiacceptor"], site)
+    else:
+        z = jnp.zeros((R, K, L), jnp.bool_)
+        kdon = kacc = kantidon = kantiacc = z
+
+    # junction geometry [R, K', K]: gap = diag[k] - diag[k'] in uint32
+    # wrap semantics — a genomically-earlier k (negative true gap) wraps to
+    # a huge value and is rejected by the <= max_intron test
+    gap = (diags_sorted[:, None, :] - diags_sorted[:, :, None])
+    is_del = (gap >= jnp.uint32(1)) & (gap < jnp.uint32(scoring.min_intron))
+    is_intron = ((gap >= jnp.uint32(scoring.min_intron))
+                 & (gap <= jnp.uint32(scoring.max_intron)))
+    gap_small = jnp.minimum(gap, jnp.uint32(scoring.min_intron)
+                            ).astype(jnp.int32)
+    del_cost = (jnp.int32(scoring.del_open)
+                + jnp.int32(scoring.del_extend)
+                * jnp.maximum(gap_small - 1, 0))
+    pair_ok = valid_k[:, :, None] & valid_k[:, None, :]
+
+    b_gtag = jnp.int32(scoring.bonus_gtag)
+    b_gcag = jnp.int32(scoring.bonus_gcag)
+    b_atac = jnp.int32(scoring.bonus_atac)
+    b_known = jnp.int32(scoring.bonus_known)
+    splice_base = jnp.int32(scoring.splice_base)
+    match_i = jnp.int32(scoring.match)
+
+    # scan inputs, time-major
+    s_t = jnp.transpose(s, (2, 0, 1))                 # [L, R, K]
+    don_t = jnp.transpose(don, (2, 0, 1))
+    acc_t = jnp.transpose(acc, (2, 0, 1))
+    kdon_t = jnp.transpose(kdon, (2, 0, 1))
+    kacc_t = jnp.transpose(kacc, (2, 0, 1))
+    kantidon_t = jnp.transpose(kantidon, (2, 0, 1))
+    kantiacc_t = jnp.transpose(kantiacc, (2, 0, 1))
+    q_t = jnp.arange(L, dtype=jnp.int32)
+
+    start_val = jnp.where(valid_k, 0, NEG)            # [R, K]
+
+    def step(carry, xs):
+        H, best_score, best_q, best_k = carry
+        s_q, don_q, acc_q, kd_q, ka_q, kad_q, kaa_q, q = xs
+
+        dj = don_q[:, :, None]                        # donor on k'
+        aj = acc_q[:, None, :]                        # acceptor on k
+        sense_b = jnp.where((dj == _GT) & (aj == _AG), b_gtag,
+                            jnp.where((dj == _GC) & (aj == _AG), b_gcag,
+                                      jnp.where((dj == _AT) & (aj == _AC),
+                                                b_atac, jnp.int32(0))))
+        anti_b = jnp.where((dj == _CT) & (aj == _AC), b_gtag,
+                           jnp.where((dj == _CT) & (aj == _GC), b_gcag,
+                                     jnp.where((dj == _GT) & (aj == _AT),
+                                               b_atac, jnp.int32(0))))
+        canon = jnp.maximum(sense_b, anti_b)
+        known_pair = ((kd_q[:, :, None] & ka_q[:, None, :])
+                      | (kaa_q[:, :, None] & kad_q[:, None, :]))
+        bonus = jnp.maximum(canon, jnp.where(known_pair, b_known, 0))
+        intron_cost = splice_base + bonus
+
+        trans = jnp.where(is_intron, intron_cost,
+                          jnp.where(is_del, del_cost, NEG))
+        trans = jnp.where(pair_ok & (q >= 1), trans, NEG)
+
+        jump = H[:, :, None] + trans                  # [R, K', K]
+        switch_best = jnp.max(jump, axis=1)           # [R, K]
+        switch_arg = jnp.argmax(jump, axis=1).astype(jnp.int32)
+
+        cont = H
+        best3 = jnp.maximum(cont, jnp.maximum(start_val, switch_best))
+        choice = jnp.where(best3 == cont, jnp.int32(0),
+                           jnp.where(best3 == start_val, jnp.int32(1),
+                                     jnp.int32(2) + switch_arg))
+        H_next = best3 + s_q
+
+        active = (q < lengths)[:, None]
+        H_next = jnp.where(active, H_next, H)
+        choice = jnp.where(active, choice, 0).astype(jnp.uint8)
+
+        row_best = jnp.max(H_next, axis=1)
+        row_k = jnp.argmax(H_next, axis=1).astype(jnp.int32)
+        upd = (row_best > best_score) & (q < lengths)
+        best_score = jnp.where(upd, row_best, best_score)
+        best_q = jnp.where(upd, q, best_q)
+        best_k = jnp.where(upd, row_k, best_k)
+        return (H_next, best_score, best_q, best_k), choice
+
+    H0 = jnp.full((R, K), NEG, jnp.int32)
+    bs0 = jnp.full((R,), NEG, jnp.int32)
+    bq0 = jnp.zeros((R,), jnp.int32)
+    bk0 = jnp.zeros((R,), jnp.int32)
+    (H_last, best_score, best_q, best_k), choices = jax.lax.scan(
+        step, (H0, bs0, bq0, bk0),
+        (s_t, don_t, acc_t, kdon_t, kacc_t, kantidon_t, kantiacc_t, q_t))
+    # choices: [L, R, K] uint8
+
+    # ---- traceback (reverse scan) ----
+    def back(carry, xs):
+        k_cur, done, seg_idx, seg_q, seg_k = carry
+        c_q, q = xs                                   # c_q [R, K]
+        inside = (q <= best_q) & ~done
+        c = jnp.take_along_axis(c_q, k_cur[:, None], axis=1)[:, 0]
+        c = c.astype(jnp.int32)
+        is_start = inside & (c == 1)
+        is_switch = inside & (c >= 2)
+        event = is_start | is_switch
+        slot = (jnp.arange(S, dtype=jnp.int32)[None, :]
+                == seg_idx[:, None]) & event[:, None]
+        seg_q = jnp.where(slot, q, seg_q)
+        seg_k = jnp.where(slot, k_cur[:, None], seg_k)
+        seg_idx = seg_idx + event.astype(jnp.int32)
+        kk = jnp.where(inside, k_cur, -1)
+        k_cur = jnp.where(is_switch, c - 2, k_cur)
+        done = done | is_start
+        return (k_cur, done, seg_idx, seg_q, seg_k), kk
+
+    c_rev = choices[::-1]
+    q_rev = q_t[::-1]
+    (k_fin, done_fin, nsegs, seg_q_rev, seg_k_rev), kk_rev = jax.lax.scan(
+        back,
+        (best_k, jnp.zeros((R,), jnp.bool_),
+         jnp.zeros((R,), jnp.int32),
+         jnp.zeros((R, S), jnp.int32),
+         jnp.zeros((R, S), jnp.int32)),
+        (c_rev, q_rev))
+    kk = kk_rev[::-1]                                 # [L, R]
+    kk = jnp.transpose(kk, (1, 0))                    # [R, L]
+
+    # segments were recorded last-first; flip to ascending query order
+    flip_idx = jnp.maximum(nsegs[:, None] - 1
+                           - jnp.arange(S, dtype=jnp.int32)[None, :], 0)
+    seg_q = jnp.take_along_axis(seg_q_rev, flip_idx, axis=1)
+    seg_k = jnp.take_along_axis(seg_k_rev, flip_idx, axis=1)
+    in_seg = jnp.arange(S, dtype=jnp.int32)[None, :] < nsegs[:, None]
+    seg_q = jnp.where(in_seg, seg_q, 0)
+    seg_diag = jnp.where(
+        in_seg,
+        jnp.take_along_axis(diags_sorted, seg_k, axis=1), INVALID)
+
+    # mismatches inside the aligned interval
+    kk_c = jnp.clip(kk, 0, K - 1)
+    mm_path = jnp.take_along_axis(mm, kk_c[:, None, :], axis=1)[:, 0, :]
+    nmm = jnp.sum(jnp.where(kk >= 0, mm_path, False), axis=1).astype(jnp.int32)
+
+    q_start = seg_q[:, 0]
+    q_end = best_q + 1
+    return {"score": best_score, "q_start": q_start, "q_end": q_end,
+            "nsegs": nsegs, "seg_q": seg_q, "seg_diag": seg_diag,
+            "nmm": nmm}
+
+
+def trim_ends(mm: jax.Array, lengths: jax.Array,
+              match: int = 8, mismatch: int = -24):
+    """End trimming of an ungapped alignment (Path_trim_qstart/qend +
+    Genomebits_trim analog, src/path-trim.c, src/genomebits_trim.c).
+
+    mm bool[..., L] per-base mismatch flags in aligned orientation.
+    Finds the query interval [q_start, q_end) maximizing
+    sum(match if !mm else mismatch) — the max-scoring subarray, computed
+    with prefix sums + running min (one pass, no DP matrix). Ties prefer
+    the longest interval (latest end, earliest start), matching the
+    reference's minimal-trim behavior.
+
+    Returns (q_start, q_end, score, nmm_inside) int32 arrays [...].
+    """
+    L = mm.shape[-1]
+    inlen = jnp.arange(L, dtype=jnp.int32) < lengths[..., None]
+    s = jnp.where(mm & inlen, jnp.int32(mismatch),
+                  jnp.where(inlen, jnp.int32(match), 0))
+    prefix = jnp.cumsum(s, axis=-1)
+    prefix = jnp.concatenate(
+        [jnp.zeros((*mm.shape[:-1], 1), jnp.int32), prefix], axis=-1)
+    runmin = jax.lax.cummin(prefix, axis=prefix.ndim - 1)
+    gain = prefix[..., 1:] - runmin[..., :-1]          # best sum ending at q
+    ends = jnp.arange(1, L + 1, dtype=jnp.int32)
+    gain = jnp.where(ends <= lengths[..., None], gain, NEG)
+    # latest maximal end (ties -> longest)
+    rev_arg = jnp.argmax(gain[..., ::-1], axis=-1)
+    q_end = L - rev_arg                                # 1-based end
+    score = jnp.max(gain, axis=-1)
+    # earliest q_start achieving runmin at q_end-1
+    target = jnp.take_along_axis(runmin, q_end[..., None] - 1,
+                                 axis=-1)
+    pos = jnp.arange(L + 1, dtype=jnp.int32)
+    cand = jnp.where((prefix == target)
+                     & (pos <= (q_end[..., None] - 1)),
+                     pos, L + 1)
+    q_start = jnp.min(cand, axis=-1)
+    # clamp empty/all-mismatch reads
+    empty = score <= 0
+    q_start = jnp.where(empty, 0, q_start)
+    q_end = jnp.where(empty, 0, q_end)
+    mmq = mm & inlen
+    pref_mm = jnp.cumsum(mmq.astype(jnp.int32), axis=-1)
+    pref_mm = jnp.concatenate(
+        [jnp.zeros((*mm.shape[:-1], 1), jnp.int32), pref_mm], axis=-1)
+    nmm_in = (jnp.take_along_axis(pref_mm, q_end[..., None], axis=-1)
+              - jnp.take_along_axis(pref_mm, q_start[..., None], axis=-1)
+              )[..., 0]
+    return q_start, q_end, score, nmm_in
