@@ -94,3 +94,45 @@ def test_merge_distant_samechr(world):
     assert len(merged) == 1
     assert "N" in merged[0].cigar
     assert merged[0].cigar == f"60M{16000 - 1060}N40M"
+
+
+def test_quality_weighted_mapq(world, tmp_path):
+    """MAPQ_loglik_string role (src/mapq.c): mismatches on LOW-quality
+    bases should cost less confidence than the same mismatches on
+    high-quality bases (FASTQ input plumbs quals through the cascade).
+
+    The genome carries a near-duplicate of the read's region (4 subs) so
+    a real runner-up exists and MAPQ is off the cap."""
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    _, _, seq = world
+    p = 7000
+    dup = list(seq[p:p + 100])
+    for j in (40,):
+        dup[j] = "ACGT"[("ACGT".index(dup[j]) + 1) % 4]
+    g2 = seq + "TTTT" + "".join(dup) + seq[:500]
+    (tmp_path / "g.fa").write_text(">chr1\n" + g2 + "\n")
+    db = build_db(tmp_path / "g.fa", name="g", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    s = list(seq[p:p + 100])
+    mmpos = [20, 60]
+    for j in mmpos:
+        s[j] = "ACGT"[("ACGT".index(s[j]) + 1) % 4]
+    read = "".join(s)
+
+    def qual(low_at_mm):
+        q = ["5"] * 100                       # Q20 baseline
+        for j in mmpos:
+            q[j] = "#" if low_at_mm else "I"  # mismatches at Q2 vs Q40
+        return "".join(q)
+
+    lo = align_records(db, index,
+                       [Record("lo", "", read, qual(True))])[0]
+    hi = align_records(db, index,
+                       [Record("hi", "", read, qual(False))])[0]
+    assert not lo.flag & 4 and not hi.flag & 4
+    assert lo.pos == hi.pos == p + 1
+    assert lo.mapq > hi.mapq, (lo.mapq, hi.mapq)
+    # flat-quality FASTA input still works
+    fa = align_records(db, index, [Record("fa", "", read)])[0]
+    assert fa.mapq > 0

@@ -1,0 +1,234 @@
+"""CIGAR/MD-level oracle parity vs reference gsnap on a mixed workload.
+
+Round-1 parity only checked pos+strand on clean substitution reads; this
+suite holds gsnap to the same discipline as gmap (structure-level diffs
+vs /tmp/refbin/gsnap) across the read classes where simplified solving
+could diverge silently: substitutions, indels, novel splices, dirty
+(adapter/quality) ends, and N bases.  Reference: src/path-print-sam.c
+CIGAR/MD emission, align.test.in discipline.
+
+Waivers (checked per class, not globally):
+ * equal-score placements may differ (indel left-shift ties, ambiguous
+   junction base) — we require pos+CIGAR-shape agreement rates, not 100%;
+ * the reference sometimes recovers trimmed ends via extension-search
+   (content-dependent; see ops/pathdp.trim_ends docstring) — trim
+   divergence is allowed only in the "more aligned than us" direction;
+ * a read also counts as agreeing when our output matches the CONSTRUCTED
+   TRUTH exactly: the reference demonstrably mis-emits some classes on
+   this fixture (novel junctions shifted to a higher-probability donor
+   with the intervening real mismatches reported as MD matches / NM:i:0,
+   and 8-kb introns soft-clipped away entirely) — verified by replaying
+   its CIGAR against the true genome, e.g. spl1 "92M1500N58M MD:Z:150
+   NM:i:0" has 6 true mismatches.  Matching truth is a stricter bar than
+   matching a wrong oracle.
+"""
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+from tpumap.gsnap.driver import align_records
+from tpumap.gsnap.engine import AlignConfig
+from tpumap.index import build_db
+from tpumap.index.device import DeviceIndex
+from tpumap.io.fasta import read_fasta
+
+REFBIN = pathlib.Path("/tmp/refbin")
+GMAP_BUILD = pathlib.Path("/root/reference/bin/gmap_build")
+
+need_oracle = pytest.mark.skipif(
+    not (REFBIN / "gsnap").exists() or not GMAP_BUILD.exists(),
+    reason="reference oracle binaries unavailable")
+
+GLEN = 60_000
+INTRON_A = (20_000, 21_500)     # GT..AG planted
+INTRON_B = (40_000, 48_000)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cigpar")
+    rng = np.random.default_rng(2024)
+    g = list("ACGT"[i] for i in rng.integers(0, 4, GLEN))
+    for a, b in (INTRON_A, INTRON_B):
+        g[a], g[a + 1], g[b - 2], g[b - 1] = "G", "T", "A", "G"
+    seq = "".join(g)
+    (root / "genome.fa").write_text(">chr1\n" + "\n".join(
+        seq[i:i + 60] for i in range(0, len(seq), 60)) + "\n")
+
+    comp = str.maketrans("ACGT", "TGCA")
+    reads, classes, truth = [], {}, {}
+
+    def add(name, s, cls, rc, tpos=None, tcig=None):
+        if rc:
+            s = s.translate(comp)[::-1]
+        reads.append(f">{name}\n{s}\n")
+        classes[name] = cls
+        if tpos is not None:
+            # CIGAR is genome-forward; rc only flips the SAM flag, the
+            # genome structure (and hence the truth CIGAR) is unchanged
+            truth[name] = (tpos + 1, tcig)
+
+    def subs(s, n, lo=5, hi=None):
+        s = list(s)
+        for j in rng.choice(np.arange(lo, hi or len(s) - 5), size=n,
+                            replace=False):
+            s[j] = "ACGT"[(("ACGT".index(s[j])) + 1 + int(
+                rng.integers(0, 3))) % 4]
+        return "".join(s)
+
+    for r in range(16):                                   # clean + subs
+        p = int(rng.integers(0, GLEN - 150))
+        add(f"sub{r}", subs(seq[p:p + 150], int(rng.integers(0, 4))),
+            "sub", r % 2 == 0, p, "150M")
+    for r in range(12):                                   # deletions
+        p = int(rng.integers(0, GLEN - 160))
+        dlen = int(rng.integers(1, 8))
+        cut = int(rng.integers(40, 110))
+        add(f"del{r}", seq[p:p + cut] + seq[p + cut + dlen:p + 150 + dlen],
+            "indel", r % 2 == 0, p, f"{cut}M{dlen}D{150 - cut}M")
+    for r in range(12):                                   # insertions
+        p = int(rng.integers(0, GLEN - 160))
+        ilen = int(rng.integers(1, 6))
+        cut = int(rng.integers(40, 110))
+        ins = "".join("ACGT"[i] for i in rng.integers(0, 4, ilen))
+        add(f"ins{r}", seq[p:p + cut] + ins + seq[p + cut:p + 150 - ilen],
+            "indel", r % 2 == 0, p, f"{cut}M{ilen}I{150 - cut - ilen}M")
+    for r in range(12):                                   # novel splice
+        a, b = INTRON_A if r % 2 else INTRON_B
+        split = int(rng.integers(30, 120))
+        add(f"spl{r}", seq[a - split:a] + seq[b:b + 150 - split],
+            "splice", r % 3 == 0, a - split,
+            f"{split}M{b - a}N{150 - split}M")
+    for r in range(8):                                    # dirty ends
+        p = int(rng.integers(0, GLEN - 150))
+        s = seq[p:p + 150]
+        junk = "".join("ACGT"[i] for i in rng.integers(0, 4, 12))
+        if r % 2:
+            s = junk + s[12:]
+            add(f"trim{r}", s, "trim", r % 4 == 0, p + 12, "12S138M")
+        else:
+            s = s[:-12] + junk
+            add(f"trim{r}", s, "trim", r % 4 == 0, p, "138M12S")
+    for r in range(6):                                    # N bases
+        p = int(rng.integers(0, GLEN - 150))
+        s = list(seq[p:p + 150])
+        for j in rng.choice(np.arange(10, 140), size=3, replace=False):
+            s[j] = "N"
+        add(f"nb{r}", "".join(s), "nbase", False, p, "150M")
+
+    (root / "reads.fa").write_text("".join(reads))
+    (root / "genome.txt").write_text(seq)
+    dbdir = root / "refdb"
+    subprocess.run([str(GMAP_BUILD), "-B", str(REFBIN), "-D", str(dbdir),
+                    "-d", "g", "-k", "13", "-q", "3", "--local=0",
+                    str(root / "genome.fa")], check=True,
+                   capture_output=True)
+    ref = subprocess.run(
+        [str(REFBIN / "gsnap"), "-D", str(dbdir), "-d", "g", "-N", "1",
+         "-A", "sam", str(root / "reads.fa")],
+        check=True, capture_output=True, text=True).stdout
+    ref_primary = {}
+    for line in ref.splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if f[0] not in ref_primary:
+            tags = dict(t.split(":", 2)[::2] for t in f[11:])
+            ref_primary[f[0]] = dict(
+                flag=int(f[1]), pos=int(f[3]), cigar=f[5],
+                md=tags.get("MD", ""), nm=int(tags.get("NM", -1)))
+    return root, classes, ref_primary, truth
+
+
+def _truth_md(genome: str, pos: int, cigar: str, aligned_seq: str) -> str:
+    """SAM-spec MD recomputed from the true genome (used to waive the
+    reference's known off-by-one MD quirk on multi-mismatch reads: e.g.
+    mismatches at query 38+45 print as '39C5A...' instead of '38T6A...';
+    single-mismatch reads print correctly)."""
+    import re
+    g = pos - 1
+    q = 0
+    run = 0
+    md = []
+    for n, op in re.findall(r"(\d+)([MIDNS])", cigar):
+        n = int(n)
+        if op == "M":
+            for _ in range(n):
+                # query N prints as match (reference emission convention)
+                if aligned_seq[q] == genome[g] or aligned_seq[q] == "N":
+                    run += 1
+                else:
+                    md.append(f"{run}{genome[g]}")
+                    run = 0
+                q += 1
+                g += 1
+        elif op == "D":
+            md.append(f"{run}^{genome[g:g + n]}")
+            run = 0
+            g += n
+        elif op == "N":
+            g += n
+        elif op in "IS":
+            q += n
+    md.append(str(run))
+    return "".join(md)
+
+
+@need_oracle
+def test_cigar_parity_mixed(world):
+    root, classes, ref, truth = world
+    genome = (root / "genome.txt").read_text()
+    db = build_db(root / "genome.fa", name="g", k=13, interval=3)
+    index = DeviceIndex.from_host(db)
+    records = list(read_fasta(root / "reads.fa"))
+    out = align_records(db, index, records, AlignConfig(),
+                        novelsplicing=True)
+
+    stats = {}          # cls -> [n, cigar_match, pos_match]
+    diffs = []
+    for rec in out:
+        r = ref.get(rec.qname)
+        if r is None or r["flag"] & 4:
+            continue
+        cls = classes[rec.qname]
+        st = stats.setdefault(cls, [0, 0, 0])
+        st[0] += 1
+        exact = (rec.pos == r["pos"] and rec.cigar == r["cigar"]
+                 and (rec.flag & 16) == (r["flag"] & 16))
+        t = truth.get(rec.qname)
+        truth_ok = t is not None and (rec.pos, rec.cigar) == t
+        md = next((t5[5:] for t5 in rec.tags if t5.startswith("MD:Z:")), "")
+        nm = next((int(t5[5:]) for t5 in rec.tags
+                   if t5.startswith("NM:i:")), -1)
+        if exact:
+            # byte-level MD/NM agreement whenever the CIGAR agrees; a
+            # divergence is waived only if OUR md matches the true genome
+            # (reference MD off-by-one quirk, see _truth_md)
+            if md != r["md"]:
+                assert md == _truth_md(genome, rec.pos, rec.cigar,
+                                       rec.seq), (rec.qname, md, r["md"])
+            assert nm == r["nm"], (rec.qname, nm, r["nm"])
+            st[1] += 1
+        elif truth_ok:
+            # reference emission is wrong here (see module docstring);
+            # our MD must then match the true genome byte-exactly
+            assert md == _truth_md(genome, rec.pos, rec.cigar,
+                                   rec.seq), (rec.qname, md)
+            st[1] += 1
+        else:
+            diffs.append((rec.qname, rec.pos, rec.cigar, r["pos"],
+                          r["cigar"]))
+        if rec.pos == r["pos"]:
+            st[2] += 1
+
+    # per-class agreement bars (waivers documented in module docstring)
+    bars = {"sub": 0.90, "indel": 0.80, "splice": 0.75, "trim": 0.60,
+            "nbase": 0.80}
+    for cls, (n, cig_ok, _pos_ok) in sorted(stats.items()):
+        assert n > 0, cls
+        frac = cig_ok / n
+        assert frac >= bars[cls], (
+            cls, f"{cig_ok}/{n}", sorted(d for d in diffs
+                                         if classes[d[0]] == cls))

@@ -58,7 +58,13 @@ def test_align_vs_truth(synthetic):
     n_ok = 0
     for rec, (p, rc) in zip(out, truth):
         assert rec.flag != 4, f"{rec.qname} unmapped"
-        assert rec.pos == p + 1, rec.qname
+        # end trimming may soft-clip a terminal mismatch run (reference
+        # does the same, src/spliceends.c trim scoring); the position
+        # then shifts by the leading clip length
+        clip = 0
+        if "S" in rec.cigar.split("M")[0]:
+            clip = int(rec.cigar.split("S")[0])
+        assert rec.pos == p + 1 + clip, rec.qname
         assert (rec.flag == 16) == rc, rec.qname
         n_ok += 1
     assert n_ok == len(truth)

@@ -18,49 +18,121 @@ INVALID = 0xFFFFFFFF
 
 # ---------------------------------------------------------------- trim_ends
 
-def oracle_trim(mm, length, match=8, mismatch=-24):
-    best = (0, 0, 0)        # score, start, end
-    for i in range(length + 1):
-        run = 0
-        for j in range(i, length):
-            run += mismatch if mm[j] else match
-            if (run > best[0]
-                    or (run == best[0] and best[0] > 0
-                        and (j + 1 - i) > (best[2] - best[1]))):
-                best = (run, i, j + 1)
-    return best
+def oracle_trim_qstart(mmpos_desc, pos5, pos3):
+    """Scalar transcription of Spliceends_trim_qstart_nosplice
+    (reference src/spliceends.c:4121-4216): mismatch positions in
+    DESCENDING order, returns qstart."""
+    m = len(mmpos_desc)
+    if m == 0:
+        return pos5
+    prevpos = pos3
+    trimpos = pos = mmpos_desc[0]
+    max_score = score = (prevpos - pos - 1)
+    nmm_to_trim = 0
+    prevpos = pos
+    donep = False
+    i = 1
+    while not donep and i < m:
+        pos = mmpos_desc[i]
+        score += -3 + (prevpos - pos - 1)
+        if score >= max_score:
+            trimpos, nmm_to_trim, max_score = pos, i, score
+        elif score + (pos + 1 - pos5) < 0:
+            donep = True
+        prevpos = pos
+        i += 1
+    if donep:
+        pass
+    elif nmm_to_trim == m - 1:
+        trimpos = pos5 - 1
+    else:
+        pos = pos5 - 1
+        score += -3 + (prevpos - pos - 1)
+        if score >= max_score:
+            trimpos = pos
+    return trimpos + 1
+
+
+def oracle_trim_qend(mmpos_asc, pos5, pos3):
+    """Mirror image for qend: ascending mismatch positions, returns qend."""
+    m = len(mmpos_asc)
+    if m == 0:
+        return pos3
+    prevpos = pos5 - 1
+    trimpos = pos = mmpos_asc[0]
+    max_score = score = (pos - prevpos - 1)
+    nmm_to_trim = 0
+    prevpos = pos
+    donep = False
+    i = 1
+    while not donep and i < m:
+        pos = mmpos_asc[i]
+        score += -3 + (pos - prevpos - 1)
+        if score >= max_score:
+            trimpos, nmm_to_trim, max_score = pos, i, score
+        elif score + (pos3 - pos) < 0:
+            donep = True
+        prevpos = pos
+        i += 1
+    if donep:
+        pass
+    elif nmm_to_trim == m - 1:
+        trimpos = pos3
+    else:
+        pos = pos3
+        score += -3 + (pos - prevpos - 1)
+        if score >= max_score:
+            trimpos = pos
+    return trimpos
+
+
+def oracle_trim(mm, length):
+    mmpos = [p for p in range(length) if mm[p]]
+    qs = oracle_trim_qstart(mmpos[::-1], 0, length)
+    qs = min(qs, length)
+    qe = oracle_trim_qend([p for p in mmpos if p >= qs], qs, length)
+    return qs, max(qe, qs)
 
 
 def test_trim_ends_random():
     rng = np.random.default_rng(0)
     B, L = 64, 50
     mm = rng.random((B, L)) < 0.25
+    mm[:16] = rng.random((16, L)) < 0.04      # mostly-clean reads too
     lengths = rng.integers(10, L + 1, B).astype(np.int32)
     qs, qe, score, nmm_in = (np.asarray(x) for x in pathdp.trim_ends(
         jnp.asarray(mm), jnp.asarray(lengths)))
     for b in range(B):
-        exp_score, ei, ej = oracle_trim(mm[b], lengths[b])
-        assert score[b] == exp_score, b
-        got = score_of(mm[b], qs[b], qe[b])
-        assert got == exp_score, b
+        ei, ej = oracle_trim(mm[b], lengths[b])
+        assert (qs[b], qe[b]) == (ei, ej), b
         assert nmm_in[b] == mm[b][qs[b]:qe[b]].sum(), b
+        alen = qe[b] - qs[b]
+        assert score[b] == 8 * (alen - nmm_in[b]) - 24 * nmm_in[b], b
 
 
-def score_of(mm, i, j, match=8, mismatch=-24):
-    return sum(mismatch if mm[q] else match for q in range(i, j))
-
-
-def test_trim_ends_clean_and_dirty():
-    L = 30
-    mm = np.zeros((3, L), bool)
-    mm[1, :5] = True                   # dirty 5' end
-    mm[2, -4:] = True                  # dirty 3' end
-    lengths = np.full(3, L, np.int32)
-    qs, qe, score, _ = (np.asarray(x) for x in pathdp.trim_ends(
+def test_trim_ends_oracle_cases():
+    """CIGAR-verified against /tmp/refbin/gsnap (2024-02-22) on 100 bp
+    reads with planted terminal mismatches (see docstring of trim_ends)."""
+    L = 100
+    cases = [  # (mismatch positions, expected qs, expected qe)
+        ([0], 0, L),              # 1 leading mm kept -> 100M
+        ([0, 1], 2, L),           # adjacent leading run -> 2S98M
+        ([1, 2], 3, L),           # -> 3S97M
+        ([0, 1, 2, 3], 4, L),     # -> 4S96M
+        ([0, 5], 0, L),           # spread -> kept, 100M
+        ([97], 0, L),             # 1 trailing mm kept
+        ([90, 99], 0, L),         # spread trailing -> kept
+        ([95, 96], 0, 95),        # -> 95M5S
+        ([98, 99], 0, 98),        # -> 98M2S
+    ]
+    mm = np.zeros((len(cases), L), bool)
+    for r, (poss, _, _) in enumerate(cases):
+        mm[r, poss] = True
+    lengths = np.full(len(cases), L, np.int32)
+    qs, qe, _, _ = (np.asarray(x) for x in pathdp.trim_ends(
         jnp.asarray(mm), jnp.asarray(lengths)))
-    assert (qs[0], qe[0]) == (0, L)
-    assert (qs[1], qe[1]) == (5, L)
-    assert (qs[2], qe[2]) == (0, L - 4)
+    for r, (poss, eqs, eqe) in enumerate(cases):
+        assert (qs[r], qe[r]) == (eqs, eqe), (r, poss)
 
 
 # ---------------------------------------------------------------- chain DP

@@ -264,8 +264,11 @@ def main(argv=None):
     ap.add_argument("--terminal-threshold", type=int, default=None,
                     help="obsolete in the reference; accepted and ignored")
     ap.add_argument("--trim-mismatch-score", type=int, default=None,
-                    help="accepted for compatibility (ends are aligned "
-                         "full-length)")
+                    help="accepted for compatibility: the reference "
+                         "also ignores this option (src/gsnap.c:2544 is "
+                         "commented out) and hard-codes -3 "
+                         "(src/genomebits_trim.c:25), as does the trim "
+                         "kernel here (ops/pathdp.trim_ends)")
     ap.add_argument("-M", "--suboptimal-levels", dest="suboptimal_levels",
                     type=int, default=0,
                     help="accepted for compatibility (marked 'not "
@@ -278,10 +281,11 @@ def main(argv=None):
                          "reads overlapping known sites get DP "
                          "refinement at a lower mismatch trigger")
     ap.add_argument("--no-soft-clips", action="store_true",
-                    help="accepted for compatibility (substitution "
-                         "alignments are always full-length)")
+                    help="disable end trimming; mismatches are counted "
+                         "over the whole query (src/gsnap.c:697)")
     ap.add_argument("--extend-soft-clips", action="store_true",
-                    help="accepted for compatibility")
+                    help="print terminal soft clips as aligned (M) "
+                         "bases, recomputing MD/NM (src/gsnap.c:698)")
     ap.add_argument("--tallydir", default=None,
                     help="disabled in the reference; accepted and ignored")
     ap.add_argument("--use-tally", default=None,
@@ -566,6 +570,8 @@ def main(argv=None):
         return True
 
     def shape(rec):
+        if args.extend_soft_clips:
+            sam.extend_soft_clips(db, rec)
         if args.show_univdiagonal and not rec.flag & 4 \
                 and rec.rname in db.chrom_names:
             ud = (int(db.chrom_offsets[db.chrom_names.index(rec.rname)])
@@ -591,10 +597,13 @@ def main(argv=None):
     cfg_kw = {}
     if args.maxsearch is not None:
         cfg_kw["top_k"] = max(1, min(32, args.maxsearch))
+    if args.min_coverage > 0:
+        cfg_kw["min_coverage"] = args.min_coverage
     config = AlignConfig(mode=args.mode, snp_tolerant=args.use_snps,
                          max_mismatch_frac=args.max_mismatches,
                          query_unk_mismatch=bool(args.query_unk_mismatch),
                          genome_unk_mismatch=bool(args.genome_unk_mismatch),
+                         soft_clips=not args.no_soft_clips,
                          **cfg_kw)
 
     tr = None
@@ -731,6 +740,7 @@ def main(argv=None):
             novelsplicing=bool(args.novelsplicing),
             max_intron=args.max_intron, known=known,
             orientation=args.orientation, pairexpect=args.pairexpect,
+            pairdev=args.pairdev,
             **knob_kw))
         for s1, s2 in results:
             if args.paired_flag_means_concordant and not (s1.flag & 2):

@@ -35,29 +35,47 @@ def _pack_batch(batch):
     tunnel-attached chip; unpacked again on device)."""
     import jax.numpy as jnp
     from tpumap.ops import pack
-    return {"packed": jnp.asarray(pack.pack_reads_host(batch["codes"])),
-            "pnmask": jnp.asarray(
-                pack.pack_reads_host(batch["nmask"].astype(np.uint8))),
-            "lengths": jnp.asarray(batch["lengths"])}
+    out = {"packed": jnp.asarray(pack.pack_reads_host(batch["codes"])),
+           "pnmask": jnp.asarray(
+               pack.pack_reads_host(batch["nmask"].astype(np.uint8))),
+           "lengths": jnp.asarray(batch["lengths"])}
+    if "quals" in batch:        # FASTQ input: quality-weighted MAPQ
+        out["quals"] = jnp.asarray(batch["quals"])
+    return out
 
 
 def make_batch(records: list[Record], batch_size: int, L: int):
     codes = np.zeros((batch_size, L), dtype=np.uint8)
     nmask = np.zeros((batch_size, L), dtype=bool)
     lengths = np.zeros(batch_size, dtype=np.int32)
+    quals = None
     for i, rec in enumerate(records):
         c, m = dna.encode(rec.sequence)
         codes[i, :len(c)] = c
         nmask[i, :len(c)] = m
         lengths[i] = len(c)
-    return {"codes": codes, "nmask": nmask, "lengths": lengths}
+        if rec.quality:
+            if quals is None:
+                quals = np.full((batch_size, L), 30, dtype=np.uint8)
+            qv = np.frombuffer(rec.quality.encode("ascii"),
+                               np.uint8)[:len(c)]
+            quals[i, :len(qv)] = np.maximum(qv, 33) - 33
+    batch = {"codes": codes, "nmask": nmask, "lengths": lengths}
+    if quals is not None:
+        batch["quals"] = quals
+    return batch
 
 
 INDEL_NMM_TRIGGER = 4     # reads with >= this many mismatches get a DP pass
 INDEL_BAND = 32
 INDEL_MARGIN = 4
 SPLICE_NMM_TRIGGER = 6    # and >= this many get the splice-junction pass
+CLIP_SPLICE_TRIGGER = 8   # or >= this many soft-clipped bases (a clipped
+#                           end is often an unplaced exon, spliceends.c;
+#                           8 = smallest partner exon the chain DP can
+#                           anchor profitably, cf. min_shortend)
 MAX_CAND_PAIRS = 8
+CHAIN_K = 8               # candidate diagonals per read in the chain solver
 MIN_INTRON = 9
 
 
@@ -100,7 +118,8 @@ def refine_unsolved(db, index, batch, res, config,
                     novelsplicing=False, max_intron=200_000, known=None,
                     find_fusions=False, tr_records=None, L=None,
                     max_insertions=6, max_deletions=9, indel_endlength=4,
-                    use_localdb=True, known_indels=None):
+                    use_localdb=True, known_indels=None, quals=None,
+                    device_ctx=None):
     """The post-cascade refinement ladder shared by the single-end and
     paired-end drivers: banded-DP indels, splice junctions (novel +
     known-partner + localscan salvage), fusions. Returns
@@ -153,6 +172,11 @@ def refine_unsolved(db, index, batch, res, config,
         for row, i in enumerate(need):
             li = int(batch["lengths"][i])
             sub_score = 3 * li - 6 * int(res["nmismatch"][i])
+            if "trim_score" in res:
+                # an end-trimmed soft-clip may already explain the read
+                # better than any indel placement
+                sub_score = max(sub_score,
+                                int(res["trim_score"][i]) * 3 // 8)
             ops = [o for o in ref["ops"][row][::-1]
                    if o != dp_ops.T_END]
             # an indel placed AT a learned site relaxes the end-length
@@ -179,56 +203,66 @@ def refine_unsolved(db, index, batch, res, config,
                                 + int(ref["start_off"][row]),
                                 ops, int(ref["score"][row]))
 
-    # third stage: novel splice junctions (RNA mode) for reads that are
-    # still bad — pair up same-strand candidate diagonals within the
-    # intron window and pick the best junction (Splice_resolve analog)
+    # third stage: the chain-DP path solver (multi-junction splices +
+    # deletions + soft-clip trimming in one device kernel, ops/pathdp.py —
+    # the Path_solve_from_diagonals/Splice_resolve/Path_trim re-expression).
+    # Candidate diagonals per read: the cascade's ranked candidates, plus
+    # partners derived from known junctions, plus localscan salvage for
+    # reads whose second exon never seeded.
     splice_result = {}
     if novelsplicing or known is not None:
-        sneed = []
-        for i in range(chunk_len):
-            solved_by_dp = i in dp_result and (
-                3 * int(batch["lengths"][i]) - dp_result[i][2]) // 6 < SPLICE_NMM_TRIGGER
-            if (res["nmismatch"][i] >= SPLICE_NMM_TRIGGER
-                    and not solved_by_dp and i not in tr_records):
-                sneed.append(i)
-        pairs_per_read = []
+        from tpumap.ops import pathdp
+        trim_nmm = res.get("trim_nmm", res["nmismatch"])
+        trim_qs = res.get("trim_qstart")
+        trim_qe = res.get("trim_qend")
+
+        def _needs_chain(i):
+            if i in tr_records or res["diag"][i] == 0xFFFFFFFF:
+                return False
+            if trim_nmm[i] >= SPLICE_NMM_TRIGGER:
+                return True
+            if trim_qs is not None:
+                li = int(batch["lengths"][i])
+                clipped = int(trim_qs[i]) + (li - int(trim_qe[i]))
+                return clipped >= CLIP_SPLICE_TRIGGER
+            return False
+
+        sneed = [i for i in range(chunk_len) if _needs_chain(i)]
+        cands_per_read = []
         for i in sneed:
             li = int(batch["lengths"][i])
-            # candidates grouped per strand, ranked by mismatches
-            cands = {0: [], 1: []}
+            st0 = int(res["strand"][i])
+            cands = []
             for c in range(res["cand_diags"].shape[1]):
                 dg = int(res["cand_diags"][i, c])
                 st = int(res["cand_strands"][i, c])
-                if dg != 0xFFFFFFFF and dg not in cands[st]:
-                    cands[st].append(dg)
-            pairs = []
-            for st in (0, 1):
-                for a in cands[st]:
-                    for b in cands[st]:
-                        if MIN_INTRON <= b - a <= max_intron:
-                            pairs.append((a, b, st))
-                    # partner diagonals implied by known junctions
-                    # (no second seed required)
-                    if known is not None:
-                        for (da, db_) in known.derived_pairs(
-                                a, li, max_intron):
-                            if (da, db_, st) not in pairs:
-                                pairs.append((da, db_, st))
-            pairs_per_read.append(pairs[:MAX_CAND_PAIRS])
-        # localdb-equivalent salvage: reads with NO candidate pair get
-        # their unseeded end located by a window-restricted fragment
-        # scan (ops/localscan.py; the Spliceends_* + Localdb_get path).
-        # The unaligned portion is delimited host-side by the first/
-        # last 20-base exact run against the anchored diagonal.
+                if dg != 0xFFFFFFFF and st == st0 and dg not in cands:
+                    cands.append(dg)
+            # partner diagonals implied by known junctions (no second
+            # seed required, src/knownsplicing.c role)
+            if known is not None:
+                for a in list(cands):
+                    for (_da, db_) in known.derived_pairs(a, li,
+                                                          max_intron):
+                        if db_ not in cands:
+                            cands.append(db_)
+            cands_per_read.append((st0, cands[:CHAIN_K]))
+
+        # localdb-equivalent salvage: reads with only ONE candidate get
+        # their unseeded end located by a window-restricted fragment scan
+        # (ops/localscan.py; the Spliceends_* + Localdb_get path). The
+        # unaligned portion is delimited host-side by the first/last
+        # 20-base exact run against the anchored diagonal.
         if novelsplicing and use_localdb:
             salv = []
-            for j, (i, p) in enumerate(zip(sneed, pairs_per_read)):
-                if p or res["diag"][i] == 0xFFFFFFFF:
+            for j, (i, (st0, cands)) in enumerate(zip(sneed,
+                                                      cands_per_read)):
+                if len(cands) >= 2 or not cands:
                     continue
                 li = int(batch["lengths"][i])
-                a = int(res["diag"][i])
+                a = cands[0]
                 c = batch["codes"][i]
-                if res["strand"][i]:
+                if st0:
                     c = np.concatenate(
                         [dna_utils.revcomp_codes(c[:li]),
                          np.zeros(L - li, np.uint8)])
@@ -244,8 +278,7 @@ def refine_unsolved(db, index, batch, res, config,
                     continue
                 u = int(starts20[0])            # unaligned prefix len
                 e = int(starts20[-1]) + 20      # anchor end
-                salv.append((j, i, a, int(res["strand"][i]), c, li,
-                             u, e))
+                salv.append((j, i, a, st0, c, li, u, e))
             if salv:
                 from tpumap.ops import localscan
                 F = 16
@@ -279,79 +312,93 @@ def refine_unsolved(db, index, batch, res, config,
                 pos_p, mm_p = np.asarray(pos_p), np.asarray(mm_p)
                 for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
                     v = li - e
-                    pairs = []
+                    st0, cands = cands_per_read[j]
                     if v >= 6:
                         for t in range(pos_s.shape[1]):
                             if mm_s[row, t] <= 1:
                                 dB = int(pos_s[row, t]) - e
-                                if MIN_INTRON <= dB - a <= max_intron:
-                                    pairs.append((a, dB, st))
+                                if (MIN_INTRON <= dB - a <= max_intron
+                                        and dB not in cands):
+                                    cands.append(dB)
                     if u >= 6:
                         fl = min(F, u)
                         for t in range(pos_p.shape[1]):
                             if mm_p[row, t] <= 1:
                                 dA = int(pos_p[row, t]) - (u - fl)
-                                if MIN_INTRON <= a - dA <= max_intron:
-                                    pairs.append((dA, a, st))
-                    pairs_per_read[j] = pairs[:MAX_CAND_PAIRS]
+                                if (MIN_INTRON <= a - dA <= max_intron
+                                        and dA not in cands):
+                                    cands.append(dA)
+                    cands_per_read[j] = (st0, cands[:CHAIN_K])
 
-        sneed = [i for i, p in zip(sneed, pairs_per_read) if p]
-        pairs_per_read = [p for p in pairs_per_read if p]
-        if sneed:
-            nb = pad_to_bucket(len(sneed))
+        rows = [(i, st0, cands) for i, (st0, cands)
+                in zip(sneed, cands_per_read) if cands]
+        if rows:
+            nb = pad_to_bucket(len(rows))
             codes = np.zeros((nb, L), dtype=np.uint8)
             nmask = np.zeros((nb, L), dtype=bool)
             lengths = np.ones(nb, dtype=np.int32)
-            dA = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
-            dB = np.full((nb, MAX_CAND_PAIRS), 0xFFFFFFFF, dtype=np.uint32)
-            strands = np.zeros((nb, MAX_CAND_PAIRS), dtype=np.int32)
-            for row, (i, pairs) in enumerate(zip(sneed, pairs_per_read)):
+            cdiags = np.full((nb, CHAIN_K), 0xFFFFFFFF, dtype=np.uint32)
+            cquals = np.full((nb, L), 30, dtype=np.uint8)
+            for row, (i, st0, cands) in enumerate(rows):
                 li = int(batch["lengths"][i])
-                # orientation per pair strand; use strand of first pair
-                st0 = pairs[0][2]
                 c = batch["codes"][i]
                 m = batch["nmask"][i]
+                qv = quals[i] if quals is not None else None
                 if st0:
                     c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
                                         np.zeros(L - li, np.uint8)])
                     m = np.concatenate([m[:li][::-1],
                                         np.zeros(L - li, bool)])
+                    if qv is not None:
+                        qv = np.concatenate([qv[:li][::-1],
+                                             np.zeros(L - li, np.uint8)])
                 codes[row] = c
                 nmask[row] = m
                 lengths[row] = li
-                for pcol, (a, b, st) in enumerate(pairs):
-                    if st != st0:
-                        continue
-                    dA[row, pcol] = a
-                    dB[row, pcol] = b
-                    strands[row, pcol] = st
-            sres = refine_splices(index, jnp.asarray(codes),
-                                  jnp.asarray(nmask),
-                                  jnp.asarray(lengths),
-                                  jnp.asarray(dA), jnp.asarray(dB),
-                                  known=known_dev)
-            sres = {k: np.asarray(v) for k, v in sres.items()}
-            for row, i in enumerate(sneed):
+                cdiags[row, :len(cands)] = cands
+                if qv is not None:
+                    cquals[row] = qv
+            sc = pathdp.PathScoring(max_intron=max(max_intron, MIN_INTRON))
+            _chain = (device_ctx.chain_solve if device_ctx is not None
+                      else pathdp.chain_solve)
+            cres = _chain(
+                index, jnp.asarray(codes), jnp.asarray(nmask),
+                jnp.asarray(lengths), jnp.asarray(cdiags),
+                scoring=sc, with_quals=quals is not None,
+                quals=jnp.asarray(cquals) if quals is not None else None,
+                known=known_dev)
+            cres = {k: np.asarray(v) for k, v in cres.items()}
+            for row, (i, st0, cands) in enumerate(rows):
                 li = int(batch["lengths"][i])
-                pcol = int(np.argmin(np.where(sres["valid"][row],
-                                              sres["nmm"][row], li + 1)))
-                if not sres["valid"][row][pcol]:
+                nsegs = int(cres["nsegs"][row])
+                if nsegs < 1:
                     continue
-                nmm = int(sres["nmm"][row][pcol])
-                score = 3 * li - 6 * nmm - (0 if sres["bonus"][row][pcol] > 0
-                                            else 12)
-                best_other = 3 * li - 6 * int(res["nmismatch"][i])
+                score8 = int(cres["score"][row])
+                # alternatives in the same 8-scale: the trimmed (or
+                # full-length) substitution path and the DP indel path
+                if trim_qs is not None:
+                    best_other = int(res["trim_score"][i])
+                else:
+                    best_other = 8 * li - 32 * int(res["nmismatch"][i])
                 if i in dp_result:
-                    best_other = max(best_other, dp_result[i][2])
-                if score > best_other:
-                    splice_result[i] = {
-                        "dA": int(dA[row, pcol]),
-                        "dB": int(dB[row, pcol]),
-                        "qstar": int(sres["qstar"][row][pcol]),
-                        "strand": int(strands[row, pcol]),
-                        "sense": int(sres["sense"][row][pcol]),
-                        "nmm": nmm, "score": score,
-                    }
+                    best_other = max(best_other, dp_result[i][2] * 8 // 3)
+                if score8 <= best_other:
+                    continue
+                q_start = int(cres["q_start"][row])
+                q_end = int(cres["q_end"][row])
+                segs = [(int(cres["seg_q"][row][s]),
+                         int(cres["seg_diag"][row][s]))
+                        for s in range(nsegs)]
+                # all segments must stay on one chromosome
+                chroms = {db.chrnum(d + q) for q, d in segs}
+                chroms.add(db.chrnum(segs[-1][1] + q_end - 1))
+                if len(chroms) != 1:
+                    continue
+                splice_result[i] = {
+                    "segs": segs, "q_start": q_start, "q_end": q_end,
+                    "strand": st0, "score": score8,
+                    "nmm": int(cres["nmm"][row]),
+                }
 
     # fourth stage: fusions/translocations — same-orientation candidate
     # pairs at ANY distance (cross-chromosome included) for reads that
@@ -460,7 +507,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   max_insertions: int = 6, max_deletions: int = 9,
                   indel_endlength: int = 4, use_localdb: bool = True,
                   merge_distant_samechr: bool = False,
-                  known_indels=None) -> list[sam.SamRecord]:
+                  known_indels=None,
+                  device_ctx=None) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -483,8 +531,11 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
              else batch_size)
         L = pad_to_bucket(max(len(r.sequence) for r in chunk))
         batch = make_batch(chunk, B, L)
-        dev = align_batch_cascaded_packed(index, _pack_batch(batch),
-                                          config, L)
+        if device_ctx is not None:
+            dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
+        else:
+            dev = align_batch_cascaded_packed(index, _pack_batch(batch),
+                                              config, L)
         return chunk, batch, L, dev
 
     starts = list(range(0, len(records), batch_size))
@@ -500,7 +551,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             tr_records = _tr_rung(db, tr, chunk, batch, config)
         res = {k: np.asarray(v) for k, v in dev.items()}
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
-                                res["n_best"], batch["lengths"])
+                                res["n_best"], batch["lengths"],
+                                mm_qualsum=res.get("mm_qualsum"),
+                                qual_mean16=res.get("qual_mean16"))
 
         dp_result, splice_result, fusion_result = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
@@ -508,7 +561,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             tr_records=tr_records, L=L,
             max_insertions=max_insertions, max_deletions=max_deletions,
             indel_endlength=indel_endlength, use_localdb=use_localdb,
-            known_indels=known_indels)
+            known_indels=known_indels, quals=batch.get("quals"),
+            device_ctx=device_ctx)
 
         def _emit(record, method, nh=1):
             if not record.flag & 4:
@@ -530,12 +584,15 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                 continue
             if i in splice_result:
                 s = splice_result[i]
-                equiv_nmm = (3 * li - s["score"]) // 6
-                if equiv_nmm <= max_equiv:
-                    _emit(sam.spliced_record(
+                alen = s["q_end"] - s["q_start"]
+                if (s["nmm"] <= max(1, int(alen * config.max_mismatch_frac))
+                        and alen >= max(20, int(li * config.min_coverage))):
+                    nj = len(s["segs"]) - 1
+                    _emit(sam.path_record(
                         db, rec.accession, rec.sequence, rec.quality,
-                        s["dA"], s["dB"], s["qstar"], li, s["strand"],
-                        int(mapq[i]), s["sense"]), "splice")
+                        s["segs"], s["q_start"], s["q_end"], s["strand"],
+                        int(mapq[i]), min_intron=MIN_INTRON, known=known),
+                        "splice" if nj else "sub")
                     continue
             if i in fusion_result:
                 f = fusion_result[i]
@@ -567,7 +624,17 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                         pos0, int(res["strand"][i]), int(mapq[i]), ops),
                         "indel")
                     continue
-            if res["mapped"][i]:
+            tqs, tqe = 0, li
+            if config.soft_clips and "trim_qstart" in res:
+                tqs = int(res["trim_qstart"][i])
+                tqe = min(int(res["trim_qend"][i]), li)
+            trimmed = tqs > 0 or tqe < li
+            alen = tqe - tqs
+            trim_ok = (res["diag"][i] != 0xFFFFFFFF and trimmed
+                       and alen >= max(20, int(li * config.min_coverage))
+                       and int(res.get("trim_nmm", res["nmismatch"])[i])
+                       <= max(1, int(alen * config.max_mismatch_frac)))
+            if res["mapped"][i] and not trimmed:
                 from tpumap.ops.mode import MODE_SPACES
                 space = MODE_SPACES[config.mode][int(res["strand"][i])]
                 _emit(sam.ungapped_record(
@@ -603,6 +670,20 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                         secs.append(sec)
                     if secs:
                         out[-1].secondaries = secs
+            elif trim_ok:
+                # end-trimmed / soft-clipped alignment (src/path-trim.c):
+                # mismatch-dense ends are clipped; the record keeps only
+                # the max-scoring query interval
+                from tpumap.ops.mode import MODE_SPACES
+                space = MODE_SPACES[config.mode][int(res["strand"][i])]
+                _emit(sam.ungapped_record(
+                    db, rec.accession, rec.sequence, rec.quality,
+                    int(res["diag"][i]), int(res["strand"][i]),
+                    int(mapq[i]),
+                    int(res.get("trim_nmm", res["nmismatch"])[i]),
+                    space=space, snp=config.snp_tolerant,
+                    q_start=tqs, q_end=tqe), "sub",
+                    nh=int(res["n_best"][i]))
             else:
                 _emit(sam.unmapped_record(rec.accession, rec.sequence,
                                           rec.quality), "unmapped")
@@ -616,7 +697,8 @@ def _tr_rung(db, tr, chunk, batch, config):
 
     transcriptome, tr_index = tr
     res = align_batch_cascaded(
-        tr_index, {k: jnp.asarray(v) for k, v in batch.items()}, config)
+        tr_index, {k: jnp.asarray(v) for k, v in batch.items()
+                   if k in ("codes", "nmask", "lengths")}, config)
     res = {k: np.asarray(v) for k, v in res.items()}
     mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                             res["n_best"], batch["lengths"])

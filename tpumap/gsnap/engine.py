@@ -43,8 +43,16 @@ class AlignConfig:
     max_mismatch_frac: float = 0.10   # unaligned if worse
     # N-base semantics (gsnap --query-unk-mismatch/--genome-unk-mismatch):
     # True = N counts as a mismatch, False = N matches anything
-    query_unk_mismatch: bool = True
+    # (reference defaults: query false, genome true — src/gsnap.c:336-337)
+    query_unk_mismatch: bool = False
     genome_unk_mismatch: bool = True
+    # end trimming / soft clips (src/path-trim.c, src/genomebits_trim.c;
+    # gsnap --no-soft-clips sets soft_clips=False and mismatches are then
+    # counted over the whole query, src/gsnap.c:553,697)
+    soft_clips: bool = True
+    # minimum fraction of the read that must stay aligned after trimming
+    # for a clipped alignment to be reported (gsnap --min-coverage)
+    min_coverage: float = 0.25
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -406,7 +414,112 @@ def align_batch_cascaded(index: DeviceIndex, batch, config: AlignConfig,
         upd = jnp.where(_bcast(better, res2[key]), res2[key],
                         jnp.take(res[key], idx, axis=0))
         out[key] = res[key].at[idx].set(upd)
+    # candidate lists: stage-2 rows get the UNION of both rungs' ranked
+    # candidates regardless of which rung won on substitutions — the
+    # prevalent rung can surface diagonals (e.g. a short middle exon) that
+    # don't beat the ends rung on raw mismatches but that the downstream
+    # chain-DP splice solver needs (Path_solve_from_diagonals consumes the
+    # whole univdiagonal set, src/path-solve.c:4112)
+    mcd, mcs, mcn = _merge_cand_lists(
+        jnp.take(res["cand_diags"], idx, axis=0),
+        jnp.take(res["cand_strands"], idx, axis=0),
+        jnp.take(res["cand_nmm"], idx, axis=0),
+        res2["cand_diags"], res2["cand_strands"], res2["cand_nmm"])
+    sel_b = _bcast(selected, mcd)
+    for key, merged in (("cand_diags", mcd), ("cand_strands", mcs),
+                        ("cand_nmm", mcn)):
+        keep = jnp.take(out[key], idx, axis=0)
+        out[key] = out[key].at[idx].set(jnp.where(sel_b, merged, keep))
+    if config.soft_clips:       # static: --no-soft-clips removes the stage
+        out.update(_trim_stage(index, codes, nmask, lengths, out, config,
+                               quals=batch.get("quals")))
     return out
+
+
+def _trim_stage(index, codes, nmask, lengths, res, config: AlignConfig,
+                quals=None):
+    """End trimming of the best diagonal (Path_trim_qstart/qend +
+    Genomebits_trim analog, src/path-trim.c): per-base mismatch mask in
+    the aligned orientation -> max-scoring query subinterval. Runs inside
+    the cascade jit; adds one window gather + prefix scans per batch.
+
+    With quals (uint8[B, L], read order), also emits the quality-weighted
+    MAPQ inputs (MAPQ_loglik_string role, src/mapq.c): mm_qualsum = sum
+    of quality values at the best alignment's mismatch positions inside
+    the kept interval, and qual_mean x16 over that interval."""
+    from tpumap.ops import pathdp
+    from tpumap.ops.mode import MODE_SPACES
+
+    B, L = codes.shape
+    packed = pack.pack_reads(codes)
+    nmask2 = pack.pack_reads(nmask.astype(jnp.uint8))
+    rc_packed = pack.revcomp_packed(packed, lengths)
+    rc_nmask2 = pack.revcomp_packed(nmask2, lengths, complement=False)
+    is_rc = (res["strand"] == 1)[:, None]
+    sel_p = jnp.where(is_rc, rc_packed, packed)
+    sel_n = jnp.where(is_rc, rc_nmask2, nmask2)
+    space_fwd, space_rc = MODE_SPACES[config.mode]
+    if space_fwd == space_rc:
+        mm = verify.mismatch_mask_single(
+            index, sel_p, sel_n, lengths, res["diag"], L,
+            space=space_fwd, snp=config.snp_tolerant,
+            query_unk=config.query_unk_mismatch,
+            genome_unk=config.genome_unk_mismatch)
+    else:
+        mm_f = verify.mismatch_mask_single(
+            index, sel_p, sel_n, lengths, res["diag"], L,
+            space=space_fwd, snp=config.snp_tolerant,
+            query_unk=config.query_unk_mismatch,
+            genome_unk=config.genome_unk_mismatch)
+        mm_r = verify.mismatch_mask_single(
+            index, sel_p, sel_n, lengths, res["diag"], L,
+            space=space_rc, snp=config.snp_tolerant,
+            query_unk=config.query_unk_mismatch,
+            genome_unk=config.genome_unk_mismatch)
+        mm = jnp.where(is_rc, mm_r, mm_f)
+    qs, qe, score, nmm_in = pathdp.trim_ends(mm, lengths)
+    out = {"trim_qstart": qs, "trim_qend": qe, "trim_score": score,
+           "trim_nmm": nmm_in}
+    if quals is not None:
+        idx = jnp.arange(L, dtype=jnp.int32)
+        # orient quals like the alignment (plain reverse, length-aware)
+        rev = jnp.clip(lengths[:, None] - 1 - idx, 0, L - 1)
+        q_or = jnp.where(is_rc, jnp.take_along_axis(quals, rev, axis=1),
+                         quals).astype(jnp.int32)
+        kept = (idx >= qs[:, None]) & (idx < qe[:, None])
+        out["mm_qualsum"] = jnp.sum(jnp.where(mm & kept, q_or, 0), axis=1)
+        span = jnp.maximum(qe - qs, 1)
+        out["qual_mean16"] = (16 * jnp.sum(jnp.where(kept, q_or, 0),
+                                           axis=1)) // span
+    return out
+
+
+def _merge_cand_lists(cd_a, cs_a, cn_a, cd_b, cs_b, cn_b):
+    """Union two ranked candidate lists [R, K] -> best K by nmm, dup-free.
+
+    Duplicates (same strand+diagonal) keep the lower-nmm copy; INVALID
+    lanes sort last. K is small (8) so the O((2K)^2) dup mask is cheap."""
+    cd = jnp.concatenate([cd_a, cd_b], axis=1)
+    cs = jnp.concatenate([cs_a, cs_b], axis=1)
+    cn = jnp.concatenate([cn_a, cn_b], axis=1)
+    K2 = cd.shape[1]
+    lane = jnp.arange(K2, dtype=jnp.int32)
+    key = jnp.where(cd == jnp.uint32(0xFFFFFFFF), jnp.int32(2 ** 20), cn)
+    order = jnp.argsort(key * jnp.int32(K2) + lane, axis=1)
+    cd = jnp.take_along_axis(cd, order, axis=1)
+    cs = jnp.take_along_axis(cs, order, axis=1)
+    cn = jnp.take_along_axis(cn, order, axis=1)
+    same = ((cd[:, None, :] == cd[:, :, None])
+            & (cs[:, None, :] == cs[:, :, None])
+            & (lane[None, :] < lane[:, None])[None])   # j < i in rank order
+    dup = jnp.any(same, axis=2)
+    cd = jnp.where(dup, jnp.uint32(0xFFFFFFFF), cd)
+    key2 = jnp.where(cd == jnp.uint32(0xFFFFFFFF), jnp.int32(2 ** 20), cn)
+    order2 = jnp.argsort(key2 * jnp.int32(K2) + lane, axis=1)
+    K = cd_a.shape[1]
+    return (jnp.take_along_axis(cd, order2, axis=1)[:, :K],
+            jnp.take_along_axis(cs, order2, axis=1)[:, :K],
+            jnp.take_along_axis(cn, order2, axis=1)[:, :K])
 
 
 def _bcast(mask: jax.Array, like: jax.Array) -> jax.Array:
@@ -542,18 +655,34 @@ def refine_splices(index, codes: jax.Array, nmask: jax.Array,
 
 
 def mapq_from_scores(nmm: np.ndarray, second: np.ndarray, n_best: np.ndarray,
-                     lengths: np.ndarray, base_qual: float = 30.0) -> np.ndarray:
+                     lengths: np.ndarray, base_qual: float = 30.0,
+                     mm_qualsum: np.ndarray | None = None,
+                     qual_mean16: np.ndarray | None = None) -> np.ndarray:
     """MAPQ as the posterior error of the best alignment (src/mapq.c role).
 
-    Candidate likelihood L_i = 10^(-Q/10 * nmm_i) with a flat per-mismatch
-    quality Q (the reference weights by per-base quality scores;
-    entire-batch quality arrays are a later refinement):
+    Candidate likelihood L_i = 10^(-loglik_i), loglik in phred/10 units.
+    Without quality strings a flat per-mismatch quality Q is used
+    (loglik_i = Q/10 * nmm_i).  With them (FASTQ input), the best
+    alignment's loglik uses the REAL quality values at its mismatch
+    positions (mm_qualsum, computed on device by the trim stage —
+    MAPQ_loglik_string, src/mapq.h:20) and the runner-up is modeled at
+    nmm=second mismatches of mean quality, so reads whose mismatches sit
+    on low-quality bases keep high MAPQ while high-quality conflicts
+    drop it:
     MAPQ = -10 log10 P(err), P(err) = (sum of other likelihoods) / (total).
     Multimappers (n_best > 1) get 0; the cap is 40.
     """
-    gap = np.clip(second - nmm, 0, 12).astype(np.float64)
-    l2 = 10.0 ** (-(base_qual / 10.0) * gap)       # second-best vs best
-    others = np.maximum(n_best - 1, 0).astype(np.float64) +         np.where(gap > 0, l2, 0.0)
+    if mm_qualsum is not None and qual_mean16 is not None:
+        qbar = qual_mean16.astype(np.float64) / 16.0
+        gap = np.clip((second.astype(np.float64) * qbar - mm_qualsum)
+                      / base_qual, 0, 12)
+    else:
+        gap = np.clip(second - nmm, 0, 12).astype(np.float64)
+    # runner-up likelihood relative to best; at gap 0 the runner-up is
+    # equally likely (l2 = 1 -> MAPQ ~3), it must NOT drop out of the sum
+    l2 = 10.0 ** (-(base_qual / 10.0) * gap)
+    no_second = second >= 2 ** 15               # sentinel: no runner-up
+    others = np.maximum(n_best - 1, 0).astype(np.float64) +         np.where(no_second, 0.0, l2)
     p_err = others / (1.0 + others)
     with np.errstate(divide="ignore"):
         mapq = np.where(p_err > 0, -10.0 * np.log10(p_err + 1e-12), 40.0)
@@ -573,5 +702,7 @@ def align_batch_cascaded_packed(index: DeviceIndex, pbatch,
     codes = pack.unpack_reads(pbatch["packed"], L)
     nmask = pack.unpack_reads(pbatch["pnmask"], L).astype(jnp.bool_)
     batch = {"codes": codes, "nmask": nmask, "lengths": pbatch["lengths"]}
+    if "quals" in pbatch:
+        batch["quals"] = pbatch["quals"]
     return align_batch_cascaded(index, batch, config, solved_nmm,
                                 stage2_rows)

@@ -43,8 +43,8 @@ def junctions_from_sam(db, records, min_support: int = 1):
         chroff = int(db.chrom_offsets[chrom_index[rec.rname]])
         sense = 0
         for tag in rec.tags:
-            if tag.startswith("XS:A:"):
-                sense = 1 if tag[5] == "+" else -1
+            if tag.startswith("XS:A:"):      # '?' (noncanonical) stays 0
+                sense = {"+": 1, "-": -1}.get(tag[5], 0)
         g = chroff + rec.pos - 1          # 0-based univcoord
         for n, op in _CIGAR_RE.findall(rec.cigar):
             n = int(n)

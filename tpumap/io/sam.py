@@ -98,7 +98,8 @@ def md_and_nm(read_seq: str, genome_seq: str,
     read as T in bisulfite data) are counted as matches, like the
     reference's mode-aware mismatch kernels.
     """
-    if space is None and len(read_seq) == len(genome_seq):
+    if (space is None and len(read_seq) == len(genome_seq)
+            and "N" not in read_seq):
         lib = _get_native_md()
         if lib:
             buf = bytes(4 * len(read_seq) + 16)
@@ -108,7 +109,10 @@ def md_and_nm(read_seq: str, genome_seq: str,
     conv = _SPACE_MAPS.get(space, {})
     md, run, nm = [], 0, 0
     for r, g in zip(read_seq, genome_seq):
-        if (r == g or conv.get(g) == r) and r != "N" and g != "N":
+        # query N prints as a match (reference emission under the default
+        # query_unk_mismatch_p=false, src/gsnap.c:336); genome N is a
+        # mismatch (genome_unk_mismatch_p=true, src/gsnap.c:337)
+        if (r == g or conv.get(g) == r or r == "N") and g != "N":
             run += 1
         else:
             md.append(str(run))
@@ -150,7 +154,7 @@ def md_nm_from_ops(ops, read_seq: str, genome_seq: str) -> tuple[str, int]:
         o = ops[k]
         if o == 0:      # match/mismatch
             r, g = read_seq[i], genome_seq[j]
-            if r == g and r != "N":
+            if (r == g or r == "N") and g != "N":
                 run += 1
             else:
                 md.append(f"{run}{g}")
@@ -301,11 +305,105 @@ def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
     return SamRecord(qname=qname, flag=4, seq=seq, qual=qual or "*")
 
 
+_SENSE_PLUS = {("G", "T", "A", "G"), ("G", "C", "A", "G"),
+               ("A", "T", "A", "C")}
+_SENSE_MINUS = {("C", "T", "A", "C"), ("C", "T", "G", "C"),
+                ("G", "T", "A", "T")}
+
+
+def _junction_sense(db: GenomeDB, don_pos: int, acc_end: int,
+                    known=None) -> int:
+    """Transcription sense of an intron [don_pos, acc_end) on the + genome
+    from its boundary dinucleotides: +1 GT..AG-side, -1 antisense, 0.
+    Non-canonical boundaries fall back to the known-splicing annotation
+    (a known junction carries its strand, src/knownsplicing.c sense)."""
+    d = db.get_seq(don_pos, 2)
+    a = db.get_seq(acc_end - 2, 2)
+    key = (d[0], d[1], a[0], a[1])
+    if key in _SENSE_PLUS:
+        return 1
+    if key in _SENSE_MINUS:
+        return -1
+    if known is not None:
+        dp, ae = np.uint64(don_pos), np.uint64(acc_end)
+        for arr, sense in ((known.junctions, 1), (known.anti_junctions, -1)):
+            if len(arr):
+                j = np.searchsorted(arr[:, 0], dp)
+                while j < len(arr) and arr[j, 0] == dp:
+                    if arr[j, 1] == ae:
+                        return sense
+                    j += 1
+        if (dp in known.donor and ae in known.acceptor):
+            return 1
+        if (dp in known.antiacceptor and ae in known.antidonor):
+            return -1
+    return 0
+
+
+def path_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
+                segs: list[tuple[int, int]], q_start: int, q_end: int,
+                strand: int, mapq: int, min_intron: int = 9,
+                known=None) -> SamRecord:
+    """SAM record from a chain-DP path (ops/pathdp.chain_solve output):
+    soft-clipped ends + N-exon structure with introns (N) and deletions
+    (D) between segments — the Path_print_sam analog for paths solved by
+    the batched solver (src/path-print-sam.c:1852 + src/path.h segments).
+
+    segs: [(qpos, univdiagonal)] ascending query order; segment i covers
+    query [qpos_i, qpos_{i+1} or q_end) at genome univdiagonal diag_i.
+    """
+    L = len(seq)
+    oriented = dna.revcomp(seq) if strand else seq
+    q = qual or "*"
+    if strand and qual:
+        q = qual[::-1]
+    cig = []
+    if q_start:
+        cig.append(f"{q_start}S")
+    ops: list[int] = []
+    read_parts, genome_parts = [], []
+    senses = []
+    for i, (q0, d) in enumerate(segs):
+        q1 = segs[i + 1][0] if i + 1 < len(segs) else q_end
+        n = q1 - q0
+        cig.append(f"{n}M")
+        ops.extend([0] * n)
+        read_parts.append(oriented[q0:q1])
+        genome_parts.append(db.get_seq(d + q0, n))
+        if i + 1 < len(segs):
+            gap = segs[i + 1][1] - d
+            if gap >= min_intron:
+                cig.append(f"{gap}N")
+                senses.append(_junction_sense(db, d + q1,
+                                              segs[i + 1][1] + q1,
+                                              known=known))
+            else:
+                cig.append(f"{gap}D")
+                ops.extend([2] * gap)
+                genome_parts.append(db.get_seq(d + q1, gap))
+    if L - q_end:
+        cig.append(f"{L - q_end}S")
+    md, nm = md_nm_from_ops(ops, "".join(read_parts), "".join(genome_parts))
+    rname, chrpos = db.chrpos(segs[0][1] + q_start)
+    tags = [f"NM:i:{nm}", f"MD:Z:{md}"]
+    net = sum(senses)
+    if any(s != 0 for s in senses):
+        tags.append(f"XS:A:{'+' if net >= 0 else '-'}")
+    elif senses:
+        tags.append("XS:A:?")
+    return SamRecord(
+        qname=qname, flag=16 if strand else 0, rname=rname, pos=chrpos + 1,
+        mapq=mapq, cigar="".join(cig), seq=oriented, qual=q, tags=tags)
+
+
 def ungapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
                     diag: int, strand: int, mapq: int,
                     nmismatch: int, space: str | None = None,
-                    snp: bool = False) -> SamRecord:
-    """SAM record for a full-length ungapped (substitution-only) alignment.
+                    snp: bool = False, q_start: int = 0,
+                    q_end: int | None = None) -> SamRecord:
+    """SAM record for an ungapped (substitution-only) alignment, with
+    optional soft-clipped ends ([q_start, q_end) aligned, the rest S —
+    the Path_trim soft-clip emission, src/path-print-sam.c clip policy).
 
     diag = univcoord of query base 0 in the aligned orientation; strand 1
     means the read aligned as its reverse complement. With snp=True and a
@@ -313,14 +411,17 @@ def ungapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
     both-diff / SNP-explained counts (src/path-print-sam.c:932-945).
     """
     L = len(seq)
-    rname, chrpos = db.chrpos(diag)
+    if q_end is None:
+        q_end = L
+    rname, chrpos = db.chrpos(diag + q_start)
     oriented = dna.revcomp(seq) if strand else seq
-    genome_seq = db.get_seq(diag, L)
-    md, nm = md_and_nm(oriented, genome_seq, space)
+    genome_seq = db.get_seq(diag + q_start, q_end - q_start)
+    md, nm = md_and_nm(oriented[q_start:q_end], genome_seq, space)
     tags = [f"NM:i:{nm}", f"MD:Z:{md}"]
     if snp and db.genomealt_packed is not None:
-        alt_seq = db.get_alt_seq(diag, L)
-        bothdiff = sum(1 for r, g, a in zip(oriented, genome_seq, alt_seq)
+        alt_seq = db.get_alt_seq(diag + q_start, q_end - q_start)
+        bothdiff = sum(1 for r, g, a in zip(oriented[q_start:q_end],
+                                            genome_seq, alt_seq)
                        if r != g and r != a)
         tags.append(f"XW:i:{bothdiff}")
         tags.append(f"XV:i:{nm - bothdiff}")
@@ -328,9 +429,49 @@ def ungapped_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
     q = qual or "*"
     if strand and qual:
         q = qual[::-1]
+    cigar = ((f"{q_start}S" if q_start else "")
+             + f"{q_end - q_start}M"
+             + (f"{L - q_end}S" if L - q_end else ""))
     return SamRecord(
         qname=qname, flag=flag, rname=rname, pos=chrpos + 1, mapq=mapq,
-        cigar=f"{L}M", seq=oriented, qual=q, tags=tags)
+        cigar=cigar, seq=oriented, qual=q, tags=tags)
+
+
+def extend_soft_clips(db: GenomeDB, rec: SamRecord) -> None:
+    """gsnap --extend-soft-clips (src/gsnap.c:698): convert terminal soft
+    clips back to M and recompute MD/NM over the extended span."""
+    if rec.flag & 4 or rec.cigar == "*":
+        return
+    ops = _cigar_ops(rec.cigar)
+    if not any(op == "S" for _n, op in ops):
+        return
+    if ops and ops[0][1] == "S":
+        n = ops.pop(0)[0]
+        if rec.pos - 1 - n < 0:
+            n_fit = rec.pos - 1
+        else:
+            n_fit = n
+        ops.insert(0, (n_fit, "M"))
+        if n_fit < n:
+            ops.insert(0, (n - n_fit, "S"))
+        rec.pos -= n_fit
+    if ops and ops[-1][1] == "S":
+        n = ops.pop(-1)[0]
+        chrlen = db.chrom_length(db.chrom_names.index(rec.rname))
+        span = rec.pos - 1 + sum(m for m, op in ops if op in "MDN=X")
+        n_fit = min(n, chrlen - span)
+        ops.append((n_fit, "M"))
+        if n_fit < n:
+            ops.append((n - n_fit, "S"))
+    # merge adjacent M runs
+    merged: list[tuple[int, str]] = []
+    for n, op in ops:
+        if merged and merged[-1][1] == op:
+            merged[-1] = (merged[-1][0] + n, op)
+        else:
+            merged.append((n, op))
+    rec.cigar = "".join(f"{n}{op}" for n, op in merged)
+    recompute_md(db, rec)
 
 
 # --- SAM output post-processing (reference SAM-option flags) ----------------

@@ -22,9 +22,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID = jnp.uint32(0xFFFFFFFF)
-NEG = jnp.int32(-(2 ** 30))
+INVALID = np.uint32(0xFFFFFFFF)
+NEG = np.int32(-(2 ** 30))
 
 
 def region_oligos(codes: jax.Array, valid: jax.Array, k: int) -> jax.Array:
@@ -89,7 +90,7 @@ def anchors_from_query(sorted_oligos: jax.Array, sorted_pos: jax.Array,
 
 
 DIAG_BIAS = 1 << 20  # offsets diag so leading query overhang stays unsigned
-ANCHOR_INVALID = jnp.uint32(0x7FFFFFFF)
+ANCHOR_INVALID = np.uint32(0x7FFFFFFF)
 
 
 def anchors_to_segments(diag: jax.Array, q: jax.Array, ok: jax.Array,
@@ -181,11 +182,11 @@ def chain_segments(segs: dict, max_intron: int = 500_000,
     gapcost = jnp.log1p(jnp.abs((gs[None, :] - ge[:, None])).astype(jnp.float32)).T * 0.01
 
     def step(scores, j):
-        cand = jnp.where(adj[j], scores - gapcost[j], NEG.astype(jnp.float32))
+        cand = jnp.where(adj[j], scores - gapcost[j], jnp.float32(NEG))
         best = jnp.max(cand)
         bestp = jnp.argmax(cand)
         sj = jnp.where(valid[j], w[j].astype(jnp.float32) +
-                       jnp.maximum(best, 0.0), NEG.astype(jnp.float32))
+                       jnp.maximum(best, 0.0), jnp.float32(NEG))
         prev = jnp.where(best > 0, bestp, -1)
         return scores.at[j].set(sj), prev
 

@@ -33,8 +33,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG = jnp.int32(-(2 ** 20))
+NEG = np.int32(-(2 ** 20))
 
 # traceback codes
 DIAG, UP, LEFT, STOP = 0, 1, 2, 3   # UP: gap in genome row move? see below

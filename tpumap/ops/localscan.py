@@ -19,10 +19,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpumap.ops import verify
 
-INVALID = jnp.uint32(0xFFFFFFFF)
+INVALID = np.uint32(0xFFFFFFFF)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))

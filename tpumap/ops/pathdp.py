@@ -42,9 +42,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID = jnp.uint32(0xFFFFFFFF)
-NEG = jnp.int32(-(2 ** 20))
+INVALID = np.uint32(0xFFFFFFFF)
+NEG = np.int32(-(2 ** 20))
 
 MAX_SEGMENTS = 8        # = K: segments visit strictly increasing diagonals,
 #                         so a K-candidate set yields at most K segments
@@ -306,52 +307,118 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
             "nmm": nmm}
 
 
+def _trim_scan(scores, mask, redemption, interval_len, idx, descending):
+    """One direction of the reference end-trim scan
+    (Spliceends_trim_qstart/qend_nosplice, src/spliceends.c:4121).
+
+    In scan order over mismatch positions (mask): track the running max
+    score with >=-updates (ties keep scanning-later = less trim); stop at
+    the first mismatch where score < max AND score + redemption < 0; after
+    an untruncated scan keep the FULL interval if (a) the best trim was at
+    the last-scanned mismatch or (b) the whole interval's score
+    (interval_len - 4*m) beats the best.
+
+    Returns (best_pos, keep_full) — best_pos = the winning mismatch
+    position (meaningless when keep_full).
+    """
+    L = scores.shape[-1]
+    sc = jnp.where(mask, scores, NEG)
+    axis = sc.ndim - 1
+    if descending:
+        runmax_incl = jax.lax.cummax(sc[..., ::-1], axis=axis)[..., ::-1]
+        runmax_excl = jnp.concatenate(
+            [runmax_incl[..., 1:],
+             jnp.full((*sc.shape[:-1], 1), NEG, jnp.int32)], axis=-1)
+    else:
+        runmax_incl = jax.lax.cummax(sc, axis=axis)
+        runmax_excl = jnp.concatenate(
+            [jnp.full((*sc.shape[:-1], 1), NEG, jnp.int32),
+             runmax_incl[..., :-1]], axis=-1)
+    term = mask & (scores < runmax_excl) & (scores + redemption < 0)
+    any_term = jnp.any(term, axis=-1)
+    if descending:
+        # scan goes from high idx down: first termination = largest idx
+        first_term = jnp.max(jnp.where(term, idx, -1), axis=-1)
+        allowed = mask & (idx >= first_term[..., None])
+    else:
+        first_term = jnp.min(jnp.where(term, idx, L), axis=-1)
+        allowed = mask & (idx <= first_term[..., None])
+    best_sc = jnp.max(jnp.where(allowed, scores, NEG), axis=-1)
+    is_best = allowed & (scores == best_sc[..., None])
+    if descending:      # scan-latest = smallest position
+        best_pos = jnp.min(jnp.where(is_best, idx, L), axis=-1)
+        j_star = jnp.sum(mask & (idx > best_pos[..., None]),
+                         axis=-1)
+    else:
+        best_pos = jnp.max(jnp.where(is_best, idx, -1), axis=-1)
+        j_star = jnp.sum(mask & (idx < best_pos[..., None]),
+                         axis=-1)
+    m = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    keep1 = (~any_term) & (j_star == m - 1)
+    score_last = interval_len - 4 * m
+    keep2 = (~any_term) & (score_last >= best_sc)
+    keep_full = (m == 0) | keep1 | keep2
+    return best_pos.astype(jnp.int32), keep_full
+
+
 def trim_ends(mm: jax.Array, lengths: jax.Array,
               match: int = 8, mismatch: int = -24):
-    """End trimming of an ungapped alignment (Path_trim_qstart/qend +
-    Genomebits_trim analog, src/path-trim.c, src/genomebits_trim.c).
+    """End trimming of an ungapped alignment — exact re-expression of the
+    reference's Spliceends_trim_qstart/qend_nosplice scoring
+    (src/spliceends.c:4110-4216, constants src/genomebits_trim.c:24-25:
+    match +1 / mismatch -3, here verified empirically against
+    /tmp/refbin/gsnap soft-clip CIGARs on terminal-mismatch reads).
 
     mm bool[..., L] per-base mismatch flags in aligned orientation.
-    Finds the query interval [q_start, q_end) maximizing
-    sum(match if !mm else mismatch) — the max-scoring subarray, computed
-    with prefix sums + running min (one pass, no DP matrix). Ties prefer
-    the longest interval (latest end, earliest start), matching the
-    reference's minimal-trim behavior.
+    qstart is trimmed first over [0, len), then qend over [qstart, len)
+    (the localdb-read.c:2062-2082 order). Trims anchor AT mismatch
+    positions: qstart = winning_mm + 1, qend = winning_mm; isolated
+    boundary mismatches are kept (the reference's keep-full rules), so a
+    single leading mismatch yields no clip but a 2-mismatch run does.
 
-    Returns (q_start, q_end, score, nmm_inside) int32 arrays [...].
+    Returns (q_start, q_end, score, nmm_inside) int32 arrays [...];
+    score = match/mismatch-weighted score of the kept interval (default
+    8/-24, the chain-solver scale — same 1:3 ratio as the reference).
     """
     L = mm.shape[-1]
-    inlen = jnp.arange(L, dtype=jnp.int32) < lengths[..., None]
-    s = jnp.where(mm & inlen, jnp.int32(mismatch),
-                  jnp.where(inlen, jnp.int32(match), 0))
-    prefix = jnp.cumsum(s, axis=-1)
-    prefix = jnp.concatenate(
-        [jnp.zeros((*mm.shape[:-1], 1), jnp.int32), prefix], axis=-1)
-    runmin = jax.lax.cummin(prefix, axis=prefix.ndim - 1)
-    gain = prefix[..., 1:] - runmin[..., :-1]          # best sum ending at q
-    ends = jnp.arange(1, L + 1, dtype=jnp.int32)
-    gain = jnp.where(ends <= lengths[..., None], gain, NEG)
-    # latest maximal end (ties -> longest)
-    rev_arg = jnp.argmax(gain[..., ::-1], axis=-1)
-    q_end = L - rev_arg                                # 1-based end
-    score = jnp.max(gain, axis=-1)
-    # earliest q_start achieving runmin at q_end-1
-    target = jnp.take_along_axis(runmin, q_end[..., None] - 1,
-                                 axis=-1)
-    pos = jnp.arange(L + 1, dtype=jnp.int32)
-    cand = jnp.where((prefix == target)
-                     & (pos <= (q_end[..., None] - 1)),
-                     pos, L + 1)
-    q_start = jnp.min(cand, axis=-1)
-    # clamp empty/all-mismatch reads
-    empty = score <= 0
-    q_start = jnp.where(empty, 0, q_start)
-    q_end = jnp.where(empty, 0, q_end)
-    mmq = mm & inlen
-    pref_mm = jnp.cumsum(mmq.astype(jnp.int32), axis=-1)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    inlen = idx < lengths[..., None]
+    mask = mm & inlen
+    cnt_incl = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    cnt_excl = cnt_incl - mask.astype(jnp.int32)
+    m_tot = jnp.sum(mask, axis=-1).astype(jnp.int32)
+
+    # --- qstart: scan mismatches from the 3' end leftward
+    right_excl = m_tot[..., None] - cnt_incl      # mms strictly right of p
+    sc_start = (lengths[..., None] - idx - 1) - 4 * right_excl
+    red_start = idx + 1                           # pos + 1 - pos5
+    best_p, keep_full = _trim_scan(sc_start, mask, red_start,
+                                   lengths, idx, descending=True)
+    q_start = jnp.where(keep_full, 0, best_p + 1)
+    q_start = jnp.minimum(q_start, lengths)
+
+    # --- qend: scan mismatches in [q_start, len) rightward
+    mask2 = mask & (idx >= q_start[..., None])
+    cnt_at_qs = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros((*mask.shape[:-1], 1), jnp.int32),
+                         cnt_incl], axis=-1),
+        q_start[..., None], axis=-1)              # mms strictly before qs
+    left_excl = cnt_excl - cnt_at_qs              # mms in [qs, p)
+    sc_end = (idx - q_start[..., None]) - 4 * left_excl
+    red_end = lengths[..., None] - idx            # pos3 - pos
+    best_p2, keep_full2 = _trim_scan(sc_end, mask2, red_end,
+                                     lengths - q_start, idx,
+                                     descending=False)
+    q_end = jnp.where(keep_full2, lengths, best_p2)
+    q_end = jnp.maximum(q_end, q_start)
+
+    mmq = mask.astype(jnp.int32)
     pref_mm = jnp.concatenate(
-        [jnp.zeros((*mm.shape[:-1], 1), jnp.int32), pref_mm], axis=-1)
+        [jnp.zeros((*mm.shape[:-1], 1), jnp.int32),
+         jnp.cumsum(mmq, axis=-1)], axis=-1)
     nmm_in = (jnp.take_along_axis(pref_mm, q_end[..., None], axis=-1)
               - jnp.take_along_axis(pref_mm, q_start[..., None], axis=-1)
               )[..., 0]
+    alen = q_end - q_start
+    score = match * (alen - nmm_in) + mismatch * nmm_in
     return q_start, q_end, score, nmm_in

@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INVALID = jnp.uint32(0xFFFFFFFF)
+INVALID = np.uint32(0xFFFFFFFF)
 
 
 def query_oligos(codes: jax.Array, nmask: jax.Array, lengths: jax.Array,

@@ -18,9 +18,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-U32_ONES = jnp.uint32(0xFFFFFFFF)
-LOW_PAIRS = jnp.uint32(0x55555555)
+U32_ONES = np.uint32(0xFFFFFFFF)
+LOW_PAIRS = np.uint32(0x55555555)
 
 
 def extract_packed_window(genome_packed: jax.Array, starts: jax.Array,
@@ -133,6 +134,46 @@ def mismatch_base_mask(mm_words: jax.Array, L: int) -> jax.Array:
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
     bits = (mm_words[..., :, None] >> shifts[None, :]) & jnp.uint32(1)
     return bits.reshape(*mm_words.shape[:-1], W * 16)[..., :L].astype(jnp.bool_)
+
+
+def mismatch_mask_single(index, read_packed: jax.Array,
+                         read_nmask2: jax.Array, lengths: jax.Array,
+                         diag: jax.Array, L: int,
+                         space: str | None = None, snp: bool = False,
+                         query_unk: bool = True,
+                         genome_unk: bool = True) -> jax.Array:
+    """Per-base mismatch mask of each read against ONE diagonal.
+
+    read_packed/read_nmask2 uint32[B, W] in the aligned orientation;
+    diag uint32[B] (INVALID rows return all-mismatch). Returns bool[B, L].
+    Same semantics as verify_diagonals but exposing the base mask — the
+    Genomebits_mismatches_fromleft/right analog feeding end trimming
+    (src/genomebits_trim.c) and path solving.
+    """
+    B, W = read_packed.shape
+    valid = diag != jnp.uint32(0xFFFFFFFF)
+    starts = jnp.where(valid, diag, 0)
+    gwin = extract_packed_window(index.genome_packed, starts, W)
+    if getattr(index, "genome_has_n", True):
+        gn2 = extract_bit_window(index.genome_nmask, starts, W)
+    else:
+        gn2 = None
+    if space is not None:
+        from tpumap.ops.mode import transform_packed
+        read_packed = transform_packed(read_packed, space)
+        gwin = transform_packed(gwin, space)
+    mm = mismatch_words(read_packed, gwin, read_nmask2, gn2,
+                        query_unk=query_unk, genome_unk=genome_unk)
+    if snp and index.genomealt_packed is not None:
+        gwin_alt = extract_packed_window(index.genomealt_packed, starts, W)
+        if space is not None:
+            from tpumap.ops.mode import transform_packed
+            gwin_alt = transform_packed(gwin_alt, space)
+        mm_alt = mismatch_words(read_packed, gwin_alt, read_nmask2, gn2,
+                                query_unk=query_unk, genome_unk=genome_unk)
+        mm = mm & mm_alt
+    mask = mismatch_base_mask(mm, L)
+    return jnp.where(valid[:, None], mask, True)
 
 
 def verify_diagonals(index, read_packed: jax.Array, read_nmask2: jax.Array,
