@@ -115,3 +115,83 @@ def test_paired_spliced_end(tmp_path):
     assert s1.flag & 0x1 and s1.flag & 0x40
     assert not (s2.flag & 4)
     assert s2.flag & 16 and s2.flag & 0x80
+
+
+def test_concordance_device_matches_host():
+    """Device concordance kernel vs the host reference implementation on
+    random candidate sets: same validity and same nmm-sum (tie-breaks may
+    legitimately pick a different equal-score pairing)."""
+    import jax.numpy as jnp
+
+    from tpumap.gsnap.paired import _concordant_pairs, concordance_device
+
+    rng = np.random.default_rng(5)
+    P, K = 64, 8
+    d1 = rng.integers(0, 100000, (P, K)).astype(np.uint32)
+    d2 = rng.integers(0, 100000, (P, K)).astype(np.uint32)
+    # make some concordant: d2 near d1 on opposite strands
+    for p in range(0, P, 2):
+        d2[p, 0] = d1[p, 0] + rng.integers(50, 800)
+    s1 = rng.integers(0, 2, (P, K)).astype(np.int32)
+    s2 = 1 - s1
+    s1[:, :] = 0                       # end1 forward -> FR geometry fwd
+    s2[:, :] = 1
+    n1 = rng.integers(0, 5, (P, K)).astype(np.int32)
+    n2 = rng.integers(0, 5, (P, K)).astype(np.int32)
+    # mask a few candidates
+    d1[rng.random((P, K)) < 0.2] = 0xFFFFFFFF
+    d2[rng.random((P, K)) < 0.2] = 0xFFFFFFFF
+    L = np.full(P, 100, np.int32)
+
+    ci, cj, valid, ins = concordance_device(
+        jnp.asarray(d1), jnp.asarray(s1), jnp.asarray(n1), jnp.asarray(L),
+        jnp.asarray(d2), jnp.asarray(s2), jnp.asarray(n2), jnp.asarray(L),
+        1000, "FR", 400, 100)
+    ci, cj, valid, ins = (np.asarray(ci), np.asarray(cj),
+                          np.asarray(valid), np.asarray(ins))
+    for p in range(P):
+        host = _concordant_pairs((d1[p], s1[p], n1[p]), (d2[p], s2[p], n2[p]),
+                                 100, 100, 1000, "FR", pairexpect=400)
+        assert bool(valid[p]) == (host is not None), p
+        if host is None:
+            continue
+        _, hi, hj, hins = host
+        # same alignment quality (insert-model tie-breaks may differ)
+        assert (n1[p][ci[p]] + n2[p][cj[p]]
+                <= n1[p][hi] + n2[p][hj]), p
+        # and the device pick is genuinely concordant
+        assert d1[p][ci[p]] != 0xFFFFFFFF and d2[p][cj[p]] != 0xFFFFFFFF
+        assert 0 < ins[p] <= 1000
+
+
+def test_exhaustive_fallback(tmp_path):
+    """Both ends map, but end 2's best placement is a decoy far from end 1
+    (no concordant candidate combination): the EXHAUSTIVE fallback must
+    re-place end 2 inside end 1's insert window
+    (src/stage1hr-paired.c:3409-3547 role)."""
+    rng = np.random.default_rng(31)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 30000))
+    comp = str.maketrans("ACGT", "TGCA")
+    p = 5000
+    s1 = seq[p:p + 100]
+    mate_region = seq[p + 300:p + 400]
+    # plant an EXACT decoy copy of the mate far away; the true location
+    # gets 2 substitutions so the decoy wins single-end alignment
+    true_m = list(mate_region)
+    true_m[10] = "ACGT"[("ACGT".index(true_m[10]) + 1) % 4]
+    true_m[60] = "ACGT"[("ACGT".index(true_m[60]) + 1) % 4]
+    genome = (seq[:p + 300] + "".join(true_m) + seq[p + 400:20000]
+              + mate_region + seq[20000:])
+    (tmp_path / "g.fa").write_text(">chr1\n" + genome + "\n")
+    db = build_db(tmp_path / "g.fa", name="g", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    s2 = mate_region.translate(comp)[::-1]
+    out = align_paired_records(db, index,
+                               [(Record("x", "", s1), Record("x", "", s2))],
+                               AlignConfig(), pairmax=1000)
+    r1, r2 = out[0]
+    assert not r1.flag & 4 and not r2.flag & 4
+    assert r1.pos == p + 1
+    # mate must sit in the insert window next to end 1, not at the decoy
+    assert abs(r2.pos - (p + 301)) <= 2, r2.pos
+    assert r1.flag & 0x2

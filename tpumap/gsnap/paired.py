@@ -45,6 +45,86 @@ def rescue_mate(index, codes: jax.Array, lengths: jax.Array, window: int,
             jnp.take_along_axis(nmm, best[:, None], axis=1)[:, 0])
 
 
+@partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def concordance_device(d1, s1, n1, L1, d2, s2, n2, L2, pairmax: int,
+                       orientation: str = "FR", pairexpect: int = 1000,
+                       pairdev: int = 100):
+    """Batched concordance over candidate tensors (device kernel).
+
+    The SIMD intersect-concordance role (src/concordance.c,
+    src/intersect-concordance-*.c) re-expressed as one [P, K, K]
+    validity/score reduction — every pair's full candidate cross product
+    is scored in one VPU pass instead of the reference's per-read
+    sorted-list walk (the K-candidate set is already score-ranked, so
+    the cross product IS the intersection workload).
+
+    d* uint32[P, K] candidate diagonals (INVALID-padded), s* int32[P, K]
+    strands, n* int32[P, K] mismatch counts, L* int32[P] read lengths.
+
+    Pair key = 8*(nmm1 + nmm2) + insert_penalty: the pathpair-eval
+    insert-length model (src/pathpair-eval.c role, gsnap.c:383-385
+    expected_pairlength/pairlength_deviation) charges
+    |insert - pairexpect| / (5*pairdev) mismatch-equivalents capped at 2
+    mismatches — a wildly-stretched insert loses to a near-expected one
+    of equal alignment score, but alignment quality still dominates.
+
+    Insert arithmetic is uint32-wrap based (no 64-bit needed): the
+    required-sign difference wraps to a huge value when violated and
+    fails the <= pairmax test.
+
+    Returns (ci, cj, valid, insert): best candidate index per end,
+    whether any concordant combination exists, and its insert length.
+    """
+    P, K = d1.shape
+    vk1 = (d1 != INVALID_U32)[:, :, None]
+    vk2 = (d2 != INVALID_U32)[:, None, :]
+    s1b = s1[:, :, None]
+    s2b = s2[:, None, :]
+    L1b = L1[:, None, None].astype(jnp.int32)
+    L2b = L2[:, None, None].astype(jnp.int32)
+    fwd_u = d2[:, None, :] - d1[:, :, None]     # d2 - d1 (uint32 wrap)
+    rev_u = d1[:, :, None] - d2[:, None, :]
+    pm = jnp.uint32(pairmax)
+    fwd_small = jnp.minimum(fwd_u, pm).astype(jnp.int32)
+    rev_small = jnp.minimum(rev_u, pm).astype(jnp.int32)
+
+    if orientation == "FF":
+        strand_ok = s1b == s2b
+        dist = jnp.minimum(fwd_small, rev_small)
+        insert = dist + jnp.maximum(L1b, L2b)
+        ok = (fwd_u <= pm) | (rev_u <= pm)
+    else:
+        strand_ok = s1b != s2b
+        # geometry depends only on which end is genome-leftmost (s1==0:
+        # r2 lies right of r1; s1==1: left), same for FR and RF — the
+        # host reference implementation _concordant_pairs reduces to the
+        # identical arithmetic for both
+        first_fwd = s1b == 0
+        ins_f = fwd_small + L2b
+        ok_f = fwd_u <= pm
+        ins_r = rev_small + L1b
+        ok_r = rev_u <= pm
+        insert = jnp.where(first_fwd, ins_f, ins_r)
+        ok = jnp.where(first_fwd, ok_f, ok_r) & (insert > 0)
+    ok = ok & (insert <= pairmax) & strand_ok & vk1 & vk2
+
+    dev5 = max(1, 5 * pairdev)
+    pen = jnp.minimum((8 * jnp.abs(insert - pairexpect)) // dev5, 16)
+    key = 8 * (n1[:, :, None] + n2[:, None, :]) + pen
+    key = jnp.where(ok, key, jnp.int32(2 ** 28))
+    flat = key.reshape(P, K * K)
+    best = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    ci = best // K
+    cj = best % K
+    valid = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0] < 2 ** 28
+    ins_best = jnp.take_along_axis(insert.reshape(P, K * K), best[:, None],
+                                   axis=1)[:, 0]
+    return ci, cj, valid, ins_best
+
+
+INVALID_U32 = np.uint32(0xFFFFFFFF)
+
+
 def _concordant_pairs(cands1, cands2, L1, L2, pairmax,
                       orientation: str = "FR",
                       pairexpect: int | None = None):
@@ -109,9 +189,11 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          known=None,
                          orientation: str = "FR",
                          pairexpect: int | None = None,
+                         pairdev: int = 100,
                          max_insertions: int = 6, max_deletions: int = 9,
                          indel_endlength: int = 4,
-                         use_localdb: bool = True, known_indels=None
+                         use_localdb: bool = True, known_indels=None,
+                         device_ctx=None
                          ) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
@@ -129,8 +211,11 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         B = pad_to_bucket(2 * len(chunk))
         L = pad_to_bucket(max(len(r.sequence) for r in flat))
         batch = make_batch(flat, B, L)
-        dev = align_batch_cascaded_packed(index, _pack_batch(batch),
-                                          config, L)
+        if device_ctx is not None:
+            dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
+        else:
+            dev = align_batch_cascaded_packed(index, _pack_batch(batch),
+                                              config, L)
         return chunk, batch, L, dev
 
     out = []
@@ -143,14 +228,47 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         n = len(chunk)
         res = {k: np.asarray(v) for k, v in dev.items()}
 
-        # mate rescue where exactly one end has candidates
+        # joint concordance over the full candidate cross product — one
+        # device reduction for the whole batch (src/concordance.c role)
+        P = pad_to_bucket(n)
+
+        def _ends(arr, which, fill):
+            sub = arr[which:2 * n:2]
+            if P > n:
+                pad = np.full((P - n, *sub.shape[1:]), fill, sub.dtype)
+                sub = np.concatenate([sub, pad], axis=0)
+            return jnp.asarray(sub)
+
+        lens = np.asarray(batch["lengths"])
+        ci, cj, cval, _cins = concordance_device(
+            _ends(res["cand_diags"], 0, 0xFFFFFFFF),
+            _ends(res["cand_strands"], 0, 0),
+            _ends(res["cand_nmm"], 0, 2 ** 14),
+            _ends(lens[:, None], 0, 1)[:, 0],
+            _ends(res["cand_diags"], 1, 0xFFFFFFFF),
+            _ends(res["cand_strands"], 1, 0),
+            _ends(res["cand_nmm"], 1, 2 ** 14),
+            _ends(lens[:, None], 1, 1)[:, 0],
+            pairmax, orientation, pairexpect or 1000, pairdev)
+        ci, cj, cval = np.asarray(ci), np.asarray(cj), np.asarray(cval)
+
+        # mate rescue where exactly one end has candidates; pairs where
+        # BOTH ends mapped but no concordant combination exists enter the
+        # EXHAUSTIVE fallback (src/stage1hr-paired.c:3409-3547): rescue
+        # each end inside the other's insert window and keep the better
+        # resulting concordant pair
         rescue_rows = []
+        exh_pairs = set()
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1
             ok1 = res["mapped"][i1]
             ok2 = res["mapped"][i2]
             if ok1 != ok2:
                 rescue_rows.append((p, i2 if ok1 else i1, i1 if ok1 else i2))
+            elif ok1 and ok2 and not cval[p]:
+                exh_pairs.add(p)
+                rescue_rows.append((p, i2, i1))
+                rescue_rows.append((p, i1, i2))
         rescued = {}
         if rescue_rows:
             nb = pad_to_bucket(len(rescue_rows))
@@ -179,18 +297,35 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             for row, (p, bad, good) in enumerate(rescue_rows):
                 li = int(batch["lengths"][bad])
                 if bn[row] <= int(li * config.max_mismatch_frac):
-                    rescued[bad] = (int(bd[row]), 1 - int(res["strand"][good]),
-                                    int(bn[row]))
+                    prev = rescued.get(bad)
+                    cand_r = (int(bd[row]),
+                              1 - int(res["strand"][good]), int(bn[row]))
+                    if prev is None or cand_r[2] < prev[2]:
+                        rescued[bad] = cand_r
+
+        # EXHAUSTIVE pairs: two rescue directions were tried; keep only
+        # the better resulting concordant combination (ties -> re-place
+        # end 2, like the reference's plus-first iteration order)
+        for p in exh_pairs:
+            i1, i2 = 2 * p, 2 * p + 1
+            a, b = rescued.get(i2), rescued.get(i1)
+            if a is not None and b is not None:
+                tot_a = int(res["nmismatch"][i1]) + a[2]
+                tot_b = int(res["nmismatch"][i2]) + b[2]
+                del rescued[i1 if tot_a <= tot_b else i2]
 
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
-                                res["n_best"], batch["lengths"])
+                                res["n_best"], batch["lengths"],
+                                mm_qualsum=res.get("mm_qualsum"),
+                                qual_mean16=res.get("qual_mean16"))
 
         dp_result, splice_result, _fus = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
             max_intron=max_intron, known=known, L=L,
             max_insertions=max_insertions, max_deletions=max_deletions,
             indel_endlength=indel_endlength, use_localdb=use_localdb,
-            known_indels=known_indels)
+            known_indels=known_indels, quals=batch.get("quals"),
+            device_ctx=device_ctx)
 
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1
@@ -206,24 +341,19 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                             int(res["nmismatch"][i]))
                 return None
 
-            # prefer a jointly-concordant candidate combination
-            cand = _concordant_pairs(
-                (res["cand_diags"][i1], res["cand_strands"][i1],
-                 res["cand_nmm"][i1]),
-                (res["cand_diags"][i2], res["cand_strands"][i2],
-                 res["cand_nmm"][i2]), L1, L2, pairmax,
-                orientation=orientation, pairexpect=pairexpect)
+            # prefer the jointly-concordant candidate combination found
+            # by the device concordance kernel
             e1, e2 = end_info(i1), end_info(i2)
-            if cand is not None:
-                _, ci, cj, insert = cand
-                nm1 = int(res["cand_nmm"][i1][ci])
-                nm2 = int(res["cand_nmm"][i2][cj])
+            if cval[p]:
+                pi, pj = int(ci[p]), int(cj[p])
+                nm1 = int(res["cand_nmm"][i1][pi])
+                nm2 = int(res["cand_nmm"][i2][pj])
                 if (nm1 <= L1 * config.max_mismatch_frac
                         and nm2 <= L2 * config.max_mismatch_frac):
-                    e1 = (int(res["cand_diags"][i1][ci]),
-                          int(res["cand_strands"][i1][ci]), nm1)
-                    e2 = (int(res["cand_diags"][i2][cj]),
-                          int(res["cand_strands"][i2][cj]), nm2)
+                    e1 = (int(res["cand_diags"][i1][pi]),
+                          int(res["cand_strands"][i1][pi]), nm1)
+                    e2 = (int(res["cand_diags"][i2][pj]),
+                          int(res["cand_strands"][i2][pj]), nm2)
             out.append(_emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
                                   int(mapq[i2]), pairmax,
                                   special={
@@ -232,24 +362,28 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                           idx, res, dp_result,
                                           splice_result,
                                           int(batch["lengths"][idx]),
-                                          config, int(mapq[idx]))
+                                          config, int(mapq[idx]),
+                                          known=known)
                                       for k, idx in ((i1, i1), (i2, i2))},
                                   keys=(i1, i2)))
     return out
 
 
 def _special_record(db, rec, i, res, dp_result, splice_result, li, config,
-                    mq):
+                    mq, known=None):
     """A spliced or gapped record for batch row i if the refinement ladder
     produced one that beats the substitution alignment; else None."""
     max_equiv = int(li * config.max_mismatch_frac)
     if i in splice_result:
         s = splice_result[i]
-        if (3 * li - s["score"]) // 6 <= max_equiv:
-            return (sam.spliced_record(
+        alen = s["q_end"] - s["q_start"]
+        if (s["nmm"] <= max(1, int(alen * config.max_mismatch_frac))
+                and alen >= max(20, int(li * config.min_coverage))):
+            return (sam.path_record(
                 db, rec.accession, rec.sequence, rec.quality,
-                s["dA"], s["dB"], s["qstar"], li, s["strand"],
-                mq, s["sense"]), s["dA"], s["strand"])
+                s["segs"], s["q_start"], s["q_end"], s["strand"], mq,
+                known=known),
+                s["segs"][0][1] + s["q_start"], s["strand"])
     if i in dp_result:
         from tpumap.ops import dp as dp_ops
         pos0, ops, score = dp_result[i]
