@@ -29,7 +29,7 @@ from tpumap.ops import pack, seed, verify
 from tpumap.parallel.mesh import DATA_AXIS, INDEX_AXIS
 from tpumap.utils import dna
 
-INVALID = jnp.uint32(0xFFFFFFFF)
+INVALID = np.uint32(0xFFFFFFFF)
 
 
 def shard_genome_host(db: GenomeDB, n_shards: int,

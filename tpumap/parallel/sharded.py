@@ -26,7 +26,7 @@ from tpumap.index.build import GenomeDB
 from tpumap.ops import pack, seed, verify
 from tpumap.parallel.mesh import DATA_AXIS, INDEX_AXIS
 
-INVALID = jnp.uint32(0xFFFFFFFF)
+INVALID = np.uint32(0xFFFFFFFF)
 
 
 def shard_index_host(db: GenomeDB, n_shards: int) -> dict:
