@@ -98,6 +98,17 @@ DEFAULT_TARGETS = {
     "gsnap": ("gsnap_nosimd_SOURCES", ["-DGSNAP=1"]),
     "gmapl": ("gmapl_nosimd_SOURCES", ["-DLARGE_GENOMES=1"]),
     "gsnapl": ("gsnapl_nosimd_SOURCES", ["-DGSNAP=1", "-DLARGE_GENOMES=1"]),
+    # SIMD baseline build (NOT an oracle — used only by
+    # tools/measure_baseline.py for the honest per-core SIMD baseline;
+    # flags mirror gsnap_avx2_CFLAGS in src/Makefile.am:541)
+    "gsnap_avx2": ("gsnap_nosimd_SOURCES", [
+        "-DGSNAP=1", "-DHAVE_SSE2=1", "-DHAVE_SSSE3=1", "-DHAVE_SSE4_1=1",
+        "-DHAVE_SSE4_2=1", "-DHAVE_AVX2=1", "-DHAVE_POPCNT=1",
+        "-DHAVE_MM_POPCNT=1", "-DHAVE_LZCNT=1", "-DHAVE_TZCNT=1",
+        "-DHAVE_BUILTIN_POPCOUNT=1", "-DHAVE_BUILTIN_CTZ=1",
+        "-DHAVE_BUILTIN_CLZ=1",
+        "-mssse3", "-msse4.1", "-msse4.2", "-mavx2", "-mpopcnt",
+        "-mlzcnt", "-mbmi", "-mbmi2"]),
     "gmapindex": ("gmapindex_SOURCES", ["-DUTILITYP=1"]),
     "iit_store": ("iit_store_SOURCES", ["-DUTILITYP=1"]),
     "iit_get": ("iit_get_SOURCES", ["-DUTILITYP=1"]),

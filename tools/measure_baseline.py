@@ -1,9 +1,19 @@
 #!/usr/bin/env python3
-"""Measure the reference gsnap on the bench workload -> BASELINE_MEASURED.json.
+"""Measure the reference gsnap on the bench workloads -> BASELINE_MEASURED.json.
 
-Requires the hand-built oracle binaries (tools/build_reference.py) in
-/tmp/refbin. Uses a subset of reads and extrapolates (the nosimd
-single-thread reference is slow; throughput is linear in read count).
+Measures BOTH hand-built reference configurations on the chr21-scale
+workloads (tools/bench_data.py):
+
+* gsnap        — nosimd single-thread (round-1 baseline, kept for
+                 continuity);
+* gsnap_avx2   — AVX2/popcnt build matching src/Makefile.am's
+                 gsnap_avx2 flags; one core of the production SIMD
+                 deployment.  bench.py multiplies its per-core number
+                 by 32 for the 32-core-equivalent baseline.
+
+Each config is timed on the DNA reads and the RNA reads (with -N 1).
+Uses a subset of reads and extrapolates (single-thread reference is
+slow; throughput is linear in read count).
 """
 import json
 import pathlib
@@ -19,36 +29,65 @@ REFBIN = pathlib.Path("/tmp/refbin")
 GMAP_BUILD = pathlib.Path("/root/reference/bin/gmap_build")
 
 
-def main(n_reads: int = 2000):
-    gfa, rfa = bench_data.ensure_files()
-    dbdir = bench_data.ROOT / "refdb"
-    if not (dbdir / "bench" / "bench.genomecomp").exists():
-        subprocess.run([str(GMAP_BUILD), "-B", str(REFBIN), "-D", str(dbdir),
-                        "-d", "bench", "-k", "15", "-q", "3", "--local=0",
-                        str(gfa)], check=True, capture_output=True)
-    subset = bench_data.ROOT / f"reads_{n_reads}.fa"
+def _subset(rfa: pathlib.Path, n_reads: int, tag: str) -> pathlib.Path:
+    subset = bench_data.ROOT / f"reads_{tag}_{n_reads}.fa"
     if not subset.exists():
         with open(rfa) as f, open(subset, "w") as out:
             for i, line in enumerate(f):
                 if i >= 2 * n_reads:
                     break
                 out.write(line)
-    # warm cache
+    return subset
+
+
+def _time_gsnap(binary: pathlib.Path, dbdir: pathlib.Path, reads, n_reads,
+                extra=()):
     t0 = time.perf_counter()
-    r = subprocess.run([str(REFBIN / "gsnap"), "-D", str(dbdir), "-d", "bench",
-                        "-t", "1", "-A", "sam", str(subset)],
+    r = subprocess.run([str(binary), "-D", str(dbdir), "-d", "bench",
+                        "-t", "1", "-A", "sam", *extra, str(reads)],
                        capture_output=True, text=True, check=True)
     dt = time.perf_counter() - t0
     naligned = sum(1 for l in r.stdout.splitlines()
-                   if l and not l.startswith("@") and not int(l.split("\t")[1]) & 4)
-    rps = n_reads / dt
-    out = {
-        "gsnap_reads_per_sec": round(rps, 1),
-        "config": "nosimd, -t 1 (1-core host), k=15/q3 index, "
-                  f"{n_reads} of {bench_data.N_READS} bench reads",
-        "aligned": naligned,
-        "wall_s": round(dt, 2),
-    }
+                   if l and not l.startswith("@")
+                   and not int(l.split("\t")[1]) & 4)
+    return n_reads / dt, naligned, dt
+
+
+def main(n_reads: int = 2000):
+    gfa, rfa = bench_data.ensure_files()
+    _, rna_rfa = bench_data.ensure_rna_files()
+    dbdir = bench_data.ROOT / "refdb"
+    if not (dbdir / "bench" / "bench.genomecomp").exists():
+        subprocess.run([str(GMAP_BUILD), "-B", str(REFBIN), "-D",
+                        str(dbdir), "-d", "bench", "-k", "15", "-q", "3",
+                        "--local=0", str(gfa)], check=True,
+                       capture_output=True)
+    dna_sub = _subset(rfa, n_reads, "dna")
+    rna_sub = _subset(rna_rfa, n_reads, "rna")
+
+    out = {}
+    for name, binary in (("gsnap", REFBIN / "gsnap"),
+                         ("gsnap_avx2", REFBIN / "gsnap_avx2")):
+        if not binary.exists():
+            print(f"# {binary} missing — run tools/build_reference.py "
+                  f"--targets {name}", file=sys.stderr)
+            continue
+        key = "" if name == "gsnap" else "_avx2"
+        # warm the page cache with a tiny run
+        _time_gsnap(binary, dbdir, _subset(rfa, 50, "dna"), 50)
+        rps, naligned, dt = _time_gsnap(binary, dbdir, dna_sub, n_reads)
+        out[f"gsnap{key}_reads_per_sec"] = round(rps, 1)
+        out[f"gsnap{key}_dna_aligned"] = naligned
+        out[f"gsnap{key}_dna_wall_s"] = round(dt, 2)
+        rps, naligned, dt = _time_gsnap(binary, dbdir, rna_sub, n_reads,
+                                        extra=("-N", "1"))
+        out[f"gsnap{key}_rna_reads_per_sec"] = round(rps, 1)
+        out[f"gsnap{key}_rna_aligned"] = naligned
+        out[f"gsnap{key}_rna_wall_s"] = round(dt, 2)
+
+    out["config"] = (f"-t 1 (1-core host), k=15/q3 index, {n_reads} of "
+                     f"{bench_data.N_READS} bench reads, chr21-scale "
+                     f"genome ({bench_data.GENOME_LEN} bp)")
     path = pathlib.Path(__file__).parent.parent / "BASELINE_MEASURED.json"
     existing = json.loads(path.read_text()) if path.exists() else {}
     existing.update(out)
