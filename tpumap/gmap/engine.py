@@ -370,9 +370,127 @@ def _mm(query_codes, query_nmask, region_codes, region_nmask, diag, q0, q1):
     return mm
 
 
+MIN_MICROEXON = 3        # src/dynprog_single.c:83
+MAX_MICROEXON = 12       # src/dynprog_single.c:87
+MICROINTRON_LEN = 9      # shortest intron flanking a microexon
+MICROEXON_SCAN_CAP = 262_144   # interior bases scanned per junction
+
+
+def _second_mismatch(mm: np.ndarray) -> int:
+    """Index of the second True in mm (len(mm)-1 if fewer than two) —
+    the leftbound/rightbound scan of Dynprog_microexon_int
+    (src/dynprog_single.c:1002-1047, 'while nmismatches <= 1')."""
+    w = np.nonzero(mm)[0]
+    return int(w[1]) if len(w) >= 2 else len(mm) - 1
+
+
+def _find_microexon(query_codes, query_nmask, region_codes, region_nmask,
+                    dA, dB, qL, qR):
+    """Dynprog_microexon_int analog (src/dynprog_single.c:900-1181): for
+    the gap between diagonals dA and dB over query [qL, qR), search for a
+    short exact-match exon inside the intron interior with canonical
+    dinucleotides on all four new boundaries, ranked by the MaxEnt prob
+    sum of the two interior sites. Tries sense (GT..AG twice) and
+    antisense (CT..AC twice). Returns (qs_m, qe_m, diag_m, probsum) or
+    None."""
+    from tpumap.gmap import maxent
+
+    R = len(region_codes)
+    rlen = qR - qL
+    if rlen < 2 + MIN_MICROEXON:
+        return None
+    gL = qL + dA                      # genome pos of query qL on diag A
+    gR = (qR - 1) + dB                # genome pos of query qR-1 on diag B
+    if gL < 0 or gR >= R or gR <= gL:
+        return None
+    mmL = _mm(query_codes, query_nmask, region_codes, region_nmask,
+              dA, qL, qR)
+    mmR = _mm(query_codes, query_nmask, region_codes, region_nmask,
+              dB, qL, qR)[::-1]
+    leftbound = _second_mismatch(mmL)
+    rightbound = _second_mismatch(mmR)
+
+    best = None
+    for i1, i2, i3, i4, anti in ((2, 3, 0, 2, False),   # GT..AG x2
+                                 (1, 3, 0, 1, True)):   # CT..AC x2
+        for cL in range(1, leftbound + 1):
+            p = gL + cL
+            if p + 1 >= R or region_codes[p] != i1 or region_codes[p + 1] != i2 \
+                    or region_nmask[p] or region_nmask[p + 1]:
+                continue
+            mincR = max(1, rlen - MAX_MICROEXON - cL)
+            maxcR = min(rightbound, rlen - MIN_MICROEXON - cL)
+            for cR in range(mincR, maxcR + 1):
+                p3 = gR - cR - 1
+                if p3 < 0 or region_codes[p3] != i3 \
+                        or region_codes[p3 + 1] != i4 \
+                        or region_nmask[p3] or region_nmask[p3 + 1]:
+                    continue
+                mlen = rlen - cL - cR
+                mid = query_codes[qL + cL:qL + cL + mlen]
+                if np.any(query_nmask[qL + cL:qL + cL + mlen]):
+                    continue
+                textleft = gL + cL + MICROINTRON_LEN
+                textright = gR - cR - MICROINTRON_LEN + 1
+                if textright - textleft > MICROEXON_SCAN_CAP:
+                    textright = textleft + MICROEXON_SCAN_CAP
+                if textright < textleft + mlen:
+                    continue
+                interior = region_codes[textleft:textright]
+                win = np.lib.stride_tricks.sliding_window_view(interior,
+                                                               mlen)
+                hits = np.nonzero(np.all(win == mid[None, :], axis=1))[0]
+                for h in hits:
+                    cand = textleft + int(h)
+                    # end of left intron before, start of right intron
+                    # after (src/dynprog_single.c:1125-1135)
+                    if (region_codes[cand - 2] != i3
+                            or region_codes[cand - 1] != i4
+                            or region_codes[cand + mlen] != i1
+                            or region_codes[cand + mlen + 1] != i2):
+                        continue
+                    if not anti:
+                        p2 = maxent.acceptor_prob_at(
+                            region_codes, region_nmask, cand - 1)[0]
+                        p3v = maxent.donor_prob_at(
+                            region_codes, region_nmask, cand + mlen)[0]
+                    else:
+                        p2 = maxent.antidonor_prob_at(
+                            region_codes, region_nmask, cand)[0]
+                        p3v = maxent.antiacceptor_prob_at(
+                            region_codes, region_nmask, cand + mlen)[0]
+                    probsum = float(p2) + float(p3v)
+                    if best is None or probsum > best[3]:
+                        best = (qL + cL, qL + cL + mlen, cand - (qL + cL),
+                                probsum)
+    return best
+
+
+def _zap_chance_exons(chain, k):
+    """Smooth_pairs_by_netgap analog (src/smooth.c): drop INTERNAL chain
+    segments short enough that an exact match of that length is expected
+    by chance inside the flanking genomic gap (4^len < 4 * gapspan).
+    True microexons zapped here are recovered by _find_microexon with
+    canonical-structure constraints."""
+    if len(chain) <= 2:
+        return chain
+    out = [chain[0]]
+    for i in range(1, len(chain) - 1):
+        d, qs, qe = chain[i]
+        qlen = qe - qs + k          # qe is the last anchor START
+        dprev = out[-1][0]
+        dnext = chain[i + 1][0]
+        span = abs(int(dnext) - int(dprev))
+        if qlen < 16 and span > 0 and 4.0 ** qlen < 4.0 * span:
+            continue
+        out.append(chain[i])
+    out.append(chain[-1])
+    return out
+
+
 def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
                  chain, config: GmapConfig, known=None,
-                 univ_off: int = 0) -> ExonChain:
+                 univ_off: int = 0, _smooth: bool = True) -> ExonChain:
     """Host refinement: junction placement + end extension/trimming.
 
     known: optional KnownSplicing — junction boundaries landing on known
@@ -392,9 +510,12 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         else:
             fused.append([d, qs, qe])
     chain = fused
+    if _smooth:
+        chain = _zap_chance_exons(chain, k)
 
     boundaries = []   # q* for each junction
     introns = []
+    micro_inserts = []   # (chain index i, (d, qs, qe)) microexon entries
     for (dA, qsA, qeA), (dB, qsB, qeB) in zip(chain, chain[1:]):
         lo = max(qeA + 1, 1)
         hi = min(qsB + k, Q - 1)
@@ -438,6 +559,22 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         j = int(np.argmax(score))
         qstar = int(cand[j])
         boundaries.append(qstar)
+        # dual-intron / microexon attempt (traverse_genome_gap ->
+        # Dynprog_microexon_int, src/stage3.c:9658-9677): when the single
+        # bridge is noncanonical or still mismatch-heavy and the gap can
+        # hold two introns, search the interior for a canonical microexon
+        if (_smooth and splice_ok and dB > dA
+                and glen >= 2 * MICROINTRON_LEN + MIN_MICROEXON
+                and (not kinds[j] or cost[j] >= 2 * MM_COST)):
+            i_pair = len(boundaries) - 1
+            qGL = max(qsA if i_pair == 0 else qeA - 6, 0)
+            qGR = min(qsB + k + 6, Q)
+            hit = _find_microexon(query_codes, query_nmask, region_codes,
+                                  region_nmask, dA, dB, qGL, qGR)
+            if hit is not None:
+                qs_m, qe_m, d_m, _prob = hit
+                if dA < d_m < dB:
+                    micro_inserts.append((i_pair, [d_m, qs_m, qe_m - 1]))
         is_intron = (dB > dA and splice_ok
                      and (glen > config.max_deletionlength or kinds[j]))
         if is_intron:
@@ -448,6 +585,19 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
             introns.append(Intron("deletion", glen))
         else:
             introns.append(Intron("insertion", dA - dB))
+
+    if micro_inserts:
+        # rebuild the chain with the microexons inserted and re-place all
+        # boundaries (one level only: _smooth=False)
+        new_chain = []
+        ins = {i: e for i, e in micro_inserts}
+        for i, entry in enumerate(chain):
+            new_chain.append(entry)
+            if i in ins:
+                new_chain.append(ins[i])
+        return refine_chain(query_codes, query_nmask, region_codes,
+                            region_nmask, new_chain, config, known=known,
+                            univ_off=univ_off, _smooth=False)
 
     # exon spans in query space
     qspans = []

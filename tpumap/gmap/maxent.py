@@ -97,6 +97,37 @@ def donor_prob_at(region_codes: np.ndarray, region_nmask: np.ndarray,
     return donor_prob(codes, bad)
 
 
+def antidonor_prob_at(region_codes: np.ndarray, region_nmask: np.ndarray,
+                      first_exon_after: np.ndarray) -> np.ndarray:
+    """Antisense donor probs (Maxent_hr_antidonor_prob, src/maxent_hr.c):
+    the donor model evaluated on the minus strand. `first_exon_after` is
+    the + coordinate one past the antisense intron's right edge (= the
+    gene-space exon|intron boundary read on the minus strand)."""
+    pos = np.atleast_1d(np.asarray(first_exon_after, dtype=np.int64))
+    # minus-strand (3 exon | 6 intron) window = revcomp of +[e-6, e+3)
+    idx = pos[:, None] + (np.arange(2, -7, -1))[None, :]
+    ok = (idx >= 0) & (idx < len(region_codes))
+    cl = np.clip(idx, 0, len(region_codes) - 1)
+    codes = np.where(ok, 3 - region_codes[cl], 0)
+    bad = ~ok | (region_nmask[cl] != 0)
+    return donor_prob(codes, bad)
+
+
+def antiacceptor_prob_at(region_codes: np.ndarray, region_nmask: np.ndarray,
+                         first_intron_pos: np.ndarray) -> np.ndarray:
+    """Antisense acceptor probs (Maxent_hr_antiacceptor_prob):
+    `first_intron_pos` is the + coordinate of the antisense intron's left
+    edge (= the gene-space intron|exon boundary read on the minus strand).
+    Window = revcomp of +[s-3, s+20)."""
+    pos = np.atleast_1d(np.asarray(first_intron_pos, dtype=np.int64))
+    idx = pos[:, None] + (np.arange(19, -4, -1))[None, :]
+    ok = (idx >= 0) & (idx < len(region_codes))
+    cl = np.clip(idx, 0, len(region_codes) - 1)
+    codes = np.where(ok, 3 - region_codes[cl], 0)
+    bad = ~ok | (region_nmask[cl] != 0)
+    return acceptor_prob(codes, bad)
+
+
 def acceptor_prob_at(region_codes: np.ndarray, region_nmask: np.ndarray,
                      last_intron_pos: np.ndarray) -> np.ndarray:
     """Acceptor probs (position of last intron base, the G of AG)."""
