@@ -483,8 +483,12 @@ def main(argv=None):
                          "are reference-based (gsnap -v implements SNP "
                          "tolerance)")
     ap.add_argument("--mode", default="standard",
-                    help="accepted for compatibility; cmet/atoi modes "
-                         "are implemented in the gsnap engine")
+                    choices=["standard", "cmet-stranded", "atoi-stranded",
+                             "ttoc-stranded"],
+                    help="alignment mode (src/gmap.c:581): bisulfite "
+                         "(cmet) / RNA-editing (atoi) base spaces; "
+                         "db-backed runs need a tpumap-cmetindex/"
+                         "tpumap-atoiindex prepared db for seeding")
     ap.add_argument("--require-splicedir", action="store_true",
                     help="report spliced paths only when the intron "
                          "direction is determinate")
@@ -583,9 +587,10 @@ def main(argv=None):
         min_intronlength=args.min_intronlength,
         max_deletionlength=args.max_deletionlength,
         splicing=not args.nosplicing,
-        canonical_mode=2 if args.cross_species else args.canonical_mode)
+        canonical_mode=2 if args.cross_species else args.canonical_mode,
+        mode=args.mode)
     from dataclasses import replace as _dc_replace
-    s1config = Stage1Config(maxtotallen=args.totallength)
+    s1config = Stage1Config(maxtotallen=args.totallength, mode=args.mode)
     want_strand = {"plus": 0, "minus": 1, "both": None}[args.strand]
 
     from tpumap.cli.gsnap_cli import OutputRouter, parse_part

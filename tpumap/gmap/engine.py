@@ -100,6 +100,11 @@ class GmapConfig:
     # keep the first max_occ hits of overabundant oligos instead of
     # dropping them (the repetitive-region retry path)
     keep_overabundant: bool = False
+    # gmap --mode (src/gmap.c:581,5456): standard | cmet-stranded |
+    # atoi-stranded | ttoc-stranded. Anchoring/chaining/mismatch counting
+    # run in the reduced base space (fwd/rc spaces per ops/mode.py);
+    # splice dinucleotides, MaxEnt probs and output use original bases
+    mode: str = "standard"
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -159,14 +164,17 @@ def _compact_chain(segs, order, in_chain):
                          segs["qend"], segs["valid"])
 
 
-@partial(jax.jit, static_argnums=(6, 7))
+@partial(jax.jit, static_argnums=(7, 8))
 def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
-                            win_start, win_len, Rp: int,
+                            win_start, win_len, space_ids, Rp: int,
                             config: GmapConfig):
     """Chain pipeline with ON-DEVICE region extraction: the genome already
     lives in HBM, so shipping [N, Rp] region code arrays from the host
     (tens of MB over the device tunnel) is replaced by a window gather.
-    Returns the COMPACTED chain (see _compact_chain)."""
+    Returns the COMPACTED chain (see _compact_chain).
+
+    space_ids int32[N]: per-row mode space (0 = fwd space, 1 = rc space,
+    per ops/mode.MODE_SPACES[config.mode]); ignored in standard mode."""
     from tpumap.ops import verify as verify_ops
 
     r_codes = verify_ops.extract_codes_window(genome_packed, win_start, Rp)
@@ -175,6 +183,16 @@ def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
     in_len = (jnp.arange(Rp, dtype=jnp.int32)[None, :]
               < win_len[:, None])
     r_valid = in_len & ~nbase
+    if config.mode != "standard":
+        from tpumap.ops.mode import CODE_MAPS, MODE_SPACES
+        sf, sr = MODE_SPACES[config.mode]
+        maps = jnp.stack([jnp.asarray(CODE_MAPS[sf]),
+                          jnp.asarray(CODE_MAPS[sr])])      # [2, 4]
+        tmap = maps[space_ids]                              # [N, 4]
+        q_codes = jnp.take_along_axis(tmap, q_codes.astype(jnp.int32),
+                                      axis=1)
+        r_codes = jnp.take_along_axis(tmap, r_codes.astype(jnp.int32),
+                                      axis=1)
     segs, order, in_chain = jax.vmap(
         lambda a, b, c, d: _chain_pipeline(a, b, c, d, config))(
             q_codes, q_valid, r_codes, r_valid)
@@ -197,14 +215,17 @@ def align_cdna_windows_dispatch(index, pairs: list,
     qv = np.zeros((N, Qp), bool)
     ws = np.zeros(N, np.uint32)
     wl = np.zeros(N, np.int32)
-    for i, (qq, nn, gstart, glen, _s) in enumerate(pairs):
+    sp = np.zeros(N, np.int32)
+    for i, (qq, nn, gstart, glen, strand) in enumerate(pairs):
         qc[i, :len(qq)] = qq
         qv[i, :len(qq)] = ~nn.astype(bool)
         ws[i] = gstart
         wl[i] = glen
+        sp[i] = strand          # strand selects the mode space (fwd/rc)
     dev = _chain_pipeline_windows(
         index.genome_packed, index.genome_nmask, jnp.asarray(qc),
-        jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl), Rp, config)
+        jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl),
+        jnp.asarray(sp), Rp, config)
     return (pairs, config, dev)
 
 
@@ -216,6 +237,8 @@ def align_cdna_windows_finish(db, handle, known=None):
     cqe = np.asarray(cqe)
     cok = np.asarray(cok)
 
+    from tpumap.ops.mode import MODE_SPACES
+    spaces = MODE_SPACES[config.mode]
     out = []
     for i, (qq, nn, gstart, glen, strand) in enumerate(pairs):
         sel = np.nonzero(cok[i])[0]
@@ -227,7 +250,8 @@ def align_cdna_windows_finish(db, handle, known=None):
         rcodes = db.get_codes(gstart, glen)
         rnmask = db.get_nmask(gstart, glen).astype(bool)
         result = refine_chain(qq, nn, rcodes, rnmask, chain, config,
-                              known=known, univ_off=gstart)
+                              known=known, univ_off=gstart,
+                              space=spaces[strand])
         if result is not None:
             result.strand = strand
         out.append(result)
@@ -271,7 +295,12 @@ def align_cdna_pairs(pairs: list, config: GmapConfig = GmapConfig(),
     qv = np.zeros((N, Qp), bool)
     rc = np.zeros((N, Rp), np.uint8)
     rv = np.zeros((N, Rp), bool)
-    for i, (qq, nn, rcodes, rnmask, _strand, _off) in enumerate(pairs):
+    from tpumap.ops.mode import CODE_MAPS, MODE_SPACES
+    spaces = MODE_SPACES[config.mode]
+    for i, (qq, nn, rcodes, rnmask, strand, _off) in enumerate(pairs):
+        sp_ = spaces[strand]
+        if sp_ is not None:
+            qq, rcodes = CODE_MAPS[sp_][qq], CODE_MAPS[sp_][rcodes]
         qc[i, :len(qq)] = qq
         qv[i, :len(qq)] = ~nn.astype(bool)
         rc[i, :len(rcodes)] = rcodes
@@ -293,7 +322,8 @@ def align_cdna_pairs(pairs: list, config: GmapConfig = GmapConfig(),
                   int(segs["qstart"][i][s]), int(segs["qend"][i][s]))
                  for s in members]
         result = refine_chain(qq, nn, rcodes, rnmask, chain, config,
-                              known=known, univ_off=univ_off)
+                              known=known, univ_off=univ_off,
+                              space=spaces[strand])
         if result is not None:
             result.strand = strand
         out.append(result)
@@ -322,17 +352,23 @@ def align_cdna_regions(query_codes: np.ndarray, query_nmask: np.ndarray,
 def align_cdna(query_codes: np.ndarray, query_nmask: np.ndarray,
                region_codes: np.ndarray, region_nmask: np.ndarray,
                config: GmapConfig = GmapConfig(), known=None,
-               univ_off: int = 0) -> ExonChain | None:
+               univ_off: int = 0, space: str | None = None
+               ) -> ExonChain | None:
     """Align one cDNA query against one genomic region (+ orientation).
 
     Pads to shape buckets, runs the device chain pipeline, refines exon
     boundaries on host. Returns None if no chain was found.
+    space: mode base space for this orientation (ops/mode.py).
     """
     Q, R = len(query_codes), len(region_codes)
     Qp, Rp = _bucket(Q), _bucket(R)
-    qc = np.zeros(Qp, np.uint8); qc[:Q] = query_codes
+    cq, cr = query_codes, region_codes
+    if space is not None:
+        from tpumap.ops.mode import CODE_MAPS
+        cq, cr = CODE_MAPS[space][cq], CODE_MAPS[space][cr]
+    qc = np.zeros(Qp, np.uint8); qc[:Q] = cq
     qv = np.zeros(Qp, bool); qv[:Q] = ~query_nmask.astype(bool)
-    rc = np.zeros(Rp, np.uint8); rc[:R] = region_codes
+    rc = np.zeros(Rp, np.uint8); rc[:R] = cr
     rv = np.zeros(Rp, bool); rv[:R] = ~region_nmask.astype(bool)
 
     segs, order, in_chain = _chain_pipeline(
@@ -349,7 +385,8 @@ def align_cdna(query_codes: np.ndarray, query_nmask: np.ndarray,
     chain = [(int(segs["diag"][s]) - chain_ops.DIAG_BIAS,
               int(segs["qstart"][s]), int(segs["qend"][s])) for s in members]
     return refine_chain(query_codes, query_nmask, region_codes, region_nmask,
-                        chain, config, known=known, univ_off=univ_off)
+                        chain, config, known=known, univ_off=univ_off,
+                        space=space)
 
 
 def _bucket(n: int) -> int:
@@ -385,7 +422,7 @@ def _second_mismatch(mm: np.ndarray) -> int:
 
 
 def _find_microexon(query_codes, query_nmask, region_codes, region_nmask,
-                    dA, dB, qL, qR):
+                    dA, dB, qL, qR, q_cmp=None, r_cmp=None):
     """Dynprog_microexon_int analog (src/dynprog_single.c:900-1181): for
     the gap between diagonals dA and dB over query [qL, qR), search for a
     short exact-match exon inside the intron interior with canonical
@@ -395,6 +432,8 @@ def _find_microexon(query_codes, query_nmask, region_codes, region_nmask,
     None."""
     from tpumap.gmap import maxent
 
+    if q_cmp is None:
+        q_cmp, r_cmp = query_codes, region_codes
     R = len(region_codes)
     rlen = qR - qL
     if rlen < 2 + MIN_MICROEXON:
@@ -403,10 +442,8 @@ def _find_microexon(query_codes, query_nmask, region_codes, region_nmask,
     gR = (qR - 1) + dB                # genome pos of query qR-1 on diag B
     if gL < 0 or gR >= R or gR <= gL:
         return None
-    mmL = _mm(query_codes, query_nmask, region_codes, region_nmask,
-              dA, qL, qR)
-    mmR = _mm(query_codes, query_nmask, region_codes, region_nmask,
-              dB, qL, qR)[::-1]
+    mmL = _mm(q_cmp, query_nmask, r_cmp, region_nmask, dA, qL, qR)
+    mmR = _mm(q_cmp, query_nmask, r_cmp, region_nmask, dB, qL, qR)[::-1]
     leftbound = _second_mismatch(mmL)
     rightbound = _second_mismatch(mmR)
 
@@ -427,7 +464,7 @@ def _find_microexon(query_codes, query_nmask, region_codes, region_nmask,
                         or region_nmask[p3] or region_nmask[p3 + 1]:
                     continue
                 mlen = rlen - cL - cR
-                mid = query_codes[qL + cL:qL + cL + mlen]
+                mid = q_cmp[qL + cL:qL + cL + mlen]
                 if np.any(query_nmask[qL + cL:qL + cL + mlen]):
                     continue
                 textleft = gL + cL + MICROINTRON_LEN
@@ -436,7 +473,7 @@ def _find_microexon(query_codes, query_nmask, region_codes, region_nmask,
                     textright = textleft + MICROEXON_SCAN_CAP
                 if textright < textleft + mlen:
                     continue
-                interior = region_codes[textleft:textright]
+                interior = r_cmp[textleft:textright]
                 win = np.lib.stride_tricks.sliding_window_view(interior,
                                                                mlen)
                 hits = np.nonzero(np.all(win == mid[None, :], axis=1))[0]
@@ -490,7 +527,8 @@ def _zap_chance_exons(chain, k):
 
 def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
                  chain, config: GmapConfig, known=None,
-                 univ_off: int = 0, _smooth: bool = True) -> ExonChain:
+                 univ_off: int = 0, _smooth: bool = True,
+                 space: str | None = None) -> ExonChain:
     """Host refinement: junction placement + end extension/trimming.
 
     known: optional KnownSplicing — junction boundaries landing on known
@@ -501,6 +539,15 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
     k = config.index_k
     Q = len(query_codes)
     R = len(region_codes)
+
+    # mode spaces (gmap --mode): mismatches are counted in the reduced
+    # base space; splice dinucleotides/MaxEnt use the original bases
+    if space is not None:
+        from tpumap.ops.mode import CODE_MAPS
+        q_cmp = CODE_MAPS[space][query_codes]
+        r_cmp = CODE_MAPS[space][region_codes]
+    else:
+        q_cmp, r_cmp = query_codes, region_codes
 
     # fuse chain entries on the same diagonal (continuation segments)
     fused = [list(chain[0])]
@@ -522,9 +569,9 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         if hi < lo:
             lo = hi = max(min(qsB, Q - 1), 1)
         cand = np.arange(lo, hi + 1)
-        mmA = _mm(query_codes, query_nmask, region_codes, region_nmask,
+        mmA = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                   dA, lo - 1, hi + 1)
-        mmB = _mm(query_codes, query_nmask, region_codes, region_nmask,
+        mmB = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                   dB, lo - 1, hi + 1)
         # mismatches if boundary at q*: A covers [lo-1, q*), B covers [q*, hi]
         costA = np.cumsum(mmA)[:len(cand)]              # A mm in [lo-1, q*)
@@ -570,7 +617,8 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
             qGL = max(qsA if i_pair == 0 else qeA - 6, 0)
             qGR = min(qsB + k + 6, Q)
             hit = _find_microexon(query_codes, query_nmask, region_codes,
-                                  region_nmask, dA, dB, qGL, qGR)
+                                  region_nmask, dA, dB, qGL, qGR,
+                                  q_cmp=q_cmp, r_cmp=r_cmp)
             if hit is not None:
                 qs_m, qe_m, d_m, _prob = hit
                 if dA < d_m < dB:
@@ -597,7 +645,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
                 new_chain.append(ins[i])
         return refine_chain(query_codes, query_nmask, region_codes,
                             region_nmask, new_chain, config, known=known,
-                            univ_off=univ_off, _smooth=False)
+                            univ_off=univ_off, _smooth=False, space=space)
 
     # exon spans in query space
     qspans = []
@@ -614,7 +662,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
     def span_score(qlo, qhi, d):
         if qhi <= qlo:
             return 0
-        mm = _mm(query_codes, query_nmask, region_codes, region_nmask,
+        mm = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                  d, qlo, qhi)
         return int((~mm).sum()) - MM_COST * int(mm.sum())
 
@@ -626,7 +674,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
     while True:
         # trim the outer ends of the terminal spans
         (qlo0, qhi0, d0) = qspans[0]
-        mm0 = _mm(query_codes, query_nmask, region_codes, region_nmask,
+        mm0 = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                   d0, 0, qhi0)
         score = np.where(mm0, -MM_COST, 1)
         sufsum = np.cumsum(score[::-1])[::-1]
@@ -636,7 +684,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         qspans[0] = (t0, qhi0, d0)
 
         (qloN, qhiN, dN) = qspans[-1]
-        mmN = _mm(query_codes, query_nmask, region_codes, region_nmask,
+        mmN = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                   dN, qloN, Q)
         score = np.where(mmN, -MM_COST, 1)
         prefsum = np.cumsum(score)
@@ -665,7 +713,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
     for i, (qlo, qhi, d) in enumerate(qspans):
         if qhi <= qlo:
             continue
-        mm = _mm(query_codes, query_nmask, region_codes, region_nmask,
+        mm = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                  d, qlo, qhi)
         if exons and i - 1 < len(introns):
             kept_introns.append(introns[i - 1])
@@ -690,15 +738,18 @@ def align_cdna_both(query_codes, query_nmask, region_codes, region_nmask,
     """Try + and - query orientations; return (best chain, strand).
 
     strand (gmap --strand): 0 = plus only, 1 = minus only, None = both."""
+    from tpumap.ops.mode import MODE_SPACES
+    spaces = MODE_SPACES[config.mode]
     fwd = None
     if strand in (None, 0):
         fwd = align_cdna(query_codes, query_nmask, region_codes,
-                         region_nmask, config)
+                         region_nmask, config, space=spaces[0])
     rev = None
     if strand in (None, 1):
         rc = dna.revcomp_codes(query_codes)
         rcn = query_nmask[::-1].copy()
-        rev = align_cdna(rc, rcn, region_codes, region_nmask, config)
+        rev = align_cdna(rc, rcn, region_codes, region_nmask, config,
+                         space=spaces[1])
     if rev is None:
         if fwd is not None:
             fwd.strand = 0

@@ -41,14 +41,24 @@ class Stage1Config:
     # repetitive-region fallback: keep first-max_occ hits of
     # overabundant oligos instead of dropping them
     keep_overabundant: bool = False
+    # gmap --mode: seed in the reduced base space against the matching
+    # mode-transformed index (requires a db built with tpumap-cmetindex /
+    # tpumap-atoiindex; src/gmap.c:581 + src/cmetindex.c role)
+    mode: str = "standard"
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _region_diags(index, codes, nmask, lengths, config: Stage1Config):
+@partial(jax.jit, static_argnums=(4, 5))
+def _region_diags(index, codes, nmask, lengths, config: Stage1Config,
+                  space: str | None = None):
+    if space is not None:
+        from tpumap.ops.mode import CODE_MAPS
+        codes = jnp.take(jnp.asarray(CODE_MAPS[space]),
+                         codes.astype(jnp.int32))
+    offsets, positions = index.mode_index(space)
     oligos, valid = seed.query_oligos(codes, nmask, lengths, index.k)
     NQ = oligos.shape[1]
     qpos = jnp.arange(0, NQ, config.sample_interval, dtype=jnp.int32)
-    diags = seed.lookup_diagonals(index.offsets, index.positions,
+    diags = seed.lookup_diagonals(offsets, positions,
                                   oligos[:, ::config.sample_interval],
                                   valid[:, ::config.sample_interval],
                                   qpos, config.max_occ,
@@ -82,11 +92,29 @@ def find_regions_bulk(index: DeviceIndex, queries: list,
         qc[2 * i + 1, :L] = dna.revcomp_codes(codes)
         qn[2 * i + 1, :L] = nmask[::-1]
         lengths[2 * i] = lengths[2 * i + 1] = L
-    diags, counts, lasts = _region_diags(index, jnp.asarray(qc),
-                                         jnp.asarray(qn),
-                                         jnp.asarray(lengths), config)
-    diags, counts, lasts = (np.asarray(diags), np.asarray(counts),
-                            np.asarray(lasts))
+    from tpumap.ops.mode import MODE_SPACES
+    spaces = MODE_SPACES[config.mode]
+    if spaces == (None, None):
+        diags, counts, lasts = _region_diags(index, jnp.asarray(qc),
+                                             jnp.asarray(qn),
+                                             jnp.asarray(lengths), config)
+        diags, counts, lasts = (np.asarray(diags), np.asarray(counts),
+                                np.asarray(lasts))
+    else:
+        # fwd rows (2i) and rc rows (2i+1) seed in different spaces
+        # against different mode indexes (metct/metga, a2iag/a2itc)
+        K = config.top_regions
+        diags = np.zeros((2 * Nq, K), np.uint32)
+        counts = np.zeros((2 * Nq, K), np.int32)
+        lasts = np.zeros((2 * Nq, K), np.uint32)
+        for off, sp in ((0, spaces[0]), (1, spaces[1])):
+            d, c, l = _region_diags(index, jnp.asarray(qc[off::2]),
+                                    jnp.asarray(qn[off::2]),
+                                    jnp.asarray(lengths[off::2]),
+                                    config, sp)
+            diags[off::2] = np.asarray(d)
+            counts[off::2] = np.asarray(c)
+            lasts[off::2] = np.asarray(l)
     out = []
     for i, (codes, _n) in enumerate(queries):
         out.append(_regions_from_rows(index, diags[2 * i:2 * i + 2],
