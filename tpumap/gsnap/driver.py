@@ -522,6 +522,13 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     import jax.numpy as jnp
 
     out = []
+    remapper = None
+    if tr is not None:
+        from tpumap.gsnap import remap as remap_mod
+        remapper = getattr(tr[0], "_remapper", None)
+        if remapper is None:
+            remapper = remap_mod.TranscriptRemapper(tr[0])
+            tr[0]._remapper = remapper
 
     def _dispatch(start):
         """Build + async-dispatch one batch's cascade; host work on the
@@ -570,6 +577,10 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                 # NH:i on every line, src/path-print-sam.c:691,929)
                 record.tags.append(f"NH:i:{max(1, nh)}")
                 record.tags.append("HI:i:1")
+                if remapper is not None:
+                    # transcript remap + velocity tags (XX/XY,
+                    # src/transcript-remap.c, src/transcript-velocity.c)
+                    remap_mod.tag_record(remapper, db, record)
             if show_method:
                 record.tags.append(f"YM:Z:{method}")
             if stats is not None:
