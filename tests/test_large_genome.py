@@ -96,3 +96,40 @@ def test_rebase_past_32_bits():
     assert univ.dtype == np.uint64
     assert int(univ[0]) == (3 << 32) + 12345
     assert int(univ[1]) == 7
+
+
+def test_uint64_build_roundtrip(world, tmp_path):
+    """The forced-large build (LARGE_GENOMES dtype switch,
+    src/types.h:38-58) produces uint64 positions, round-trips through
+    save/load, refuses the single-chip DeviceIndex with a pointer to
+    window sharding, and aligns correctly through the sharded path."""
+    db, seq, reads, truth = world
+    fa = tmp_path / "g.fa"
+    fa.write_text(">chr1\n" + seq + "\n")
+    dbl = build_db(fa, name="lg64", k=10, interval=3, large=True)
+    assert dbl.positions.dtype == np.uint64
+    # identical index content modulo dtype
+    assert np.array_equal(dbl.offsets, db.offsets)
+    assert np.array_equal(dbl.positions.astype(np.uint32), db.positions)
+
+    dbl.save(str(tmp_path / "db64"))
+    from tpumap.index.build import GenomeDB
+    dbl2 = GenomeDB.load(str(tmp_path / "db64"))
+    assert dbl2.positions.dtype == np.uint64
+
+    with pytest.raises(ValueError, match="uint32 coordinate space"):
+        DeviceIndex.from_host(dbl2)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, index_shards=4)
+    config = AlignConfig(top_k=4, max_occ=16)
+    arrays, align, bases = make_genome_sharded_aligner(mesh, dbl2, config,
+                                                       overlap=256)
+    batch = make_batch(reads, 32, 80)
+    res = align(arrays, {k: jax.numpy.asarray(v) for k, v in batch.items()})
+    res = {k: np.asarray(v) for k, v in res.items()}
+    univ = rebase_results(res, bases)
+    for i, (p, rc) in enumerate(truth):
+        assert bool(res["mapped"][i])
+        assert int(univ[i]) == p

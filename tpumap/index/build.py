@@ -284,8 +284,13 @@ class GenomeDB:
 
 
 def build_db(fasta_paths, name: str = "genome", k: int = 15, interval: int = 3,
-             circular: set[str] | None = None) -> GenomeDB:
-    """Build a GenomeDB from FASTA file(s) (gmap_build equivalent)."""
+             circular: set[str] | None = None,
+             large: bool | None = None) -> GenomeDB:
+    """Build a GenomeDB from FASTA file(s) (gmap_build equivalent).
+
+    large: force (True) or suppress (False) the uint64-coordinate build
+    (the gmapl/gsnapl LARGE_GENOMES switch); None = auto by genome size.
+    """
     if isinstance(fasta_paths, (str, os.PathLike)):
         fasta_paths = [fasta_paths]
 
@@ -295,12 +300,13 @@ def build_db(fasta_paths, name: str = "genome", k: int = 15, interval: int = 3,
                 yield rec.accession, rec.sequence
 
     return build_db_from_seqs(records(), name=name, k=k, interval=interval,
-                              circular=circular)
+                              circular=circular, large=large)
 
 
 def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
                        interval: int = 3,
-                       circular: set[str] | None = None) -> GenomeDB:
+                       circular: set[str] | None = None,
+                       large: bool | None = None) -> GenomeDB:
     """Build a GenomeDB from (name, sequence) pairs (used for the
     transcriptome-as-genome index, where each transcript is a contig)."""
     names, lengths, code_chunks, nmask_chunks = [], [], [], []
@@ -327,7 +333,7 @@ def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
     circularp = np.array([n in (circular or set()) for n in names], dtype=bool)
 
     kmer_offsets, kmer_positions = build_kmer_index(
-        codes, nmask, k, interval, boundaries=offsets[1:-1])
+        codes, nmask, k, interval, boundaries=offsets[1:-1], large=large)
     return GenomeDB(
         name=name, chrom_names=names, chrom_offsets=offsets,
         circularp=circularp,
@@ -337,9 +343,19 @@ def build_db_from_seqs(named_seqs, name: str = "genome", k: int = 15,
         offsets=kmer_offsets, positions=kmer_positions)
 
 
+# positions dtype switches to uint64 at this genome length — the
+# gsnapl/gmapl LARGE_GENOMES compile switch re-expressed as a runtime
+# dtype decision (src/types.h:38-58, src/univcoord.h)
+LARGE_GENOME_THRESHOLD = 2 ** 32
+# chunk length for the k-mer scan: bounds peak host memory on multi-Gbp
+# genomes (the reference's indexdb-write external-sort role)
+KMER_CHUNK = 1 << 26
+
+
 def build_kmer_index(codes: np.ndarray, nmask: np.ndarray, k: int,
-                     interval: int,
-                     boundaries=None) -> tuple[np.ndarray, np.ndarray]:
+                     interval: int, boundaries=None,
+                     large: bool | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
     """k-mer -> sorted genomic positions, sampled every `interval` bases.
 
     Equivalent content to indexdb's offsets/positions pair
@@ -347,27 +363,51 @@ def build_kmer_index(codes: np.ndarray, nmask: np.ndarray, k: int,
     non-ACGT) is filed under oligo(genome[p:p+k]). Windows crossing a
     chromosome boundary (`boundaries`: internal univcoord split points)
     are excluded — they would seed junk cross-chromosome diagonals.
+
+    The scan runs in KMER_CHUNK slabs so multi-Gbp genomes never hold a
+    full uint64 k-mer array; positions are uint64 when the genome exceeds
+    LARGE_GENOME_THRESHOLD (or `large` forces it) — the gsnapl path. The
+    single-chip DeviceIndex requires uint32 positions; large genomes go
+    through parallel/large.py window sharding (local uint32 rebasing).
     """
     if k > 16:
         raise ValueError("k > 16 not supported (uint32 oligo space)")
     L = len(codes)
     n = L - k + 1
+    if large is None:
+        large = L >= LARGE_GENOME_THRESHOLD
+    pos_dtype = np.uint64 if large else np.uint32
     if n <= 0:
-        return np.zeros((4 ** k) + 1, dtype=np.uint32), np.zeros(0, dtype=np.uint32)
-    kmers = dna.kmer_codes(codes, k)          # uint64[n]
-    # windows containing any non-ACGT are excluded (reference skips them)
-    bad = np.convolve(nmask.astype(np.int32), np.ones(k, dtype=np.int32))[k - 1:L] > 0
-    sel = np.arange(0, n, interval, dtype=np.uint32)
-    sel = sel[~bad[sel]]
-    if boundaries is not None and len(boundaries):
-        cross = np.zeros(n, dtype=bool)
-        for b in np.asarray(boundaries, dtype=np.int64):
-            cross[max(b - k + 1, 0):b] = True
-        sel = sel[~cross[sel]]
-    km = kmers[sel]
+        return (np.zeros((4 ** k) + 1, dtype=np.uint32),
+                np.zeros(0, dtype=pos_dtype))
+    bounds = (np.asarray(boundaries, dtype=np.int64)
+              if boundaries is not None and len(boundaries) else None)
+    sel_chunks, km_chunks = [], []
+    for lo in range(0, n, KMER_CHUNK):
+        hi = min(lo + KMER_CHUNK, n)
+        ccodes = codes[lo:hi + k - 1]
+        cmask = nmask[lo:hi + k - 1]
+        kmers = dna.kmer_codes(ccodes, k)                # [hi-lo]
+        bad = np.convolve(cmask.astype(np.int32),
+                          np.ones(k, dtype=np.int32))[k - 1:len(ccodes)] > 0
+        start = ((lo + interval - 1) // interval) * interval
+        sel_local = np.arange(start - lo, hi - lo, interval, dtype=np.int64)
+        keep = ~bad[sel_local]
+        sel = sel_local[keep] + lo
+        if bounds is not None:
+            # a window [p, p+k) crosses a boundary b iff p < b <= p+k-1
+            cross = (np.searchsorted(bounds, sel + k - 1, side="right")
+                     > np.searchsorted(bounds, sel, side="right"))
+            sel = sel[~cross]
+        km_chunks.append(kmers[(sel - lo)])
+        sel_chunks.append(sel.astype(pos_dtype))
+    km = np.concatenate(km_chunks)
+    sel = np.concatenate(sel_chunks)
+    del km_chunks, sel_chunks
     order = np.argsort(km, kind="stable")
-    positions = sel[order].astype(np.uint32)
+    positions = sel[order]
     counts = np.bincount(km.astype(np.int64), minlength=4 ** k)
-    offsets = np.zeros((4 ** k) + 1, dtype=np.uint32)
-    offsets[1:] = np.cumsum(counts).astype(np.uint32)
+    off_dtype = np.uint64 if len(km) >= 2 ** 32 else np.uint32
+    offsets = np.zeros((4 ** k) + 1, dtype=off_dtype)
+    offsets[1:] = np.cumsum(counts).astype(off_dtype)
     return offsets, positions

@@ -73,6 +73,11 @@ class DeviceIndex:
 
     @classmethod
     def from_host(cls, db: GenomeDB, device=None, pad_words: int = 64) -> "DeviceIndex":
+        if db.positions.dtype != np.uint32:
+            raise ValueError(
+                "genome exceeds the uint32 coordinate space (gsnapl "
+                "scale); use parallel/large.py window sharding, which "
+                "rebases each shard to local uint32 coordinates")
         put = partial(jax.device_put, device=device)
         gp = np.concatenate([db.genome_packed,
                              np.zeros(pad_words, dtype=np.uint32)])
