@@ -85,7 +85,7 @@ def analyze_insertlengths(records):
     arr = np.asarray(tlens, dtype=np.float64)
     mean, sdev = float(arr.mean()), float(arr.std())
     return {"mean": mean, "sdev": sdev,
-            "pairmax": int(mean + 10 * max(sdev, 1.0))}
+            "pairmax": int(mean + 10 * max(sdev, 1.0)), "n": float(len(arr))}
 
 
 def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
@@ -105,9 +105,14 @@ def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
                           max_intron=max_intron, batch_size=batch_size,
                           tr=tr)
     ks = learn_knownsplicing(db, pass1, min_support)
+    ki = KnownIndels.from_sam(db, pass1, min_support)
+    # multi-host runs all-gather each host's learned tables over DCN
+    # before pass 2 (no-ops single-process; parallel/distributed.py)
+    from tpumap.parallel import distributed as dist
+    ks = dist.allgather_knownsplicing(ks)
+    ki = dist.allgather_knownindels(ki)
     if splices_dump:
         ks.dump(splices_dump)
-    ki = KnownIndels.from_sam(db, pass1, min_support)
     if indels_dump:
         ki.dump(indels_dump)
     pass2 = align_records(db, index, records, config, novelsplicing=True,
