@@ -78,3 +78,58 @@ def test_ordinary_read_not_fused(world):
                         find_fusions=True)
     assert len(out) == 1
     assert out[0].cigar == "100M"
+
+
+def _mlen(cigar):
+    import re
+    return sum(int(n) for n, op in re.findall(r"(\d+)([MIDNS])", cigar)
+               if op == "M")
+
+
+def test_inverted_fusion_fwd_first(world):
+    """Cross-strand (inversion) fusion (src/path-fusion.c inversion
+    joins): read prefix forward on chr1, suffix reverse-complemented.
+    The exact breakpoint may shift by microhomology (a chance match at
+    the boundary) — assertions check the anchored ends + structure."""
+    from tpumap.gsnap.driver import align_records
+    from tpumap.utils import dna
+
+    db, index, c1, c2, p2 = world
+    read = c1[5000:5050] + dna.revcomp(c1[8000:8050])
+    out = align_records(db, index, [Record("i1", "", read)],
+                        find_fusions=True)
+    assert len(out) == 2
+    prim = [r for r in out if not r.flag & 0x800][0]
+    supp = [r for r in out if r.flag & 0x800][0]
+    fwd = prim if not prim.flag & 16 else supp
+    rev = supp if fwd is prim else prim
+    assert not fwd.flag & 16 and rev.flag & 16
+    # both pieces are LEFT-anchored (prefix piece at 5001, rc-prefix at
+    # 8001); the M split covers the whole read
+    assert fwd.pos == 5001 and fwd.cigar.startswith(f"{_mlen(fwd.cigar)}M")
+    assert rev.pos == 8001 and rev.cigar.startswith(f"{_mlen(rev.cigar)}M")
+    assert _mlen(fwd.cigar) + _mlen(rev.cigar) == 100
+    assert abs(_mlen(fwd.cigar) - 50) <= 3
+    assert rev.seq == dna.revcomp(read)
+    assert any(t.startswith("SA:Z:chr1,8001,-,") for t in fwd.tags)
+    assert any(t.startswith("SA:Z:chr1,5001,+,") for t in rev.tags)
+    assert "NM:i:0" in fwd.tags and "NM:i:0" in rev.tags
+
+
+def test_inverted_fusion_rc_first(world):
+    from tpumap.gsnap.driver import align_records
+    from tpumap.utils import dna
+
+    db, index, c1, c2, p2 = world
+    read = dna.revcomp(c1[8000:8050]) + c1[5000:5050]
+    out = align_records(db, index, [Record("i2", "", read)],
+                        find_fusions=True)
+    assert len(out) == 2
+    fwd = [r for r in out if not r.flag & 16][0]
+    rev = [r for r in out if r.flag & 16][0]
+    # both pieces are RIGHT-anchored: their M spans END at 5050 / 8050
+    assert fwd.pos + _mlen(fwd.cigar) - 1 == 5050
+    assert rev.pos + _mlen(rev.cigar) - 1 == 8050
+    assert _mlen(fwd.cigar) + _mlen(rev.cigar) == 100
+    assert abs(_mlen(fwd.cigar) - 50) <= 3
+    assert "NM:i:0" in fwd.tags and "NM:i:0" in rev.tags

@@ -53,7 +53,10 @@ def _time_gsnap(binary: pathlib.Path, dbdir: pathlib.Path, reads, n_reads,
     return n_reads / dt, naligned, dt
 
 
-def main(n_reads: int = 2000):
+def main(n_reads: int = 20000):
+    # 2000 reads gave 0.3-0.4 s walls dominated by index mmap/startup
+    # (avx2 measured "slower" than nosimd); 20k reads -> multi-second
+    # walls where per-read throughput dominates
     gfa, rfa = bench_data.ensure_files()
     _, rna_rfa = bench_data.ensure_rna_files()
     dbdir = bench_data.ROOT / "refdb"
@@ -96,4 +99,4 @@ def main(n_reads: int = 2000):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2000)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)

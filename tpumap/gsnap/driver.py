@@ -126,6 +126,7 @@ def refine_unsolved(db, index, batch, res, config,
     (dp_result, splice_result, fusion_result) keyed by batch row."""
     from tpumap.gsnap.engine import refine_indels, refine_splices
     from tpumap.ops import dp as dp_ops
+    from tpumap.ops import verify
     from tpumap.utils import dna as dna_utils
     import jax.numpy as jnp
 
@@ -435,6 +436,7 @@ def refine_unsolved(db, index, batch, res, config,
                         if not same_chrom or not intronic:
                             pairs.append((a, b, st))
             fpairs_per_read.append(pairs[:MAX_CAND_PAIRS])
+        fneed_all = list(fneed)     # inversion stage sees every candidate
         fneed = [i for i, p in zip(fneed, fpairs_per_read) if p]
         fpairs_per_read = [p for p in fpairs_per_read if p]
         if fneed:
@@ -493,6 +495,89 @@ def refine_unsolved(db, index, batch, res, config,
                         "nmm": nmm, "score": score,
                     }
 
+        # INVERTED (cross-strand) fusions (src/path-fusion.c inversion
+        # joins): one read piece forward, the other reverse-complemented.
+        # For a (d_fwd, d_rc) candidate pair the breakpoint cost needs
+        # only the two per-orientation mismatch masks:
+        #   fwd-first:  cost[q] = prefF[q] + prefR[L-q]
+        #   rc-first:   cost[q] = (prefR[L]-prefR[L-q]) + (prefF[L]-prefF[q])
+        # because read[q:] == rc(read)[:L-q] and read[:q] == rc(read)[L-q:].
+        inv_rows = []           # (i, orient, diag) -> one mask row
+        inv_need = []
+        for i in fneed_all:
+            if i in fusion_result:
+                continue
+            cands = {0: [], 1: []}
+            for c in range(res["cand_diags"].shape[1]):
+                dg = int(res["cand_diags"][i, c])
+                st = int(res["cand_strands"][i, c])
+                if dg != 0xFFFFFFFF and dg not in cands[st]:
+                    cands[st].append(dg)
+            if cands[0] and cands[1]:
+                inv_need.append((i, cands[0][:4], cands[1][:4]))
+        if inv_need:
+            row_of = {}
+            for i, cf, cr in inv_need:
+                for st, cc in ((0, cf), (1, cr)):
+                    for dg in cc:
+                        row_of[(i, st, dg)] = len(inv_rows)
+                        inv_rows.append((i, st, dg))
+            nb = pad_to_bucket(len(inv_rows))
+            rcodes = np.zeros((nb, L), np.uint8)
+            rnm = np.zeros((nb, L), bool)
+            rdiags = np.zeros(nb, np.uint32)
+            for row, (i, st, dg) in enumerate(inv_rows):
+                li = int(batch["lengths"][i])
+                c = batch["codes"][i]
+                m = batch["nmask"][i]
+                if st:
+                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                        np.zeros(L - li, np.uint8)])
+                    m = np.concatenate([m[:li][::-1],
+                                        np.zeros(L - li, bool)])
+                rcodes[row] = c
+                rnm[row] = m
+                rdiags[row] = dg
+            gwin = np.asarray(verify.extract_codes_window(
+                index.genome_packed, jnp.asarray(rdiags), L))
+            masks = (gwin[:len(inv_rows)] != rcodes[:len(inv_rows)]) \
+                | rnm[:len(inv_rows)]
+            for i, cf, cr in inv_need:
+                li = int(batch["lengths"][i])
+                best = None
+                for dF in cf:
+                    prefF = np.zeros(li + 1, np.int32)
+                    np.cumsum(masks[row_of[(i, 0, dF)]][:li], out=prefF[1:])
+                    for dR in cr:
+                        prefR = np.zeros(li + 1, np.int32)
+                        np.cumsum(masks[row_of[(i, 1, dR)]][:li],
+                                  out=prefR[1:])
+                        qs = np.arange(MIN_FUSION_PIECE,
+                                       li - MIN_FUSION_PIECE + 1)
+                        if len(qs) == 0:
+                            continue
+                        c1 = prefF[qs] + prefR[li - qs]
+                        c2 = ((prefR[li] - prefR[li - qs])
+                              + (prefF[li] - prefF[qs]))
+                        j1, j2 = int(np.argmin(c1)), int(np.argmin(c2))
+                        for q_, nmm_, ff in ((int(qs[j1]), int(c1[j1]), True),
+                                             (int(qs[j2]), int(c2[j2]),
+                                              False)):
+                            if best is None or nmm_ < best[1]:
+                                best = (q_, nmm_, ff, dF, dR)
+                if best is None:
+                    continue
+                q_, nmm_, ff, dF, dR = best
+                score = 3 * li - 6 * nmm_ - 24      # distant-join penalty
+                best_other = 3 * li - 6 * int(res["nmismatch"][i])
+                if i in dp_result:
+                    best_other = max(best_other, dp_result[i][2])
+                if score > best_other:
+                    fusion_result[i] = {
+                        "inv": True, "d_fwd": dF, "d_rc": dR,
+                        "qstar": q_, "fwd_first": ff,
+                        "nmm": nmm_, "score": score,
+                    }
 
     return dp_result, splice_result, fusion_result
 
@@ -607,7 +692,17 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                     continue
             if i in fusion_result:
                 f = fusion_result[i]
-                if (3 * li - f["score"]) // 6 <= max_equiv + 4:
+                if f.get("inv") and (3 * li - f["score"]) // 6 \
+                        <= max_equiv + 4:
+                    recs_f = sam.fusion_records_inverted(
+                        db, rec.accession, rec.sequence, rec.quality,
+                        f["d_fwd"], f["d_rc"], f["qstar"],
+                        f["fwd_first"], int(mapq[i]))
+                    _emit(recs_f[0], "fusion")
+                    out.extend(recs_f[1:])
+                    continue
+                if not f.get("inv") and (3 * li - f["score"]) // 6 \
+                        <= max_equiv + 4:
                     # --merge-distant-samechr: a colinear same-chromosome
                     # distant splice becomes ONE line with an N gap
                     # instead of primary+supplementary (src/gsnap.c:666)

@@ -301,6 +301,60 @@ def fusion_records(db: GenomeDB, qname: str, seq: str, qual: str | None,
     return [recA, recB] if a_primary else [recB, recA]
 
 
+def fusion_records_inverted(db: GenomeDB, qname: str, seq: str,
+                            qual: str | None, d_fwd: int, d_rc: int,
+                            qstar: int, fwd_first: bool,
+                            mapq: int) -> list[SamRecord]:
+    """Two SAM records for an INVERTED (cross-strand) fusion split read
+    (src/path-fusion.c inversion joins): one piece aligns forward, the
+    other as the reverse complement.
+
+    fwd_first=True: read[0, qstar) forward at univdiagonal d_fwd (read
+    coords) and read[qstar, L) inverted — i.e. rc(read)[0, L-qstar) at
+    univdiagonal d_rc (rc-read coords).
+    fwd_first=False: read[0, qstar) inverted — rc(read)[L-qstar, L) at
+    d_rc — and read[qstar, L) forward at d_fwd."""
+    L = len(seq)
+    rcseq = dna.revcomp(seq)
+    q = qual or "*"
+    rcq = qual[::-1] if qual else "*"
+    if fwd_first:
+        # fwd piece: read[0:qstar) at d_fwd
+        posF_u, lenF, cigF = d_fwd, qstar, f"{qstar}M{L - qstar}S"
+        segF = seq[:qstar]
+        gF = d_fwd
+        # rc piece: rc(read)[0:L-qstar) at d_rc
+        posR_u, lenR, cigR = d_rc, L - qstar, f"{L - qstar}M{qstar}S"
+        segR = rcseq[:L - qstar]
+        gR = d_rc
+    else:
+        # rc piece: rc(read)[L-qstar:L) at d_rc + (L - qstar)
+        posR_u, lenR, cigR = (d_rc + (L - qstar), qstar,
+                              f"{L - qstar}S{qstar}M")
+        segR = rcseq[L - qstar:]
+        gR = d_rc + (L - qstar)
+        # fwd piece: read[qstar:L) at d_fwd + qstar
+        posF_u, lenF, cigF = d_fwd + qstar, L - qstar, f"{qstar}S{L - qstar}M"
+        segF = seq[qstar:]
+        gF = d_fwd + qstar
+    rnameF, posF = db.chrpos(posF_u)
+    rnameR, posR = db.chrpos(posR_u)
+    mdF, nmF = md_and_nm(segF, db.get_seq(gF, lenF))
+    mdR, nmR = md_and_nm(segR, db.get_seq(gR, lenR))
+    saF = f"SA:Z:{rnameR},{posR + 1},-,{cigR},{mapq},{nmR};"
+    saR = f"SA:Z:{rnameF},{posF + 1},+,{cigF},{mapq},{nmF};"
+    f_primary = lenF >= lenR                # longer piece is primary
+    recF = SamRecord(qname=qname, flag=0 | (0 if f_primary else 0x800),
+                     rname=rnameF, pos=posF + 1, mapq=mapq, cigar=cigF,
+                     seq=seq, qual=q,
+                     tags=[f"NM:i:{nmF}", f"MD:Z:{mdF}", saF])
+    recR = SamRecord(qname=qname, flag=16 | (0x800 if f_primary else 0),
+                     rname=rnameR, pos=posR + 1, mapq=mapq, cigar=cigR,
+                     seq=rcseq, qual=rcq,
+                     tags=[f"NM:i:{nmR}", f"MD:Z:{mdR}", saR])
+    return [recF, recR] if f_primary else [recR, recF]
+
+
 def unmapped_record(qname: str, seq: str, qual: str | None) -> SamRecord:
     return SamRecord(qname=qname, flag=4, seq=seq, qual=qual or "*")
 
