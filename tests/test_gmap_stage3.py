@@ -105,3 +105,57 @@ def test_zap_chance_internal_anchor():
     spans = [(e.gstart, e.gend) for e in res.exons]
     assert (1000, 1200) in spans and (30000, 30200) in spans
     assert all(e.gend - e.gstart >= 100 for e in res.exons), spans
+
+
+def test_indel_cdna_structure():
+    """An indel-containing cDNA reproduces the exon/indel structure
+    (stage3 build_pairs_singles role): a deletion and an insertion inside
+    exons become 'deletion'/'insertion' junction entries at the right
+    coordinates."""
+    rng = np.random.default_rng(15)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 8000))
+    # query = g[1000:1400) with a 3 bp deletion (genome bases 1200-1202
+    # missing from the query) and a 4 bp insertion after genome 1299
+    query = g[1000:1200] + g[1203:1300] + "ACGT" + g[1300:1400]
+    qc, qn = dna.encode(query)
+    gc_, gn = dna.encode(g)
+    res = align_cdna(qc, qn, gc_, gn, GmapConfig())
+    kinds = [(i.kind, i.length) for i in res.introns]
+    assert ("deletion", 3) in kinds, kinds
+    assert ("insertion", 4) in kinds, kinds
+    spans = [(e.qstart, e.qend, e.gstart, e.gend) for e in res.exons]
+    assert spans[0] == (0, 200, 1000, 1200), spans
+    assert res.exons[-1].gend == 1400
+    assert res.mismatches == 0
+
+
+def test_100kbp_query():
+    """The reference accepts <=100 kbp queries (src/gmap.c:113); the
+    chain stage's n_segments scaling must hold at that bound."""
+    from tpumap.gmap.engine import align_cdna_pairs
+
+    rng = np.random.default_rng(16)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 400_000))
+    # 25 exons x 4000 bp = 100 kbp query over a ~375 kb region
+    exons = []
+    pos = 5000
+    glist = list(g)
+    for e in range(25):
+        exons.append((pos, pos + 4000))
+        if e < 24:
+            nxt = pos + 4000 + int(rng.integers(5000, 12000))
+            glist[pos + 4000:pos + 4002] = list("GT")
+            glist[nxt - 2:nxt] = list("AG")
+            pos = nxt
+    g = "".join(glist)
+    query = "".join(g[a:b] for a, b in exons)
+    assert len(query) == 100_000
+    qc, qn = dna.encode(query)
+    gc_, gn = dna.encode(g)
+    res = align_cdna_pairs([(qc, qn, gc_, gn, 0, 0)])[0]
+    assert res is not None
+    spans = [(e.gstart, e.gend) for e in res.exons]
+    assert len(spans) == 25, len(spans)
+    assert spans == [(a, b) for a, b in exons], spans[:3]
+    assert res.mismatches == 0
+    assert all(i.kind == "intron" for i in res.introns)

@@ -232,3 +232,99 @@ def test_cigar_parity_mixed(world):
         assert frac >= bars[cls], (
             cls, f"{cig_ok}/{n}", sorted(d for d in diffs
                                          if classes[d[0]] == cls))
+
+
+@need_oracle
+def test_paired_parity(world):
+    """Paired-end oracle parity (VERDICT r1 #4: paired class): pos/CIGAR/
+    proper-pair flags/TLEN of primary pairs vs /tmp/refbin/gsnap on
+    clean, substitution and one-end-spliced pairs."""
+    from tpumap.gsnap.paired import align_paired_records
+    from tpumap.io.fasta import Record
+
+    root, _classes, _ref, _truth = world
+    seq = (root / "genome.txt").read_text()
+    rng = np.random.default_rng(7)
+    comp = str.maketrans("ACGT", "TGCA")
+    pairs, p_truth = [], {}
+
+    def addp(name, s1, s2, t1, t2):
+        pairs.append((Record(name, "", s1), Record(name, "", s2)))
+        p_truth[name] = (t1, t2)
+
+    for r in range(12):                       # clean / subs pairs
+        p = int(rng.integers(0, GLEN - 600))
+        ins = int(rng.integers(260, 480))
+        s1 = list(seq[p:p + 150])
+        for j in rng.choice(np.arange(5, 145),
+                            size=int(rng.integers(0, 3)), replace=False):
+            s1[j] = "ACGT"[("ACGT".index(s1[j]) + 1) % 4]
+        s2 = seq[p + ins - 150:p + ins].translate(comp)[::-1]
+        addp(f"pp{r}", "".join(s1), s2,
+             (p + 1, "150M"), (p + ins - 150 + 1, "150M"))
+    for r in range(6):                        # one spliced end
+        a, b = INTRON_A
+        split = int(rng.integers(40, 110))
+        s1 = seq[a - split:a] + seq[b:b + 150 - split]
+        mate_p = b + 150 - split + int(rng.integers(40, 150))
+        s2 = seq[mate_p:mate_p + 150].translate(comp)[::-1]
+        addp(f"ps{r}", s1, s2,
+             (a - split + 1, f"{split}M{b - a}N{150 - split}M"),
+             (mate_p + 1, "150M"))
+
+    f1 = root / "p_1.fa"
+    f2 = root / "p_2.fa"
+    f1.write_text("".join(f">{r1.accession}\n{r1.sequence}\n"
+                          for r1, _ in pairs))
+    f2.write_text("".join(f">{r2.accession}\n{r2.sequence}\n"
+                          for _, r2 in pairs))
+    ref_sam = subprocess.run(
+        [str(REFBIN / "gsnap"), "-D", str(root / "refdb"), "-d", "g",
+         "-N", "1", "--pairmax-dna", "1000", "--pairmax-rna", "10000",
+         "-A", "sam", str(f1), str(f2)],
+        check=True, capture_output=True, text=True).stdout
+    ref_pairs = {}
+    for line in ref_sam.splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        flag = int(f[1])
+        if flag & (0x100 | 0x800):
+            continue
+        end = 0 if flag & 0x40 else 1
+        ref_pairs.setdefault(f[0], [None, None])[end] = dict(
+            flag=flag, pos=int(f[3]), cigar=f[5], tlen=int(f[8]))
+
+    db = build_db(root / "genome.fa", name="g", k=13, interval=3)
+    index = DeviceIndex.from_host(db)
+    out = align_paired_records(db, index, pairs, AlignConfig(),
+                               pairmax=1000, novelsplicing=True,
+                               max_intron=10_000)
+
+    n = cig_ok = proper_ok = 0
+    diffs = []
+    for (s1, s2), pr in zip(out, pairs):
+        name = pr[0].accession
+        rp = ref_pairs.get(name)
+        if rp is None or rp[0] is None or rp[1] is None \
+                or rp[0]["flag"] & 4 or rp[1]["flag"] & 4:
+            continue
+        n += 1
+        t1, t2 = p_truth[name]
+        ours = ((s1.pos, s1.cigar), (s2.pos, s2.cigar))
+        theirs = ((rp[0]["pos"], rp[0]["cigar"]),
+                  (rp[1]["pos"], rp[1]["cigar"]))
+        if ours == theirs or ours == (t1, t2):
+            cig_ok += 1
+        else:
+            diffs.append((name, ours, theirs, (t1, t2)))
+        # proper-pair flag + |TLEN| agreement whenever both call the pair
+        # concordant at identical positions
+        if ours == theirs and rp[0]["flag"] & 2:
+            assert s1.flag & 2, name
+            assert abs(s1.tlen) == abs(rp[0]["tlen"]), (
+                name, s1.tlen, rp[0]["tlen"])
+            proper_ok += 1
+    assert n >= 14, n
+    assert cig_ok / n >= 0.85, (f"{cig_ok}/{n}", diffs[:4])
+    assert proper_ok >= 8

@@ -135,6 +135,43 @@ def test_e2e_xx_tag_through_driver(tmp_path):
     assert not any(t.startswith(("XX:", "XY:")) for t in by["genomic"].tags)
 
 
+def test_e2e_paired_joint_velocity(tmp_path):
+    """Paired ends landing in DIFFERENT exons of one transcript get the
+    joint S classification even though each end alone would be B
+    (Transcript_velocity_paired, src/transcript-velocity.c:364)."""
+    import io
+
+    from tpumap.gsnap.paired import align_paired_records
+    from tpumap.gsnap.transcriptome import build_transcriptome
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    from tpumap.io.fasta import Record
+    from tpumap.io.iit import build_iit, parse_map_fasta
+    from tpumap.utils import dna
+
+    rng = np.random.default_rng(33)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 30000))
+    (tmp_path / "g.fa").write_text(">chr1\n" + seq + "\n")
+    db = build_db(tmp_path / "g.fa", name="pg", k=12, interval=3)
+    genes = (">TRQ chr1:2001..9400 gene\nGENEQ NM_Q\n"
+             "2001 2400\n9001 9400\n")
+    iit = build_iit(parse_map_fasta(io.StringIO(genes)))
+    tr = build_transcriptome(db, iit, name="tr", k=10, interval=1)
+    index = DeviceIndex.from_host(db)
+
+    # end1 inside exon1 (+), end2 inside exon2 (rc) — genomically ~6.7 kb
+    # apart; on the TRANSCRIPT they are a normal-insert pair
+    r1 = Record("q0", "", seq[2100:2200])
+    r2 = Record("q0", "", dna.revcomp(seq[9100:9200]))
+    out = align_paired_records(db, index, [(r1, r2)], pairmax=10000,
+                               tr=(tr, None))
+    s1, s2 = out[0]
+    xx1 = [t for t in s1.tags if t.startswith("XX:Z:")]
+    xx2 = [t for t in s2.tags if t.startswith("XX:Z:")]
+    assert xx1 == ["XX:Z:TRQ:101..200:S:.1."]
+    assert xx2 == ["XX:Z:TRQ:501..600:S:.2."]
+
+
 def test_velocity_paired():
     rm = TranscriptRemapper(_tr_plus())
     v5, _ = rm.remap([(2010, 2050)])

@@ -740,7 +740,7 @@ def main(argv=None):
             novelsplicing=bool(args.novelsplicing),
             max_intron=args.max_intron, known=known,
             orientation=args.orientation, pairexpect=args.pairexpect,
-            pairdev=args.pairdev,
+            pairdev=args.pairdev, tr=tr,
             **knob_kw))
         for s1, s2 in results:
             if args.paired_flag_means_concordant and not (s1.flag & 2):

@@ -121,7 +121,7 @@ def _chain_pipeline(q_codes, q_valid, r_codes, r_valid, config: GmapConfig):
     ok = ok & (jnp.arange(Q) < Q - k + 1)
     diag, q, aok = chain_ops.anchors_from_query(
         so, sp, acc, ok, config.max_occ,
-        keep_overabundant=config.keep_overabundant)
+        keep_overabundant=config.keep_overabundant, k=k)
     segs = chain_ops.anchors_to_segments(diag, q, aok, config.n_segments, k,
                                          config.max_qgap)
     order, in_chain = chain_ops.chain_segments(segs, config.max_intron)
@@ -561,6 +561,7 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         chain = _zap_chance_exons(chain, k)
 
     boundaries = []   # q* for each junction
+    ins_offsets = []  # inserted query bases at each junction (0 if none)
     introns = []
     micro_inserts = []   # (chain index i, (d, qs, qe)) microexon entries
     for (dA, qsA, qeA), (dB, qsB, qeB) in zip(chain, chain[1:]):
@@ -573,9 +574,16 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
                   dA, lo - 1, hi + 1)
         mmB = _mm(q_cmp, query_nmask, r_cmp, region_nmask,
                   dB, lo - 1, hi + 1)
-        # mismatches if boundary at q*: A covers [lo-1, q*), B covers [q*, hi]
+        # mismatches if boundary at q*: A covers [lo-1, q*); B covers
+        # [q* + ins, hi] where ins = inserted query bases (dB < dA means
+        # an insertion junction: those bases match NEITHER diagonal and
+        # are excluded, not charged as mismatches)
+        ins = (dA - dB) if dB < dA else 0
         costA = np.cumsum(mmA)[:len(cand)]              # A mm in [lo-1, q*)
-        costB = np.cumsum(mmB[::-1])[::-1][1:len(cand) + 1]  # B mm in [q*, hi]
+        sfx = np.concatenate([np.cumsum(mmB[::-1])[::-1],
+                              np.zeros(1, mmB.dtype)])  # sfx[t]=mm[t:]
+        idxB = np.minimum(cand + ins - (lo - 1), len(mmB))
+        costB = sfx[idxB]
         cost = (costA + costB).astype(np.float64) * MM_COST
         bonus, kinds = splice_score_canonical(region_codes, dA, dB, cand)
         if config.canonical_mode == 0:
@@ -606,13 +614,20 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
         j = int(np.argmax(score))
         qstar = int(cand[j])
         boundaries.append(qstar)
+        ins_offsets.append(ins)
         # dual-intron / microexon attempt (traverse_genome_gap ->
         # Dynprog_microexon_int, src/stage3.c:9658-9677): when the single
         # bridge is noncanonical or still mismatch-heavy and the gap can
         # hold two introns, search the interior for a canonical microexon
+        # trigger: mismatch-heavy bridge, or noncanonical with at least
+        # one unexplained mismatch (a CLEAN noncanonical junction stays —
+        # the reference only searches when cdna_direction is determinate,
+        # src/dynprog_single.c:963-967, so clean direction-less junctions
+        # never grow microexons there either)
         if (_smooth and splice_ok and dB > dA
                 and glen >= 2 * MICROINTRON_LEN + MIN_MICROEXON
-                and (not kinds[j] or cost[j] >= 2 * MM_COST)):
+                and (cost[j] >= 2 * MM_COST
+                     or (not kinds[j] and cost[j] >= MM_COST))):
             i_pair = len(boundaries) - 1
             qGL = max(qsA if i_pair == 0 else qeA - 6, 0)
             qGR = min(qsB + k + 6, Q)
@@ -651,9 +666,12 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
     qspans = []
     start = 0
     for i, (d, qs, qe) in enumerate(chain):
-        qlo = boundaries[i - 1] if i > 0 else 0
+        # inserted query bases at the preceding junction belong to
+        # neither exon (a query gap; printers read the insertion from
+        # e2.qstart - e1.qend)
+        qlo = (boundaries[i - 1] + ins_offsets[i - 1]) if i > 0 else 0
         qhi = boundaries[i] if i < len(boundaries) else Q
-        qspans.append((qlo, qhi, d))
+        qspans.append((qlo, min(qhi, Q), d))
 
     # end trimming + weak-terminal-exon pruning, iterated to a fixed point
     # (the Stage3 trim_ends + Smooth_pairs role, src/stage3.c, src/smooth.c:

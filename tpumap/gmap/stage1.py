@@ -154,6 +154,16 @@ def _regions_from_rows(index, diags, counts, lasts, Q,
             if d1 - d0 > 4 * Q + 20_000 and weight <= 8:
                 spans.append((d0, d0, weight, strand))
                 spans.append((d1, d1, weight, strand))
+            elif d1 - d0 > config.maxtotallen:
+                # dense WIDE train (genome-wide repeat family chained
+                # through the slop): a real gene still fits in
+                # maxtotallen (gmap --totallength bound), so emit
+                # endpoint windows of that size instead of one
+                # multi-megabase region
+                spans.append((d0, min(d0 + config.maxtotallen, d1),
+                              weight, strand))
+                spans.append((max(d1 - config.maxtotallen, d0), d1,
+                              weight, strand))
             else:
                 spans.append((d0, d1, weight, strand))
     for (d0, d1, weight, strand) in spans:

@@ -642,6 +642,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         if tr is not None:
             tr_records = _tr_rung(db, tr, chunk, batch, config)
         res = {k: np.asarray(v) for k, v in dev.items()}
+        if stats is not None and "stage2_overflow" in res:
+            stats["stage2_overflow"] = (stats.get("stage2_overflow", 0)
+                                        + int(res["stage2_overflow"]))
         mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                                 res["n_best"], batch["lengths"],
                                 mm_qualsum=res.get("mm_qualsum"),

@@ -193,7 +193,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          max_insertions: int = 6, max_deletions: int = 9,
                          indel_endlength: int = 4,
                          use_localdb: bool = True, known_indels=None,
-                         device_ctx=None
+                         device_ctx=None, tr=None
                          ) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
@@ -204,6 +204,14 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                      pad_to_bucket, refine_unsolved)
 
     from tpumap.gsnap.engine import align_batch_cascaded_packed
+
+    remapper = None
+    if tr is not None:
+        from tpumap.gsnap import remap as remap_mod
+        remapper = getattr(tr[0], "_remapper", None)
+        if remapper is None:
+            remapper = remap_mod.TranscriptRemapper(tr[0])
+            tr[0]._remapper = remapper
 
     def _dispatch(start):
         chunk = pairs[start:start + batch_size]
@@ -366,6 +374,9 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                           known=known)
                                       for k, idx in ((i1, i1), (i2, i2))},
                                   keys=(i1, i2)))
+            if remapper is not None:
+                # transcript remap + joint paired velocity (XX/XY tags)
+                remap_mod.tag_pair(remapper, db, out[-1][0], out[-1][1])
     return out
 
 

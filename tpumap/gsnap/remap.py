@@ -350,6 +350,28 @@ def tag_record(remapper: TranscriptRemapper, db, rec) -> list[TranscriptHit]:
     return valid
 
 
+def tag_pair(remapper: TranscriptRemapper, db, rec5, rec3) -> None:
+    """Remap both ends of a pair; transcripts seen by BOTH ends get the
+    joint spliced/unspliced classification (Transcript_velocity_paired,
+    src/transcript-velocity.c:364), others fall back to single-end."""
+    tr = remapper.tr
+    sides = []
+    for rec in (rec5, rec3):
+        segs = segments_from_record(db, rec)
+        valid, invalid = remapper.remap(segs) if segs else ([], [])
+        sides.append((rec, valid, invalid))
+    by_tr = [{h.trnum: h for h in valid} for _, valid, _ in sides]
+    for s, (rec, valid, invalid) in enumerate(sides):
+        other = by_tr[1 - s]
+        for h in valid + invalid:
+            mate = other.get(h.trnum)
+            if mate is not None:
+                h.velocity = velocity_paired(h, mate, tr.nexons(h.trnum))
+            else:
+                h.velocity = velocity_single(h, tr.nexons(h.trnum))
+        rec.tags.extend(xx_tags(valid, invalid))
+
+
 def xx_tags(valid: list[TranscriptHit],
             invalid: list[TranscriptHit]) -> list[str]:
     """The XX:Z: / XY:Z: SAM tags (src/path-print-sam.c:1005-1010:

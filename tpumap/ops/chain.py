@@ -62,17 +62,40 @@ def region_index(codes: jax.Array, valid: jax.Array, k: int):
 
 def anchors_from_query(sorted_oligos: jax.Array, sorted_pos: jax.Array,
                        q_oligos: jax.Array, q_valid: jax.Array,
-                       max_occ: int, keep_overabundant: bool = False):
+                       max_occ: int, keep_overabundant: bool = False,
+                       k: int | None = None):
     """For each query oligo, up to max_occ region positions.
 
     Returns (diag uint32[Q, max_occ], q int32[Q, max_occ], valid bool).
     diag = region_pos - q (+bias 2^20 to stay unsigned for leading exons
     whose region start precedes the query diagonal origin).
-    """
+
+    When k is given and small (<= 12), the per-query binary search over
+    the sorted region oligos is replaced by a direct-address start/count
+    table of size 4^k built with one scatter pass — the vmapped
+    searchsorted was the measured hot spot of the GMAP chain stage
+    (~70 ms per 108-problem group; the oligoindex_hr.c role of a
+    direct-address table, re-expressed as scatter+gather)."""
     Q = q_oligos.shape[0]
-    start = jnp.searchsorted(sorted_oligos, q_oligos, side="left")
-    end = jnp.searchsorted(sorted_oligos, q_oligos, side="right")
-    count = (end - start).astype(jnp.int32)
+    if k is not None and k <= 12:
+        T = 1 << (2 * k)
+        R = sorted_oligos.shape[0]
+        i = jnp.arange(R, dtype=jnp.int32)
+        so_i = jnp.minimum(sorted_oligos, jnp.uint32(T)).astype(jnp.int32)
+        prev = jnp.concatenate([jnp.array([-1], jnp.int32), so_i[:-1]])
+        is_first = so_i != prev
+        # non-first entries scatter into dump row T (discarded)
+        starts = jnp.zeros(T + 1, jnp.int32).at[
+            jnp.where(is_first, so_i, T)].set(i, mode="drop")
+        counts = jnp.zeros(T + 1, jnp.int32).at[so_i].add(1, mode="drop")
+        counts = counts.at[T].set(0)
+        qo = jnp.minimum(q_oligos, jnp.uint32(T)).astype(jnp.int32)
+        start = jnp.take(starts, qo)
+        count = jnp.take(counts, qo)
+    else:
+        start = jnp.searchsorted(sorted_oligos, q_oligos, side="left")
+        end = jnp.searchsorted(sorted_oligos, q_oligos, side="right")
+        count = (end - start).astype(jnp.int32)
     lane = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
     idx = start.astype(jnp.int32)[:, None] + lane
     pos = jnp.take(sorted_pos, idx, mode="clip")

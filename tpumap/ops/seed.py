@@ -78,9 +78,15 @@ def prevalent_diagonals(diags: jax.Array, top_k: int, merge_slop: int = 0,
     diagonals, int32[B, top_k] support counts), count-descending; with
     return_last=True also the run's LAST (largest) diagonal — used by
     stage-1 region finding to bound the genomic window.
-    With merge_slop > 0, diagonals within slop of a run's start are counted
-    into that run (cheap stand-in for the reference's approx-intersection
-    slop; exact for slop=0).
+    With merge_slop > 0, each diagonal within slop of its PREDECESSOR in
+    sorted order joins the predecessor's run (chained-neighbor merging) —
+    so a hit train with successive gaps <= slop merges into ONE run no
+    matter how long the train is, matching the reference's proximity
+    clustering of gregions (src/stage1.c find_good_paths role). The
+    stand-in for Intersect_approx is exact for slop=0; callers that pass
+    a large slop (GMAP stage 1) must cap the resulting [rep, last] span
+    themselves (see gmap/stage1._regions_from_rows) because a dense
+    genome-wide repeat train would otherwise yield one mega-region.
     """
     B, N = diags.shape
     d = jnp.sort(diags, axis=1)
