@@ -1,0 +1,109 @@
+"""Ambiguous / alternative splice ends (src/altsplice.c, src/spliceends.c
+roles — VERDICT r1 missing #5).
+
+A splice junction within a few bases of the read end leaves a residue
+too short to seed: a unique distal placement must still produce the
+junction; tied placements must keep the soft clip and surface in the
+XA:Z: tag (src/path-print-sam.c:958).
+"""
+import numpy as np
+import pytest
+
+from tpumap.gsnap.driver import align_records
+from tpumap.gsnap.engine import AlignConfig
+from tpumap.index import build_db
+from tpumap.index.device import DeviceIndex
+from tpumap.io.fasta import Record
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("se")
+    rng = np.random.default_rng(91)
+    g = list("ACGT"[i] for i in rng.integers(0, 4, 60000))
+    # intron A: donor 12000, acceptor ends before 12800
+    g[12000:12002] = list("GT")
+    g[12798:12800] = list("AG")
+    # intron B (for the qstart case): donor 20000, acceptor before 21000
+    g[20000:20002] = list("GT")
+    g[20998:21000] = list("AG")
+    # two interchangeable acceptors for the ambiguity case: donor 30000,
+    # acceptors before 30600 and 31200 followed by the SAME 8 bases
+    g[30000:30002] = list("GT")
+    g[30598:30600] = list("AG")
+    g[31198:31200] = list("AG")
+    g[31200:31208] = g[30600:30608]
+    genome = "".join(g)
+    (root / "g.fa").write_text(">chr1\n" + genome + "\n")
+    db = build_db(root / "g.fa", name="se", k=13, interval=3)
+    return db, DeviceIndex.from_host(db), genome
+
+
+def _align(db, index, seq, name="r"):
+    return align_records(db, index, [Record(name, "", seq)],
+                         AlignConfig(), novelsplicing=True,
+                         max_intron=10_000)[0]
+
+
+def test_unique_short_qend_residue(world):
+    """94 proximal + 6 distal bases: the residue cannot seed, but its
+    unique AG-anchored placement produces the junction."""
+    db, index, genome = world
+    seq = genome[12000 - 94:12000] + genome[12800:12806]
+    rec = _align(db, index, seq)
+    assert not rec.flag & 4
+    assert rec.pos == 12000 - 94 + 1
+    assert rec.cigar == "94M800N6M", rec.cigar
+    assert not any(t.startswith("XA:") for t in rec.tags)
+
+
+def test_unique_short_qstart_residue(world):
+    """5 distal + 95 proximal bases at the read START."""
+    db, index, genome = world
+    seq = genome[19995:20000] + genome[21000:21095]
+    rec = _align(db, index, seq)
+    assert not rec.flag & 4
+    assert rec.pos == 19995 + 1
+    assert rec.cigar == "5M1000N95M", rec.cigar
+
+
+def test_ambiguous_residue_xa_tag(world):
+    """Two interchangeable acceptor placements: the residue stays
+    soft-clipped and both distances appear in XA:Z: (qend side)."""
+    db, index, genome = world
+    seq = genome[30000 - 92:30000] + genome[30600:30608]
+    rec = _align(db, index, seq)
+    assert not rec.flag & 4
+    assert rec.cigar.endswith("S"), rec.cigar
+    xa = [t for t in rec.tags if t.startswith("XA:Z:")]
+    assert xa, rec.tags
+    dists = sorted(int(x) for x in
+                   xa[0].split(":", 2)[2].split("|")[1].split(","))
+    assert dists == [600, 1200], xa
+
+
+def test_mate_resolves_ambiguous_end(world):
+    """Altsplice_resolve (src/altsplice.c): with a mate anchored past the
+    SECOND acceptor, the tied qend placements arbitrate to the far one
+    and the junction is emitted after all (no XA, no soft clip)."""
+    from tpumap.gsnap.paired import align_paired_records
+    from tpumap.utils import dna as dna_mod
+
+    db, index, genome = world
+    seq1 = genome[30000 - 92:30000] + genome[30600:30608]
+    seq2 = dna_mod.revcomp(genome[31400:31500])
+    r1s, r2s = align_paired_records(
+        db, index, [(Record("p", "", seq1), Record("p", "", seq2))],
+        AlignConfig(), novelsplicing=True, max_intron=10_000,
+        pairmax=5000, pairexpect=1500)[0]
+    assert not r1s.flag & 4 and not r2s.flag & 4
+    assert r1s.cigar == "92M1200N8M", r1s.cigar
+    assert not any(t.startswith("XA:") for t in r1s.tags)
+
+
+def test_clean_reads_untouched(world):
+    """Full-length clean reads gain no XA tag and stay unclipped."""
+    db, index, genome = world
+    rec = _align(db, index, genome[5000:5100])
+    assert rec.cigar == "100M"
+    assert not any(t.startswith("XA:") for t in rec.tags)

@@ -119,11 +119,14 @@ def refine_unsolved(db, index, batch, res, config,
                     find_fusions=False, tr_records=None, L=None,
                     max_insertions=6, max_deletions=9, indel_endlength=4,
                     use_localdb=True, known_indels=None, quals=None,
-                    device_ctx=None):
+                    device_ctx=None, amb_out=None):
     """The post-cascade refinement ladder shared by the single-end and
     paired-end drivers: banded-DP indels, splice junctions (novel +
-    known-partner + localscan salvage), fusions. Returns
-    (dp_result, splice_result, fusion_result) keyed by batch row."""
+    known-partner + localscan salvage), ambiguous splice ends, fusions.
+    Returns (dp_result, splice_result, fusion_result) keyed by batch
+    row; when amb_out (a dict) is given, reads whose short clipped end
+    has several tied splice placements get their AmbEnd list there
+    (spliceends.py — the altsplice.c representation)."""
     from tpumap.gsnap.engine import refine_indels, refine_splices
     from tpumap.ops import dp as dp_ops
     from tpumap.ops import verify
@@ -401,6 +404,113 @@ def refine_unsolved(db, index, batch, res, config,
                     "nmm": int(cres["nmm"][row]),
                 }
 
+    # stage 3b: ambiguous / alternative splice ends (src/altsplice.c,
+    # src/spliceends.c): terminal residues too short to seed or localscan
+    # (1..AMB_MAX bases), anchored at a proximal splice dinucleotide.
+    # A unique distal placement extends the path with the junction; tied
+    # placements keep the soft clip and surface as XA:Z: via amb_out.
+    if (novelsplicing or known is not None) and "trim_qstart" in res:
+        from tpumap.gsnap import spliceends as se
+        amb_rows = []
+        review_rows = []    # solved splices whose terminal exon is short:
+                            # the chain/localscan path picks ONE placement
+                            # greedily; altsplice.c demands tied exact
+                            # alternatives demote the junction back to a
+                            # soft clip and surface in XA:Z:
+        acodes = {}
+        for i in range(chunk_len):
+            if i in tr_records or res["diag"][i] == 0xFFFFFFFF:
+                continue
+            li = int(batch["lengths"][i])
+            if i in splice_result:
+                s = splice_result[i]
+                segs = s["segs"]
+                if len(segs) < 2:
+                    continue
+                sides = []
+                if 1 <= s["q_end"] - segs[-1][0] <= se.AMB_MAX:
+                    sides.append(("qend", segs[-2][1], 0, segs[-1][0]))
+                if 1 <= segs[1][0] - s["q_start"] <= se.AMB_MAX:
+                    sides.append(("qstart", segs[1][1], segs[1][0], li))
+                if not sides:
+                    continue
+                c = batch["codes"][i]
+                if s["strand"]:
+                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                        np.zeros(L - li, np.uint8)])
+                acodes[i] = c
+                for (side, a, tqs, tqe) in sides:
+                    review_rows.append((i, a, tqs, tqe, li, (side,)))
+                continue
+            if i in dp_result:
+                continue
+            tqs = int(res["trim_qstart"][i])
+            tqe = min(int(res["trim_qend"][i]), li)
+            u, v = tqs, li - tqe
+            if not (1 <= u <= se.AMB_MAX or 1 <= v <= se.AMB_MAX):
+                continue
+            if int(res.get("trim_nmm", res["nmismatch"])[i]) > \
+                    max(1, int((tqe - tqs) * config.max_mismatch_frac)):
+                continue
+            c = batch["codes"][i]
+            if res["strand"][i]:
+                c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
+                                    np.zeros(L - li, np.uint8)])
+            acodes[i] = c
+            amb_rows.append((i, int(res["diag"][i]), tqs, tqe, li,
+                             ("qstart", "qend")))
+        if amb_rows or review_rows:
+            se_res, se_amb = se.find_splice_ends(
+                db, index, acodes, amb_rows + review_rows, max_intron)
+            for (i, a, tqs, tqe, li, _sides) in amb_rows:
+                sides = se_res.get(i)
+                if sides:
+                    lo, hi = tqs, tqe             # proximal segment span
+                    segs = []
+                    q_start, q_end = tqs, tqe
+                    for (side, qb, diag, _sense) in sides:
+                        if side == "qstart":
+                            segs.append((0, diag))
+                            q_start, lo = 0, qb
+                        else:
+                            q_end, hi = li, qb
+                    segs.append((lo, a))
+                    for (side, qb, diag, _sense) in sides:
+                        if side == "qend":
+                            segs.append((qb, diag))
+                    # interior mismatches at the (possibly shifted)
+                    # boundaries; the distal residues matched exactly
+                    c = acodes[i]
+                    gseg = db.get_codes(a + lo, hi - lo)
+                    nmm = int(np.sum(c[lo:hi] != gseg))
+                    splice_result[i] = {
+                        "segs": segs, "q_start": q_start, "q_end": q_end,
+                        "strand": int(res["strand"][i]),
+                        "score": 8 * (q_end - q_start) - 32 * nmm,
+                        "nmm": nmm,
+                    }
+                if amb_out is not None and i in se_amb:
+                    amb_out[i] = se_amb[i]
+            # review outcomes: a unique exact placement confirms the
+            # solved junction (keep); tied placements demote it —
+            # terminal exon dropped, span shrunk (path_record turns the
+            # residue back into a soft clip), alternatives to XA:Z:
+            for (i, _a, _tqs, _tqe, _li, sides) in review_rows:
+                for amb in se_amb.get(i, []):
+                    if amb.side not in sides:
+                        continue
+                    s = splice_result[i]
+                    if amb.side == "qend":
+                        s["score"] -= 8 * (s["q_end"] - s["segs"][-1][0])
+                        s["q_end"] = s["segs"][-1][0]
+                        s["segs"] = s["segs"][:-1]
+                    else:
+                        s["score"] -= 8 * (s["segs"][1][0] - s["q_start"])
+                        s["q_start"] = s["segs"][1][0]
+                        s["segs"] = s["segs"][1:]
+                    if amb_out is not None:
+                        amb_out.setdefault(i, []).append(amb)
+
     # fourth stage: fusions/translocations — same-orientation candidate
     # pairs at ANY distance (cross-chromosome included) for reads that
     # nothing else solved (Path_fusion_*, src/path-fusion.c; inversions
@@ -650,6 +760,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                                 mm_qualsum=res.get("mm_qualsum"),
                                 qual_mean16=res.get("qual_mean16"))
 
+        amb_result = {}
         dp_result, splice_result, fusion_result = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
             max_intron=max_intron, known=known, find_fusions=find_fusions,
@@ -657,9 +768,15 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             max_insertions=max_insertions, max_deletions=max_deletions,
             indel_endlength=indel_endlength, use_localdb=use_localdb,
             known_indels=known_indels, quals=batch.get("quals"),
-            device_ctx=device_ctx)
+            device_ctx=device_ctx, amb_out=amb_result)
 
         def _emit(record, method, nh=1):
+            if not record.flag & 4 and i in amb_result:
+                # ambiguous splice-end alternatives (src/altsplice.c):
+                # the residue stays soft-clipped, the tied distal
+                # placements go in XA:Z: (src/path-print-sam.c:958)
+                from tpumap.gsnap.spliceends import xa_tag
+                record.tags.append(xa_tag(amb_result[i]))
             if not record.flag & 4:
                 # NH = number of co-optimal paths found (reference prints
                 # NH:i on every line, src/path-print-sam.c:691,929)

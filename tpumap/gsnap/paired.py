@@ -327,13 +327,14 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                 mm_qualsum=res.get("mm_qualsum"),
                                 qual_mean16=res.get("qual_mean16"))
 
+        amb_res = {}
         dp_result, splice_result, _fus = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
             max_intron=max_intron, known=known, L=L,
             max_insertions=max_insertions, max_deletions=max_deletions,
             indel_endlength=indel_endlength, use_localdb=use_localdb,
             known_indels=known_indels, quals=batch.get("quals"),
-            device_ctx=device_ctx)
+            device_ctx=device_ctx, amb_out=amb_res)
 
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1
@@ -362,6 +363,63 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                           int(res["cand_strands"][i1][pi]), nm1)
                     e2 = (int(res["cand_diags"][i2][pj]),
                           int(res["cand_strands"][i2][pj]), nm2)
+            # Altsplice_resolve (src/altsplice.c): an ambiguous splice
+            # end whose mate is located picks the distal placement
+            # nearest the expected insert — the junction is emitted
+            # after all; placements the mate cannot arbitrate keep the
+            # soft clip and surface as XA:Z: below.
+            if amb_res:
+                from tpumap.gsnap import spliceends as se
+                for i, li_e, other, lo in ((i1, L1, e2, L2),
+                                           (i2, L2, e1, L1)):
+                    ambs = amb_res.get(i)
+                    if not ambs or other is None:
+                        continue
+                    mate_lo, mate_hi = other[0], other[0] + lo
+                    keep = []
+                    for amb in ambs:
+                        ix = se.resolve_with_mate(
+                            amb, li_e, mate_lo, mate_hi,
+                            pairexpect or 1000, pairdev)
+                        if ix is None:
+                            keep.append(amb)
+                            continue
+                        diag = amb.diags[ix]
+                        s = splice_result.get(i)
+                        if s is None:
+                            if "trim_qstart" not in res:
+                                keep.append(amb)
+                                continue
+                            tqs = int(res["trim_qstart"][i])
+                            tqe = min(int(res["trim_qend"][i]), li_e)
+                            nmm = int(res.get("trim_nmm",
+                                              res["nmismatch"])[i])
+                            s = {"segs": [(tqs, int(res["diag"][i]))],
+                                 "q_start": tqs, "q_end": tqe,
+                                 "strand": int(res["strand"][i]),
+                                 "score": 8 * (tqe - tqs) - 32 * nmm,
+                                 "nmm": nmm}
+                            splice_result[i] = s
+                        if (amb.side == "qend"
+                                and amb.qb > s["segs"][-1][0]):
+                            s["score"] += 8 * (li_e - s["q_end"])
+                            s["segs"] = s["segs"] + [(amb.qb, diag)]
+                            s["q_end"] = li_e
+                        elif (amb.side == "qstart"
+                              and amb.qb < (s["segs"][1][0]
+                                            if len(s["segs"]) > 1
+                                            else s["q_end"])):
+                            s["score"] += 8 * s["q_start"]
+                            s["segs"] = ([(0, diag),
+                                          (amb.qb, s["segs"][0][1])]
+                                         + s["segs"][1:])
+                            s["q_start"] = 0
+                        else:
+                            keep.append(amb)
+                    if keep:
+                        amb_res[i] = keep
+                    else:
+                        amb_res.pop(i, None)
             out.append(_emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
                                   int(mapq[i2]), pairmax,
                                   special={
@@ -374,6 +432,11 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                           known=known)
                                       for k, idx in ((i1, i1), (i2, i2))},
                                   keys=(i1, i2)))
+            if amb_res:
+                from tpumap.gsnap.spliceends import xa_tag
+                for idx, r_out in ((i1, out[-1][0]), (i2, out[-1][1])):
+                    if idx in amb_res and not r_out.flag & 4:
+                        r_out.tags.append(xa_tag(amb_res[idx]))
             if remapper is not None:
                 # transcript remap + joint paired velocity (XX/XY tags)
                 remap_mod.tag_pair(remapper, db, out[-1][0], out[-1][1])

@@ -53,3 +53,39 @@ def scan_fragment(genome_packed: jax.Array, win_starts: jax.Array,
     best_mm = -neg
     positions = win_starts[:, None] + idx.astype(jnp.uint32)
     return positions, best_mm
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def scan_exact_sites(genome_packed: jax.Array, win_starts: jax.Array,
+                     frag: jax.Array, frag_lens: jax.Array,
+                     window: int, max_frag: int, top_k: int = 8):
+    """ALL exact placements of per-read patterns inside genome windows.
+
+    The ambiguous-splice-end enumerator (src/spliceends.c trimmed-end
+    candidate generation + src/altsplice.c coords): the pattern is a
+    splice dinucleotide fused with the read's short clipped residue, and
+    every exact match in the intron-length window is a legal distal
+    placement.  Same VPU brute-force shape as scan_fragment, but exact
+    matches only, returned in ascending genomic order WITH the total
+    match count (the ambiguity degree).
+
+    Returns (positions uint32[R, top_k] INVALID-padded ascending,
+    count int32[R]).  Rows with frag_lens <= 0 return count 0.
+    """
+    R = win_starts.shape[0]
+    wcodes = verify.extract_codes_window(genome_packed, win_starts,
+                                         window + max_frag)
+    mm = jnp.zeros((R, window), dtype=jnp.int32)
+    for j in range(max_frag):
+        in_frag = (j < frag_lens)[:, None]
+        diff = wcodes[:, j:j + window] != frag[:, j, None]
+        mm = mm + jnp.where(in_frag, diff.astype(jnp.int32), 0)
+    hit = (mm == 0) & (frag_lens > 0)[:, None]
+    count = jnp.sum(hit.astype(jnp.int32), axis=1)
+    off = jnp.arange(window, dtype=jnp.int32)[None, :]
+    key = jnp.where(hit, off, jnp.int32(window))
+    firstk = -jax.lax.top_k(-key, top_k)[0]        # k smallest offsets
+    positions = jnp.where(firstk < window,
+                          win_starts[:, None] + firstk.astype(jnp.uint32),
+                          INVALID)
+    return positions, count
