@@ -150,9 +150,10 @@ def main(argv=None):
                     help="expected insert length; tie-breaks equal-score "
                          "pairings (src/gsnap.c:383)")
     ap.add_argument("--pairdev", type=int, default=100,
-                    help="accepted for compatibility (insert-length "
-                         "deviation; ranking uses distance from "
-                         "--pairexpect directly)")
+                    help="allowed insert-length deviation: scales the "
+                         "concordance insert penalty and bounds "
+                         "ambiguous-splice-end mate arbitration "
+                         "(src/gsnap.c:384)")
     ap.add_argument("--max-intron", type=int, default=None,
                     help="max intron length for novel splices")
     ap.add_argument("-w", "--localsplicedist", dest="max_intron",

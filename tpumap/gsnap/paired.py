@@ -327,6 +327,110 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                 mm_qualsum=res.get("mm_qualsum"),
                                 qual_mean16=res.get("qual_mean16"))
 
+        # GMAP-style mate repair (the src/repair.c / Pathpair_resolve
+        # role): an unmapped mate that substitution-only rescue could
+        # not place often spans a junction inside the insert window.
+        # Locate both end fragments with the window-restricted scan and
+        # hand the candidate diagonals to the production chain-DP
+        # solver, so repaired mates get multi-junction spliced paths.
+        repair_rows = [(row, p, bad, good)
+                       for row, (p, bad, good) in enumerate(rescue_rows)
+                       if (novelsplicing and bad not in rescued
+                           and not res["mapped"][bad])]
+        repair_result = {}
+        if repair_rows:
+            from tpumap.ops import localscan, pathdp
+            FL = 16
+            W = min(32768, max(1024, pairmax))
+            R = pad_to_bucket(len(repair_rows))
+            frag_a = np.zeros((R, FL), np.uint8)
+            frag_b = np.zeros((R, FL), np.uint8)
+            frag_c = np.zeros((R, FL), np.uint8)   # middle (2-junction mates)
+            flens = np.zeros(R, np.int32)
+            wstarts = np.zeros(R, np.uint32)
+            oriented = {}
+            for rr, (row, p, bad, good) in enumerate(repair_rows):
+                li = int(batch["lengths"][bad])
+                c = batch["codes"][bad][:li]
+                m = batch["nmask"][bad][:li]
+                want_strand = 1 - int(res["strand"][good])
+                if want_strand:
+                    c = dna.revcomp_codes(c)
+                    m = m[::-1]
+                oriented[bad] = (c, m, want_strand, li)
+                if li >= FL:
+                    frag_a[rr] = c[:FL]
+                    frag_b[rr] = c[li - FL:]
+                    frag_c[rr] = c[(li - FL) // 2:(li - FL) // 2 + FL]
+                    flens[rr] = FL
+                wstarts[rr] = bases[row]
+            scans = []
+            for fr in (frag_a, frag_b, frag_c):
+                pos, mm = localscan.scan_fragment(
+                    index.genome_packed, jnp.asarray(wstarts),
+                    jnp.asarray(fr), jnp.asarray(flens), W, FL)
+                scans.append((np.asarray(pos), np.asarray(mm)))
+            chain_rows = []
+            for rr, (row, p, bad, good) in enumerate(repair_rows):
+                c, m, want_strand, li = oriented[bad]
+                cands = []
+                for (pos, mm), off in zip(scans,
+                                          (0, li - FL, (li - FL) // 2)):
+                    for t in range(pos.shape[1]):
+                        if mm[rr, t] <= 2:
+                            d = int(pos[rr, t]) - off
+                            if d >= 0 and d not in cands:
+                                cands.append(d)
+                if cands:
+                    chain_rows.append((bad, cands[:8], int(wstarts[rr])))
+            if chain_rows:
+                nb2 = pad_to_bucket(len(chain_rows))
+                K2 = 8
+                codes2 = np.zeros((nb2, L), np.uint8)
+                nmask2 = np.zeros((nb2, L), bool)
+                lengths2 = np.ones(nb2, np.int32)
+                cdiags2 = np.full((nb2, K2), 0xFFFFFFFF, np.uint32)
+                for rr, (bad, cands, _w0) in enumerate(chain_rows):
+                    c, m, want_strand, li = oriented[bad]
+                    codes2[rr, :li] = c
+                    nmask2[rr, :li] = m
+                    lengths2[rr] = li
+                    cdiags2[rr, :len(cands)] = cands
+                from tpumap.ops.pathdp import PathScoring
+                sc2 = PathScoring(max_intron=max(max_intron, 30))
+                _chain = (device_ctx.chain_solve if device_ctx is not None
+                          else pathdp.chain_solve)
+                cres2 = _chain(index, jnp.asarray(codes2),
+                               jnp.asarray(nmask2), jnp.asarray(lengths2),
+                               jnp.asarray(cdiags2), scoring=sc2)
+                cres2 = {k: np.asarray(v) for k, v in cres2.items()}
+                for rr, (bad, cands, win0) in enumerate(chain_rows):
+                    c, m, want_strand, li = oriented[bad]
+                    nsegs = int(cres2["nsegs"][rr])
+                    if nsegs < 1:
+                        continue
+                    q_start = int(cres2["q_start"][rr])
+                    q_end = int(cres2["q_end"][rr])
+                    nmm = int(cres2["nmm"][rr])
+                    alen = q_end - q_start
+                    if (nmm > max(1, int(alen * config.max_mismatch_frac))
+                            or alen < max(20, int(li
+                                                  * config.min_coverage))):
+                        continue
+                    segs = [(int(cres2["seg_q"][rr][s]),
+                             int(cres2["seg_diag"][rr][s]))
+                            for s in range(nsegs)]
+                    chroms = {db.chrnum(d + q) for q, d in segs}
+                    chroms.add(db.chrnum(segs[-1][1] + q_end - 1))
+                    if len(chroms) != 1:
+                        continue
+                    repair_result[bad] = {
+                        "segs": segs, "q_start": q_start, "q_end": q_end,
+                        "strand": want_strand,
+                        "score": int(cres2["score"][rr]), "nmm": nmm,
+                        "_win": (win0, win0 + W + li),
+                    }
+
         amb_res = {}
         dp_result, splice_result, _fus = refine_unsolved(
             db, index, batch, res, config, novelsplicing=novelsplicing,
@@ -335,6 +439,22 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             indel_endlength=indel_endlength, use_localdb=use_localdb,
             known_indels=known_indels, quals=batch.get("quals"),
             device_ctx=device_ctx, amb_out=amb_res)
+        for bad, s_rep in repair_result.items():
+            cur = splice_result.get(bad)
+            if cur is not None:
+                # keep the ladder's solution unless it's weaker AND lies
+                # entirely outside the intron-expanded mate window
+                # (repetitive reads chain at the keep-first-occ copy —
+                # the mate-window copy is the concordant one,
+                # src/pathpair.c placement preference)
+                lo, hi = s_rep["_win"]
+                d0 = cur["segs"][0][1] + cur["q_start"]
+                d1 = cur["segs"][-1][1] + cur["q_end"]
+                if (cur["score"] > s_rep["score"]
+                        or (lo <= d0 + max_intron
+                            and d1 <= hi + max_intron)):
+                    continue
+            splice_result[bad] = s_rep
 
         for p in range(n):
             i1, i2 = 2 * p, 2 * p + 1
@@ -472,25 +592,26 @@ def _special_record(db, rec, i, res, dp_result, splice_result, li, config,
 def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
                keys=(None, None)):
     special = special or {}
+    # a special (spliced/gapped/repaired) record supersedes the
+    # substitution placement — resolve BOTH effective ends first so the
+    # mate's flags/RNEXT/PNEXT reflect the superseding position (and a
+    # repaired previously-unmapped mate clears the 0x8 flag)
+    sp1, sp2 = special.get(keys[0]), special.get(keys[1])
+    if sp1 is not None:
+        e1 = (sp1[1], sp1[2], 0)
+    if sp2 is not None:
+        e2 = (sp2[1], sp2[2], 0)
     recs = []
-    for (rec, e, mq, other, first, key) in (
-            (r1, e1, mq1, e2, True, keys[0]),
-            (r2, e2, mq2, e1, False, keys[1])):
-        sp = special.get(key)
+    for (rec, e, mq, other, first, sp) in (
+            (r1, e1, mq1, e2, True, sp1),
+            (r2, e2, mq2, e1, False, sp2)):
         if sp is not None:
-            # refinement ladder produced a spliced/gapped record; its
-            # position supersedes the substitution placement
-            s, diag, strand = sp
-            e = (diag, strand, 0)
+            s = sp[0]
         elif e is None:
             s = sam.unmapped_record(rec.accession, rec.sequence, rec.quality)
         else:
             s = sam.ungapped_record(db, rec.accession, rec.sequence,
                                     rec.quality, e[0], e[1], mq, e[2])
-        if sp is not None and first:
-            e1 = e
-        elif sp is not None:
-            e2 = e
         s.flag |= 0x1 | (0x40 if first else 0x80)
         if e is None:
             s.flag |= 0x4
