@@ -125,6 +125,27 @@ def main():
     rna_mapped = sum(1 for r in rna_out if not r.flag & 4)
     rna_spliced = sum(1 for r in rna_out if "N" in r.cigar)
 
+    # ---- DP cells/sec/chip (BASELINE.json second headline) -----------
+    # the dynprog_simd.c analog: batched banded affine-gap DP
+    # (ops/dp.banded_align).  Cells = B * Lq * (2*band+1) per call.
+    from tpumap.ops import dp as dp_ops
+    DB, DLQ, DBAND = 8192, 112, 16
+    rng = np.random.default_rng(7)
+    qc = jnp.asarray(rng.integers(0, 4, (DB, DLQ)).astype(np.uint8))
+    gc = jnp.asarray(rng.integers(0, 4, (DB, DLQ + 2 * DBAND))
+                     .astype(np.uint8))
+    ql = jnp.full(DB, DLQ, jnp.int32)
+    gl = jnp.full(DB, DLQ + 2 * DBAND, jnp.int32)
+    r = dp_ops.banded_align(qc, ql, gc, gl, DBAND)
+    jax.block_until_ready(r)
+    NREP = 10
+    t0 = time.perf_counter()
+    for _ in range(NREP):
+        r = dp_ops.banded_align(qc, ql, gc, gl, DBAND)
+    jax.block_until_ready(r)
+    dp_dt = time.perf_counter() - t0
+    dp_cells = NREP * DB * DLQ * (2 * DBAND + 1) / dp_dt
+
     base_dna, base_rna, base_note = _load_baseline()
     vs = (dna_rps / base_dna) if base_dna else None
     print(json.dumps({
@@ -140,6 +161,7 @@ def main():
                             if base_rna else None),
         "rna_mapped_frac": round(rna_mapped / len(rna_reads), 4),
         "rna_spliced_frac": round(rna_spliced / len(rna_reads), 4),
+        "dp_cells_per_sec": round(dp_cells, 0),
     }))
 
 

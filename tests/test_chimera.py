@@ -98,3 +98,47 @@ def test_gmap_npaths(world, tmp_path):
     assert len(lines) == 2
     starts = sorted(int(l.split("\t")[15]) for l in lines)
     assert starts == [3000, 15000]
+
+
+def test_exonexon_breakpoint_refinement(tmp_path):
+    """Chimera_find_exonexon (src/chimera.c:1092): with microhomology
+    blurring the join, the breakpoint snaps to the best donor x acceptor
+    MaxEnt boundary and the parts meet exactly there."""
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+    from tpumap.gmap.chimera import refine_breakpoint
+
+    rng = np.random.default_rng(99)
+    g1 = list("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    g2 = list("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    # chr1 locus A: exon g1[4940:5000) ending ...CAG, strong donor
+    # GTAAGT after (a chimera, so the acceptor lives on ANOTHER chrom)
+    g1[4997:5000] = list("CAG")
+    g1[5000:5006] = list("GTAAGT")
+    # chr2 locus B: exon g2[8000:8060); polypyrimidine acceptor tract
+    # before, with 6 bp of microhomology on BOTH sides of the join
+    g2[7974:7994] = list("T" * 20)
+    g2[7994:8000] = g1[4994:5000]          # ...CAG (ends AG = acceptor)
+    g2[8000:8006] = g1[5000:5006]          # GTAAGT (blurs the boundary)
+    s1, s2 = "".join(g1), "".join(g2)
+    (tmp_path / "g.fa").write_text(f">chr1\n{s1}\n>chr2\n{s2}\n")
+    db = build_db(tmp_path / "g.fa", name="ee", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+
+    query = s1[4940:5000] + s2[8000:8060]
+    qcodes, qnmask = dna.encode(query)
+    pieces = align_query_chimera(db, index, qcodes, qnmask, GmapConfig(),
+                                 Stage1Config(), chimera_margin=30)
+    assert len(pieces) == 2
+    qlen = len(query)
+    (c1, o1), (c2, o2) = pieces
+    qs1, qe1 = query_span(c1, qlen)
+    qs2, qe2 = query_span(c2, qlen)
+    # splice-aware boundary: parts meet exactly at the CAG|GTAAGT donor
+    assert (qs1, qe1) == (0, 60), (qs1, qe1)
+    assert (qs2, qe2) == (60, 120), (qs2, qe2)
+    assert o1 + c1.exons[-1].gend == 5000
+    assert o2 + c2.exons[0].gstart == 20000 + 8000
+    found = refine_breakpoint(db, pieces, qlen)
+    assert found is not None and found[0] == 59
+    assert found[2] > 0.5 or found[3] > 0.5    # real splice signals
