@@ -66,3 +66,28 @@ def test_unrepairable_mate_stays_unmapped(world):
         max_intron=10_000)[0]
     assert not r1s.flag & 4
     assert r2s.flag & 4
+
+
+def test_resolve_inner_dovetail(world):
+    """--resolve-inner (default on, src/pathpair-eval.c:410): reads that
+    extend past the mate's distal fragment boundary get the overhang
+    soft-clipped and TLEN shrinks to the fragment."""
+    db, index, genome = world
+    r1 = Record("d", "", genome[60000:60100])
+    r2 = Record("d", "", dna_mod.revcomp(genome[59980:60080]))
+    r1s, r2s = align_paired_records(
+        db, index, [(r1, r2)], AlignConfig())[0]
+    assert r1s.cigar == "80M20S", r1s.cigar
+    assert r2s.cigar == "20S80M", r2s.cigar
+    assert r2s.pos == 60001
+    assert abs(r1s.tlen) == 80 and r1s.flag & 2
+
+
+def test_resolve_inner_off(world):
+    """--resolve-inner=0 keeps full-length alignments."""
+    db, index, genome = world
+    r1 = Record("d", "", genome[60000:60100])
+    r2 = Record("d", "", dna_mod.revcomp(genome[59980:60080]))
+    r1s, r2s = align_paired_records(
+        db, index, [(r1, r2)], AlignConfig(), resolve_inner=False)[0]
+    assert r1s.cigar == "100M" and r2s.cigar == "100M"

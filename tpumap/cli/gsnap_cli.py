@@ -196,10 +196,11 @@ def main(argv=None):
                     help="reads required to learn an intron in --two-pass "
                          "pass 1 (src/gsnap.c:381)")
     ap.add_argument("--resolve-inner", dest="resolve_inner", type=int,
-                    default=None,
-                    help="accepted for compatibility (inner soft-clip "
-                         "resolution; this implementation aligns ends "
-                         "full-length)")
+                    default=1,
+                    help="resolve soft-clipping on the insides of "
+                         "paired-end reads: dovetail overhangs past the "
+                         "mate's distal boundary are soft-clipped "
+                         "(src/pathpair-eval.c:410; default 1)")
     ap.add_argument("-V", "--snpsdir", dest="snpsdir", default=None,
                     help="accepted for compatibility; the SNP index "
                          "lives inside the database directory")
@@ -742,6 +743,7 @@ def main(argv=None):
             max_intron=args.max_intron, known=known,
             orientation=args.orientation, pairexpect=args.pairexpect,
             pairdev=args.pairdev, tr=tr,
+            resolve_inner=args.resolve_inner != 0,
             **knob_kw))
         for s1, s2 in results:
             if args.paired_flag_means_concordant and not (s1.flag & 2):

@@ -193,7 +193,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          max_insertions: int = 6, max_deletions: int = 9,
                          indel_endlength: int = 4,
                          use_localdb: bool = True, known_indels=None,
-                         device_ctx=None, tr=None
+                         device_ctx=None, tr=None,
+                         resolve_inner: bool = True
                          ) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
@@ -542,6 +543,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                         amb_res.pop(i, None)
             out.append(_emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
                                   int(mapq[i2]), pairmax,
+                                  resolve_inner=resolve_inner,
                                   special={
                                       k: _special_record(
                                           db, chunk[p][0 if k == i1 else 1],
@@ -590,7 +592,7 @@ def _special_record(db, rec, i, res, dp_result, splice_result, li, config,
 
 
 def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
-               keys=(None, None)):
+               keys=(None, None), resolve_inner=True):
     special = special or {}
     # a special (spliced/gapped/repaired) record supersedes the
     # substitution placement — resolve BOTH effective ends first so the
@@ -601,17 +603,37 @@ def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
         e1 = (sp1[1], sp1[2], 0)
     if sp2 is not None:
         e2 = (sp2[1], sp2[2], 0)
+    # --resolve-inner (default on, src/pathpair-eval.c:410-470): a read
+    # whose aligned span runs past the mate's DISTAL fragment boundary
+    # (dovetail/read-through) gets its overhang soft-clipped; q ranges
+    # are in the ALIGNED orientation so q_start always trims the
+    # genomic-low side
+    L1, L2 = len(r1.sequence), len(r2.sequence)
+    clips = [[0, L1], [0, L2]]
+    if (resolve_inner and e1 is not None and e2 is not None
+            and sp1 is None and sp2 is None and e1[1] != e2[1]):
+        (dplus, Lp, kp), (dminus, Lm, km) = (
+            ((e1[0], L1, 0), (e2[0], L2, 1)) if e1[1] == 0 else
+            ((e2[0], L2, 1), (e1[0], L1, 0)))
+        over_hi = (dplus + Lp) - (dminus + Lm)   # plus end past fragment
+        if 0 < over_hi <= Lp - 20:
+            clips[kp][1] = Lp - over_hi
+        over_lo = dplus - dminus                 # minus end before start
+        if 0 < over_lo <= Lm - 20:
+            clips[km][0] = over_lo
     recs = []
-    for (rec, e, mq, other, first, sp) in (
-            (r1, e1, mq1, e2, True, sp1),
-            (r2, e2, mq2, e1, False, sp2)):
+    for (rec, e, mq, other, first, sp, ki) in (
+            (r1, e1, mq1, e2, True, sp1, 0),
+            (r2, e2, mq2, e1, False, sp2, 1)):
         if sp is not None:
             s = sp[0]
         elif e is None:
             s = sam.unmapped_record(rec.accession, rec.sequence, rec.quality)
         else:
+            qs, qe = clips[ki]
             s = sam.ungapped_record(db, rec.accession, rec.sequence,
-                                    rec.quality, e[0], e[1], mq, e[2])
+                                    rec.quality, e[0], e[1], mq, e[2],
+                                    q_start=qs, q_end=qe)
         s.flag |= 0x1 | (0x40 if first else 0x80)
         if e is None:
             s.flag |= 0x4
@@ -620,20 +642,22 @@ def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
         else:
             if other[1]:
                 s.flag |= 0x20
-            rname, chrpos = db.chrpos(other[0])
+            rname, chrpos = db.chrpos(other[0] + clips[1 - ki][0])
             s.rnext = "=" if (e is not None and s.rname == rname) else rname
             s.pnext = chrpos + 1
         recs.append(s)
     r1s, r2s = recs
-    # proper pair + TLEN when both mapped on opposite strands within range
+    # proper pair + TLEN when both mapped on opposite strands within
+    # range (clipped spans: a resolved dovetail shrinks the fragment)
     if e1 is not None and e2 is not None and e1[1] != e2[1]:
-        lo = min(e1[0], e2[0])
-        hi = max(e1[0] + len(r1.sequence), e2[0] + len(r2.sequence))
+        lo = min(e1[0] + clips[0][0], e2[0] + clips[1][0])
+        hi = max(e1[0] + clips[0][1], e2[0] + clips[1][1])
         tlen = hi - lo
         if tlen <= pairmax:
             r1s.flag |= 0x2
             r2s.flag |= 0x2
-            sign1 = 1 if e1[0] <= e2[0] else -1
+            sign1 = (1 if e1[0] + clips[0][0] <= e2[0] + clips[1][0]
+                     else -1)
             r1s.tlen = sign1 * tlen
             r2s.tlen = -sign1 * tlen
     return r1s, r2s
