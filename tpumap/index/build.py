@@ -62,6 +62,20 @@ def _offsets_restore(prefix: str, z) -> np.ndarray:
     return np.cumsum(counts, dtype=np.uint32)
 
 
+_NATIVE = None
+
+
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from tpumap.native import get_lib
+            _NATIVE = get_lib() or False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
 @dataclass
 class GenomeDB:
     """Host-resident genome database."""
@@ -180,12 +194,32 @@ class GenomeDB:
         return (self.genome_nmask[idx >> 5] >> (idx & 31)) & 1
 
     def get_seq(self, start: int, length: int) -> str:
+        # native decode (one C pass) — the printers call this per
+        # record/segment and the Python unpack+decode chain was the top
+        # host cost in end-to-end RNA profiling
+        lib = _native_lib()
+        if (lib and 0 <= start
+                and start + length <= (len(self.genome_packed) << 4)
+                and start + length <= (len(self.genome_nmask) << 5)):
+            import ctypes
+            buf = ctypes.create_string_buffer(length + 1)
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.genome_text(self.genome_packed.ctypes.data_as(u32p),
+                            self.genome_nmask.ctypes.data_as(u32p),
+                            start, length, buf)
+            return buf.value.decode()
         return dna.decode(self.get_codes(start, length),
                           self.get_nmask(start, length).astype(bool))
 
     def chrnum(self, univcoord: int) -> int:
         """0-based chromosome index containing univcoord (EF64_chrnum analog)."""
-        return int(np.searchsorted(self.chrom_offsets, univcoord, side="right") - 1)
+        import bisect
+        try:
+            offs = self._chrom_offsets_list
+        except AttributeError:
+            offs = self._chrom_offsets_list = [int(x)
+                                               for x in self.chrom_offsets]
+        return bisect.bisect_right(offs, univcoord) - 1
 
     def chrom_length(self, c: int) -> int:
         """True chromosome length (circular chroms occupy a doubled

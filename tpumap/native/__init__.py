@@ -49,6 +49,10 @@ def get_lib():
         lib.md_nm.restype = ctypes.c_long
         lib.md_nm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                               ctypes.c_long, ctypes.c_char_p]
+        lib.genome_text.restype = None
+        lib.genome_text.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_long, ctypes.c_long, ctypes.c_char_p]
         lib.encode_records.restype = None
         lib.encode_records.argtypes = [
             ctypes.c_char_p, c_long_p, c_long_p, ctypes.c_long,

@@ -162,3 +162,22 @@ extern "C" long md_nm(const char* read, const char* genome, long n,
     *p = '\0';
     return nm;
 }
+
+// ---------------------------------------------------------------------------
+// Genome text extraction (Genome_get_segment / Genome_uncompress role,
+// src/genome.c): decode univcoords [start, start+length) of the 2-bit
+// genome (base i at bits 2*(i%16) of uint32 word i/16) to ASCII with the
+// N-flag overlay (bit i%32 of word i/32).  The SAM/alignment printers
+// call this once per record/segment; the Python unpack+decode chain it
+// replaces was the top host cost in end-to-end RNA profiling.
+extern "C" void genome_text(const uint32_t* packed, const uint32_t* nmask,
+                            long start, long length, char* out) {
+    static const char BASES[4] = {'A', 'C', 'G', 'T'};
+    for (long i = 0; i < length; i++) {
+        long p = start + i;
+        int c = (packed[p >> 4] >> (2 * (p & 15))) & 3;
+        int n = (nmask[p >> 5] >> (p & 31)) & 1;
+        out[i] = n ? 'N' : BASES[c];
+    }
+    out[length] = '\0';
+}
