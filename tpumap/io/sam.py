@@ -719,7 +719,11 @@ def clip_record_left(rec: SamRecord, ref_clip: int) -> SamRecord | None:
 def clip_overlap_pair(db: GenomeDB, s1: SamRecord, s2: SamRecord) -> None:
     """gsnap --clip-overlap: when both ends of a pair align to
     overlapping reference intervals, soft-clip the overlap off the
-    downstream record (the leftmost end keeps its bases)."""
+    downstream record (the leftmost end keeps its bases).
+
+    Note: dead code in the 2024-02-22 reference (Stage3pair_overlap is
+    compiled out under `#ifdef TO_FIX`, path-print-sam.c:2011), so this
+    implementation exceeds the reference."""
     if (s1.flag & 4) or (s2.flag & 4) or s1.rname != s2.rname:
         return
     low, high = (s1, s2) if s1.pos <= s2.pos else (s2, s1)
@@ -739,7 +743,15 @@ def merge_overlap_pair(db: GenomeDB, s1: SamRecord,
                        s2: SamRecord) -> SamRecord | None:
     """gsnap --merge-overlap (beta in the reference too): overlapping
     FR ends merge into ONE single-end record spanning the union.
-    Only simple all-M alignments merge; returns None otherwise."""
+    Only simple all-M alignments merge; returns None otherwise.
+
+    Note: in the 2024-02-22 reference this feature is dead code — the
+    overlap computation and Pathpair_merge call sit inside `#ifdef
+    TO_FIX` blocks that are never defined (path-print-sam.c:2011,2057),
+    so reference gsnap prints both ends unmerged regardless of the
+    flag.  This working all-M implementation therefore exceeds the
+    reference; extending it to indel/spliced CIGARs has no oracle to
+    match against."""
     if (s1.flag & 4) or (s2.flag & 4) or s1.rname != s2.rname:
         return None
     for r in (s1, s2):
