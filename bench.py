@@ -38,11 +38,20 @@ def _load_baseline():
     if not f.exists():
         return None, None, "unmeasured"
     d = json.loads(f.read_text())
-    dna1 = d.get("gsnap_avx2_reads_per_sec") or d.get("gsnap_reads_per_sec")
-    rna1 = d.get("gsnap_avx2_rna_reads_per_sec") or d.get(
-        "gsnap_rna_reads_per_sec")
+    # prefer marginal (steady-state slope) rates: they exclude reference
+    # process startup / index page-in, the honest production per-core rate
+    dna1 = (d.get("gsnap_avx2_dna_marginal_rps")
+            or d.get("gsnap_avx2_reads_per_sec")
+            or d.get("gsnap_dna_marginal_rps")
+            or d.get("gsnap_reads_per_sec"))
+    rna1 = (d.get("gsnap_avx2_rna_marginal_rps")
+            or d.get("gsnap_avx2_rna_reads_per_sec")
+            or d.get("gsnap_rna_marginal_rps")
+            or d.get("gsnap_rna_reads_per_sec"))
     which = "avx2" if d.get("gsnap_avx2_reads_per_sec") else "nosimd"
-    note = f"{which} 1-core x {BASELINE_CORES}"
+    marg = "marginal " if d.get(f"gsnap_{'avx2_' if which == 'avx2' else ''}"
+                                "dna_marginal_rps") else ""
+    note = f"{which} {marg}1-core x {BASELINE_CORES}"
     return (dna1 * BASELINE_CORES if dna1 else None,
             rna1 * BASELINE_CORES if rna1 else None, note)
 

@@ -82,11 +82,41 @@ def main(n_reads: int = 20000):
         out[f"gsnap{key}_reads_per_sec"] = round(rps, 1)
         out[f"gsnap{key}_dna_aligned"] = naligned
         out[f"gsnap{key}_dna_wall_s"] = round(dt, 2)
+        # marginal (steady-state) throughput: slope between the n_reads
+        # subset and the full read set removes process startup + index
+        # page-in from the denominator — the honest per-core number for
+        # a production run that amortizes startup over millions of reads.
+        # median of 3 repeats: the slope window is ~1 s on this host and
+        # single runs jitter 1.5x
+        slopes = []
+        for _ in range(3):
+            _, _, dt_sub = _time_gsnap(binary, dbdir, dna_sub, n_reads)
+            _, _, dt_all = _time_gsnap(binary, dbdir, rfa,
+                                       bench_data.N_READS)
+            if dt_all > dt_sub:
+                slopes.append((bench_data.N_READS - n_reads)
+                              / (dt_all - dt_sub))
+        if slopes:
+            out[f"gsnap{key}_dna_marginal_rps"] = round(
+                sorted(slopes)[len(slopes) // 2], 1)
         rps, naligned, dt = _time_gsnap(binary, dbdir, rna_sub, n_reads,
                                         extra=("-N", "1"))
         out[f"gsnap{key}_rna_reads_per_sec"] = round(rps, 1)
         out[f"gsnap{key}_rna_aligned"] = naligned
         out[f"gsnap{key}_rna_wall_s"] = round(dt, 2)
+        slopes = []
+        for _ in range(3):
+            _, _, dt_sub = _time_gsnap(binary, dbdir, rna_sub, n_reads,
+                                       extra=("-N", "1"))
+            _, _, dt_all = _time_gsnap(binary, dbdir, rna_rfa,
+                                       bench_data.N_READS,
+                                       extra=("-N", "1"))
+            if dt_all > dt_sub:
+                slopes.append((bench_data.N_READS - n_reads)
+                              / (dt_all - dt_sub))
+        if slopes:
+            out[f"gsnap{key}_rna_marginal_rps"] = round(
+                sorted(slopes)[len(slopes) // 2], 1)
 
     out["config"] = (f"-t 1 (1-core host), k=15/q3 index, {n_reads} of "
                      f"{bench_data.N_READS} bench reads, chr21-scale "
