@@ -692,6 +692,109 @@ def refine_unsolved(db, index, batch, res, config,
     return dp_result, splice_result, fusion_result
 
 
+def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
+                     known):
+    """One native C call emits final SAM text for every hot-shape row
+    (plain/soft-clipped ungapped + chain-DP spliced paths) in the chunk
+    — the Path_print_sam cost amortization (see io/sam_bulk.py).
+
+    overrides: (tr_records, splice_result, fusion_result, dp_result,
+    amb_result).  Returns (lines, flags, methods) with lines[i] the
+    final text for row i (None -> the Python loop emits it), or None if
+    the native library is unavailable.
+    """
+    from tpumap.io import sam_bulk
+    if sam_bulk._get_lib() is None:
+        return None
+    tr_records, splice_result, fusion_result, dp_result, amb_result = \
+        overrides
+    n = len(chunk)
+    li = np.asarray(batch["lengths"][:n]).astype(np.int32)
+    mapped = np.asarray(res["mapped"][:n]).astype(bool)
+    diag = np.asarray(res["diag"][:n]).astype(np.uint64)
+    strand = np.asarray(res["strand"][:n]).astype(np.uint8)
+    if config.soft_clips and "trim_qstart" in res:
+        tqs = np.asarray(res["trim_qstart"][:n]).astype(np.int32)
+        tqe = np.minimum(np.asarray(res["trim_qend"][:n]),
+                         li).astype(np.int32)
+    else:
+        tqs = np.zeros(n, np.int32)
+        tqe = li.copy()
+    trimmed = (tqs > 0) | (tqe < li)
+    alen = tqe - tqs
+    trim_nmm = np.asarray(res.get("trim_nmm", res["nmismatch"])[:n])
+    min_alen = np.maximum(20, (li * config.min_coverage).astype(np.int32))
+    max_nmm = np.maximum(1, (alen.astype(np.float64)
+                             * config.max_mismatch_frac).astype(np.int32))
+    valid = np.asarray(res["diag"][:n]) != 0xFFFFFFFF
+    trim_ok = valid & trimmed & (alen >= min_alen) & (trim_nmm <= max_nmm)
+    plain = mapped & ~trimmed
+    emit = plain | trim_ok
+    for d in overrides:
+        for i in d:
+            if i < n:
+                emit[i] = False
+    qstart = np.where(plain, 0, tqs).astype(np.int32)
+    qend = np.where(plain, li, tqe).astype(np.int32)
+    methods = np.full(n, "sub", dtype=object)
+    flags = np.where(strand, 16, 0).astype(np.int32)
+    lines = None
+    if emit.any():
+        lines = sam_bulk.emit_ungapped_bulk(
+            db, chunk, batch["codes"], batch["nmask"], li, diag, strand,
+            mapq, np.asarray(res["n_best"][:n]), qstart, qend, emit)
+    if lines is None:
+        lines = [None] * n
+
+    # chain-DP spliced/deletion paths (known splicing falls back to the
+    # Python path_record so annotated junctions can set XS)
+    if splice_result and known is None:
+        sp_rows, seg_q, seg_d = [], [], []
+        sp_strand = np.zeros(n, np.uint8)
+        sp_qs = np.zeros(n, np.int32)
+        sp_qe = np.zeros(n, np.int32)
+        sp_emit = np.zeros(n, np.uint8)
+        counts = np.zeros(n, dtype=np.int64)
+        for i in sorted(splice_result):
+            s = splice_result[i]
+            if i >= n or i in amb_result or i in tr_records:
+                continue
+            al = s["q_end"] - s["q_start"]
+            if not (s["nmm"] <= max(1, int(al * config.max_mismatch_frac))
+                    and al >= max(20, int(li[i] * config.min_coverage))):
+                continue
+            segs = s["segs"]
+            if segs[0][0] != s["q_start"]:
+                continue            # keep Python semantics for odd paths
+            sp_rows.append(i)
+            sp_emit[i] = 1
+            flags[i] = 16 if s["strand"] else 0
+            sp_strand[i] = s["strand"]
+            sp_qs[i] = s["q_start"]
+            sp_qe[i] = s["q_end"]
+            counts[i] = len(segs)
+            for q0, d0 in segs:
+                seg_q.append(q0)
+                seg_d.append(d0)
+            methods[i] = "splice" if len(segs) > 1 else "sub"
+        if sp_rows:
+            # rows were visited in ascending order, so row i's segments
+            # are the contiguous run [off[i], off[i+1]) of the flattened
+            # arrays
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            plines = sam_bulk.emit_path_bulk(
+                db, chunk, batch["codes"], batch["nmask"], li, sp_strand,
+                mapq, sp_qs, sp_qe, off,
+                np.asarray(seg_q, np.int32), np.asarray(seg_d, np.uint64),
+                sp_emit, MIN_INTRON)
+            if plines is not None:
+                for i in sp_rows:
+                    if plines[i] is not None:
+                        lines[i] = plines[i]
+    return lines, flags, methods
+
+
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
                   max_intron: int = 200_000,
@@ -770,6 +873,22 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             known_indels=known_indels, quals=batch.get("quals"),
             device_ctx=device_ctx, amb_out=amb_result)
 
+        # hot-shape rows (plain/soft-clipped subs + chain-DP paths) emit
+        # through ONE native C call; the Python branches below keep every
+        # special case (SNP/mode spaces, XA, secondaries, remap tags)
+        bulk = None
+        from tpumap.ops.mode import MODE_SPACES
+        if (npaths == 1 and remapper is None and not show_method
+                and not config.snp_tolerant
+                and MODE_SPACES[config.mode] == (None, None)):
+            bulk = _bulk_emit_chunk(
+                db, chunk, batch, res, mapq,
+                (tr_records, splice_result, fusion_result, dp_result,
+                 amb_result), config, known)
+        if bulk is not None:
+            from tpumap.io.sam_bulk import RawSamRecord
+            bulk_lines, bulk_flags, bulk_methods = bulk
+
         def _emit(record, method, nh=1):
             if not record.flag & 4 and i in amb_result:
                 # ambiguous splice-end alternatives (src/altsplice.c):
@@ -793,6 +912,13 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             out.append(record)
 
         for i, rec in enumerate(chunk):
+            if bulk is not None and bulk_lines[i] is not None:
+                if stats is not None:
+                    m = bulk_methods[i]
+                    stats[m] = stats.get(m, 0) + 1
+                out.append(RawSamRecord(bulk_lines[i],
+                                        int(bulk_flags[i]), int(mapq[i])))
+                continue
             li = int(batch["lengths"][i])
             max_equiv = int(li * config.max_mismatch_frac)
             if i in tr_records:

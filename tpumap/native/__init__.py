@@ -12,7 +12,8 @@ import subprocess
 import sys
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "fastq_tokenizer.cc")
+_SRCS = [os.path.join(_DIR, "fastq_tokenizer.cc"),
+         os.path.join(_DIR, "sam_emit.cc")]
 _BUILD = os.path.join(_DIR, "_build")
 _LIB = os.path.join(_BUILD, "libtpumap_native.so")
 
@@ -28,11 +29,12 @@ def get_lib():
     _tried = True
     try:
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                for s in _SRCS)):
             os.makedirs(_BUILD, exist_ok=True)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB, _SRC],
+                 "-o", _LIB] + _SRCS,
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
         c_long_p = ctypes.POINTER(ctypes.c_long)
@@ -59,6 +61,37 @@ def get_lib():
             ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32)]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sam_emit_ungapped.restype = ctypes.c_long
+        lib.sam_emit_ungapped.argtypes = [
+            u32p, u32p,                          # genome packed/nmask
+            u64p, i64p, u8p, ctypes.c_long,      # chrom table
+            ctypes.c_char_p, i64p,               # rname blob/off
+            ctypes.c_char_p, i64p,               # qname blob/off
+            u8p, u8p, ctypes.c_long,             # codes/rnmask/Lstride
+            ctypes.c_char_p, i64p,               # qual blob/off
+            i32p, u64p, u8p, u8p, i32p,          # len/diag/strand/mapq/nbest
+            i32p, i32p,                          # qstart/qend
+            u8p, ctypes.c_long,                  # emit mask, B
+            ctypes.c_char_p, ctypes.c_long, i64p]
+        lib.sam_emit_path.restype = ctypes.c_long
+        lib.sam_emit_path.argtypes = [
+            u32p, u32p,
+            u64p, i64p, u8p, ctypes.c_long,
+            ctypes.c_char_p, i64p,
+            ctypes.c_char_p, i64p,
+            u8p, u8p, ctypes.c_long,
+            ctypes.c_char_p, i64p,
+            i32p, u8p, u8p,                      # len/strand/mapq
+            i32p, i32p,                          # qstart/qend
+            i64p, i32p, u64p,                    # seg_off/seg_q/seg_d
+            ctypes.c_long,                       # min_intron
+            u8p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, i64p]
         _lib = lib
     except (OSError, subprocess.CalledProcessError) as exc:
         sys.stderr.write(f"tpumap: native tokenizer unavailable "
