@@ -48,17 +48,40 @@ def make_batch(records: list[Record], batch_size: int, L: int):
     codes = np.zeros((batch_size, L), dtype=np.uint8)
     nmask = np.zeros((batch_size, L), dtype=bool)
     lengths = np.zeros(batch_size, dtype=np.int32)
+    lib = None
+    try:
+        from tpumap.native import get_lib
+        lib = get_lib()
+    except Exception:
+        pass
+    if lib is not None and records:
+        # one C pass encodes every sequence (native encode_records)
+        import ctypes
+        blob = "".join(r.sequence for r in records).encode("ascii")
+        lens = np.fromiter((len(r.sequence) for r in records),
+                           dtype=np.int64, count=len(records))
+        starts = np.zeros(len(records), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        lp = ctypes.POINTER(ctypes.c_long)
+        lib.encode_records(
+            blob, starts.ctypes.data_as(lp), lens.ctypes.data_as(lp),
+            len(records), L,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    else:
+        for i, rec in enumerate(records):
+            c, m = dna.encode(rec.sequence)
+            codes[i, :len(c)] = c
+            nmask[i, :len(c)] = m
+            lengths[i] = len(c)
     quals = None
     for i, rec in enumerate(records):
-        c, m = dna.encode(rec.sequence)
-        codes[i, :len(c)] = c
-        nmask[i, :len(c)] = m
-        lengths[i] = len(c)
         if rec.quality:
             if quals is None:
                 quals = np.full((batch_size, L), 30, dtype=np.uint8)
             qv = np.frombuffer(rec.quality.encode("ascii"),
-                               np.uint8)[:len(c)]
+                               np.uint8)[:lengths[i]]
             quals[i, :len(qv)] = np.maximum(qv, 33) - 33
     batch = {"codes": codes, "nmask": nmask, "lengths": lengths}
     if quals is not None:
@@ -83,6 +106,79 @@ MIN_FUSION_PIECE = 20     # src/path-fusion.c requires substantial ends
 KNOWN_INDEL_BONUS = 12    # score credit for an indel at a learned site
 #                           (two mismatch-equivalents; known indels are
 #                           preferred over marginal substitution calls)
+
+
+def _oriented_rows(batch, idx, strands, L, quals=None):
+    """Gather batch rows `idx` as (codes, nmask[, quals]) with strand-1
+    rows reverse-complemented — vectorized replacement for the per-read
+    revcomp_codes/concatenate loops that dominated refine_unsolved's
+    host time (rows beyond the read length stay zero-padded)."""
+    codes = np.asarray(batch["codes"])[idx]
+    nmask = np.asarray(batch["nmask"])[idx]
+    li = np.asarray(batch["lengths"])[idx].astype(np.int64)
+    st = np.asarray(strands).astype(bool)
+    qv = quals[idx] if quals is not None else None
+    if st.any():
+        ar = np.arange(L)
+        src = li[:, None] - 1 - ar[None, :]
+        valid = src >= 0
+        srcc = np.clip(src, 0, L - 1)
+        rc = np.where(valid, 3 - np.take_along_axis(codes, srcc, axis=1),
+                      0).astype(np.uint8)
+        rm = np.where(valid, np.take_along_axis(nmask, srcc, axis=1),
+                      False)
+        codes = np.where(st[:, None], rc, codes)
+        nmask = np.where(st[:, None], rm, nmask)
+        if qv is not None:
+            rq = np.where(valid, np.take_along_axis(qv, srcc, axis=1),
+                          0).astype(np.uint8)
+            qv = np.where(st[:, None], rq, qv)
+    if quals is not None:
+        return codes, nmask, qv
+    return codes, nmask
+
+
+def _anchor_runs(db, diags, codes_rows, lengths, runlen: int = 20):
+    """Per row: first 20-base exact-run start (u) and last run end (e)
+    of the read vs the genome on its anchored diagonal; u = -1 when no
+    run exists (native anchor_runs, Python fallback)."""
+    R, Lstride = codes_rows.shape
+    u_out = np.full(R, -1, dtype=np.int32)
+    e_out = np.full(R, -1, dtype=np.int32)
+    try:
+        from tpumap.native import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        import ctypes
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.anchor_runs(
+            db.genome_packed.ctypes.data_as(u32p),
+            len(db.genome_packed) << 4,
+            np.ascontiguousarray(diags, np.uint64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint64)),
+            codes_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            Lstride,
+            np.ascontiguousarray(lengths, np.int32).ctypes.data_as(i32p),
+            R, runlen, u_out.ctypes.data_as(i32p),
+            e_out.ctypes.data_as(i32p))
+        return u_out, e_out
+    for r in range(R):
+        li = int(lengths[r])
+        g = db.get_codes(int(diags[r]), li)
+        if len(g) < li:
+            continue
+        match = (codes_rows[r, :li] == g)
+        runs = np.convolve(match.astype(np.int32),
+                           np.ones(runlen, dtype=np.int32),
+                           mode="valid") == runlen
+        starts = np.nonzero(runs)[0]
+        if len(starts):
+            u_out[r] = int(starts[0])
+            e_out[r] = int(starts[-1]) + runlen
+    return u_out, e_out
 
 
 def _indel_limits_ok(ops, max_insertions: int, max_deletions: int,
@@ -143,45 +239,51 @@ def refine_unsolved(db, index, batch, res, config,
     # path; batch-compacted like the reference's method ladder). Reads
     # overlapping a LEARNED indel site (gsnap --indels-read / pass 2 of
     # --two-pass, src/knownindels.c) qualify at a lower mismatch count.
-    def _needs_dp(i):
-        if res["diag"][i] == 0xFFFFFFFF or i in tr_records:
-            return False
-        if res["nmismatch"][i] >= INDEL_NMM_TRIGGER:
-            return True
-        if known_indels is not None and res["nmismatch"][i] >= 1:
-            d = int(res["diag"][i])
-            return known_indels.any_in(d, d + int(batch["lengths"][i]))
-        return False
-
-    need = [i for i in range(chunk_len) if _needs_dp(i)]
+    diag_v = np.asarray(res["diag"])[:chunk_len]
+    nmm_v = np.asarray(res["nmismatch"])[:chunk_len]
+    len_v = np.asarray(batch["lengths"])[:chunk_len].astype(np.int32)
+    strand_v = np.asarray(res["strand"])[:chunk_len]
+    valid_v = diag_v != 0xFFFFFFFF
+    nmm_l = nmm_v.tolist()
+    need_m = valid_v & (nmm_v >= INDEL_NMM_TRIGGER)
+    if known_indels is not None:
+        for i in np.nonzero(valid_v & ~need_m & (nmm_v >= 1))[0]:
+            d = int(diag_v[i])
+            if known_indels.any_in(d, d + int(len_v[i])):
+                need_m[i] = True
+    for i in tr_records:
+        if i < chunk_len:
+            need_m[i] = False
+    need = np.nonzero(need_m)[0]
     dp_result = {}
-    if need:
+    if len(need):
         nb = pad_to_bucket(len(need))
         codes = np.zeros((nb, L), dtype=np.uint8)
         lengths = np.ones(nb, dtype=np.int32)
         diags = np.zeros(nb, dtype=np.uint32)
-        for row, i in enumerate(need):
-            c = batch["codes"][i]
-            if res["strand"][i]:
-                li = batch["lengths"][i]
-                c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                    np.zeros(L - li, np.uint8)])
-            codes[row] = c
-            lengths[row] = batch["lengths"][i]
-            diags[row] = res["diag"][i]
+        codes[:len(need)], _ = _oriented_rows(batch, need,
+                                              strand_v[need], L)
+        lengths[:len(need)] = len_v[need]
+        diags[:len(need)] = diag_v[need]
         ref = refine_indels(index, jnp.asarray(codes),
                             jnp.asarray(lengths), jnp.asarray(diags),
                             INDEL_BAND, INDEL_MARGIN)
         ref = {k: np.asarray(v) for k, v in ref.items()}
+        # plain-list views: iterating numpy elements in Python is ~10x
+        # slower than list iteration, and this loop walks every op
+        ops_l = ref["ops"].tolist()
+        score_l = ref["score"].tolist()
+        start_l = ref["start_off"].tolist()
+        trim_score_l = (np.asarray(res["trim_score"]).tolist()
+                        if "trim_score" in res else None)
         for row, i in enumerate(need):
-            li = int(batch["lengths"][i])
-            sub_score = 3 * li - 6 * int(res["nmismatch"][i])
-            if "trim_score" in res:
+            li = int(len_v[i])
+            sub_score = 3 * li - 6 * nmm_l[i]
+            if trim_score_l is not None:
                 # an end-trimmed soft-clip may already explain the read
                 # better than any indel placement
-                sub_score = max(sub_score,
-                                int(res["trim_score"][i]) * 3 // 8)
-            ops = [o for o in ref["ops"][row][::-1]
+                sub_score = max(sub_score, trim_score_l[i] * 3 // 8)
+            ops = [o for o in ops_l[row][::-1]
                    if o != dp_ops.T_END]
             # an indel placed AT a learned site relaxes the end-length
             # requirement and gets a score bonus (known indels admit
@@ -189,7 +291,7 @@ def refine_unsolved(db, index, batch, res, config,
             eff_endlength = indel_endlength
             bonus = 0
             if known_indels is not None:
-                g = int(res["diag"][i]) + int(ref["start_off"][row])
+                g = int(diag_v[i]) + start_l[row]
                 goff = 0
                 for o in ops:
                     if o != dp_ops.T_MATCH and known_indels.near(
@@ -199,13 +301,12 @@ def refine_unsolved(db, index, batch, res, config,
                         break
                     if o != dp_ops.T_INS:
                         goff += 1
-            if int(ref["score"][row]) + bonus > sub_score:
+            if score_l[row] + bonus > sub_score:
                 if not _indel_limits_ok(ops, max_insertions,
                                         max_deletions, eff_endlength):
                     continue
-                dp_result[i] = (int(res["diag"][i])
-                                + int(ref["start_off"][row]),
-                                ops, int(ref["score"][row]))
+                dp_result[i] = (int(diag_v[i]) + start_l[row],
+                                ops, score_l[row])
 
     # third stage: the chain-DP path solver (multi-junction splices +
     # deletions + soft-clip trimming in one device kernel, ops/pathdp.py —
@@ -220,69 +321,70 @@ def refine_unsolved(db, index, batch, res, config,
         trim_qs = res.get("trim_qstart")
         trim_qe = res.get("trim_qend")
 
-        def _needs_chain(i):
-            if i in tr_records or res["diag"][i] == 0xFFFFFFFF:
-                return False
-            if trim_nmm[i] >= SPLICE_NMM_TRIGGER:
-                return True
-            if trim_qs is not None:
-                li = int(batch["lengths"][i])
-                clipped = int(trim_qs[i]) + (li - int(trim_qe[i]))
-                return clipped >= CLIP_SPLICE_TRIGGER
-            return False
-
-        sneed = [i for i in range(chunk_len) if _needs_chain(i)]
+        chain_m = valid_v & (np.asarray(trim_nmm)[:chunk_len]
+                             >= SPLICE_NMM_TRIGGER)
+        if trim_qs is not None:
+            clipped_v = (np.asarray(trim_qs)[:chunk_len]
+                         + (len_v - np.asarray(trim_qe)[:chunk_len]))
+            chain_m |= valid_v & (clipped_v >= CLIP_SPLICE_TRIGGER)
+        for i in tr_records:
+            if i < chunk_len:
+                chain_m[i] = False
+        sneed = np.nonzero(chain_m)[0]
         cands_per_read = []
-        for i in sneed:
-            li = int(batch["lengths"][i])
-            st0 = int(res["strand"][i])
-            cands = []
-            for c in range(res["cand_diags"].shape[1]):
-                dg = int(res["cand_diags"][i, c])
-                st = int(res["cand_strands"][i, c])
-                if dg != 0xFFFFFFFF and st == st0 and dg not in cands:
-                    cands.append(dg)
-            # partner diagonals implied by known junctions (no second
-            # seed required, src/knownsplicing.c role)
+        if len(sneed):
+            cd_rows = np.asarray(res["cand_diags"])[sneed]
+            keep = ((cd_rows != 0xFFFFFFFF)
+                    & (np.asarray(res["cand_strands"])[sneed]
+                       == strand_v[sneed, None]))
+        for j, i in enumerate(sneed):
+            # first-occurrence dedupe, order preserved
+            cands = list(dict.fromkeys(cd_rows[j][keep[j]].tolist()))
             if known is not None:
+                li = int(len_v[i])
                 for a in list(cands):
                     for (_da, db_) in known.derived_pairs(a, li,
                                                           max_intron):
                         if db_ not in cands:
                             cands.append(db_)
-            cands_per_read.append((st0, cands[:CHAIN_K]))
+            cands_per_read.append((int(strand_v[i]), cands[:CHAIN_K]))
+
+        # one vectorized oriented gather serves salvage, the chain rows
+        # and (below) the ambiguous-end codes
+        sc_codes = None
+        if len(sneed):
+            sc_codes, sc_nmask = _oriented_rows(batch, sneed,
+                                                strand_v[sneed], L)
+            sc_quals = None
+            if quals is not None:
+                _c, _m, sc_quals = _oriented_rows(batch, sneed,
+                                                  strand_v[sneed], L,
+                                                  quals=np.asarray(quals))
 
         # localdb-equivalent salvage: reads with only ONE candidate get
         # their unseeded end located by a window-restricted fragment scan
         # (ops/localscan.py; the Spliceends_* + Localdb_get path). The
-        # unaligned portion is delimited host-side by the first/last
-        # 20-base exact run against the anchored diagonal.
-        if novelsplicing and use_localdb:
+        # unaligned portion is delimited by the first/last 20-base exact
+        # run against the anchored diagonal (native anchor_runs; one C
+        # pass replaces the per-read get_codes + np.convolve loop).
+        if novelsplicing and use_localdb and len(sneed):
+            one = [j for j, (st0, cands) in enumerate(cands_per_read)
+                   if len(cands) == 1]
             salv = []
-            for j, (i, (st0, cands)) in enumerate(zip(sneed,
-                                                      cands_per_read)):
-                if len(cands) >= 2 or not cands:
-                    continue
-                li = int(batch["lengths"][i])
-                a = cands[0]
-                c = batch["codes"][i]
-                if st0:
-                    c = np.concatenate(
-                        [dna_utils.revcomp_codes(c[:li]),
-                         np.zeros(L - li, np.uint8)])
-                g = db.get_codes(a, li)
-                if len(g) < li:
-                    continue
-                match = (c[:li] == g)
-                runs = np.convolve(match.astype(np.int32),
-                                   np.ones(20, dtype=np.int32),
-                                   mode="valid") == 20
-                starts20 = np.nonzero(runs)[0]
-                if len(starts20) == 0:
-                    continue
-                u = int(starts20[0])            # unaligned prefix len
-                e = int(starts20[-1]) + 20      # anchor end
-                salv.append((j, i, a, st0, c, li, u, e))
+            if one:
+                adiag = np.array([cands_per_read[j][1][0] for j in one],
+                                 dtype=np.uint64)
+                alen = len_v[sneed[one]].astype(np.int32)
+                acodes_rows = np.ascontiguousarray(sc_codes[one])
+                u_arr, e_arr = _anchor_runs(db, adiag, acodes_rows, alen)
+                for k, j in enumerate(one):
+                    if u_arr[k] < 0:
+                        continue
+                    i = int(sneed[j])
+                    st0, cands = cands_per_read[j]
+                    salv.append((j, i, int(adiag[k]), st0, sc_codes[j],
+                                 int(alen[k]), int(u_arr[k]),
+                                 int(e_arr[k])))
             if salv:
                 from tpumap.ops import localscan
                 F = 16
@@ -334,8 +436,9 @@ def refine_unsolved(db, index, batch, res, config,
                                     cands.append(dA)
                     cands_per_read[j] = (st0, cands[:CHAIN_K])
 
-        rows = [(i, st0, cands) for i, (st0, cands)
-                in zip(sneed, cands_per_read) if cands]
+        row_js = [j for j, (_st0, cands) in enumerate(cands_per_read)
+                  if cands]
+        rows = [(int(sneed[j]),) + cands_per_read[j] for j in row_js]
         if rows:
             nb = pad_to_bucket(len(rows))
             codes = np.zeros((nb, L), dtype=np.uint8)
@@ -343,25 +446,13 @@ def refine_unsolved(db, index, batch, res, config,
             lengths = np.ones(nb, dtype=np.int32)
             cdiags = np.full((nb, CHAIN_K), 0xFFFFFFFF, dtype=np.uint32)
             cquals = np.full((nb, L), 30, dtype=np.uint8)
-            for row, (i, st0, cands) in enumerate(rows):
-                li = int(batch["lengths"][i])
-                c = batch["codes"][i]
-                m = batch["nmask"][i]
-                qv = quals[i] if quals is not None else None
-                if st0:
-                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                        np.zeros(L - li, np.uint8)])
-                    m = np.concatenate([m[:li][::-1],
-                                        np.zeros(L - li, bool)])
-                    if qv is not None:
-                        qv = np.concatenate([qv[:li][::-1],
-                                             np.zeros(L - li, np.uint8)])
-                codes[row] = c
-                nmask[row] = m
-                lengths[row] = li
+            codes[:len(rows)] = sc_codes[row_js]
+            nmask[:len(rows)] = sc_nmask[row_js]
+            lengths[:len(rows)] = len_v[sneed[row_js]]
+            if quals is not None:
+                cquals[:len(rows)] = sc_quals[row_js]
+            for row, (_i, _st0, cands) in enumerate(rows):
                 cdiags[row, :len(cands)] = cands
-                if qv is not None:
-                    cquals[row] = qv
             sc = pathdp.PathScoring(max_intron=max(max_intron, MIN_INTRON))
             _chain = (device_ctx.chain_solve if device_ctx is not None
                       else pathdp.chain_solve)
@@ -371,28 +462,34 @@ def refine_unsolved(db, index, batch, res, config,
                 scoring=sc, with_quals=quals is not None,
                 quals=jnp.asarray(cquals) if quals is not None else None,
                 known=known_dev)
-            cres = {k: np.asarray(v) for k, v in cres.items()}
+            nsegs_l = np.asarray(cres["nsegs"]).tolist()
+            score_l8 = np.asarray(cres["score"]).tolist()
+            qs_l = np.asarray(cres["q_start"]).tolist()
+            qe_l = np.asarray(cres["q_end"]).tolist()
+            nmm_cl = np.asarray(cres["nmm"]).tolist()
+            segq_l = np.asarray(cres["seg_q"]).tolist()
+            segd_l = np.asarray(cres["seg_diag"]).tolist()
+            trim_score_l2 = (np.asarray(res["trim_score"]).tolist()
+                             if trim_qs is not None else None)
             for row, (i, st0, cands) in enumerate(rows):
-                li = int(batch["lengths"][i])
-                nsegs = int(cres["nsegs"][row])
+                li = int(len_v[i])
+                nsegs = nsegs_l[row]
                 if nsegs < 1:
                     continue
-                score8 = int(cres["score"][row])
+                score8 = score_l8[row]
                 # alternatives in the same 8-scale: the trimmed (or
                 # full-length) substitution path and the DP indel path
-                if trim_qs is not None:
-                    best_other = int(res["trim_score"][i])
+                if trim_score_l2 is not None:
+                    best_other = trim_score_l2[i]
                 else:
-                    best_other = 8 * li - 32 * int(res["nmismatch"][i])
+                    best_other = 8 * li - 32 * nmm_l[i]
                 if i in dp_result:
                     best_other = max(best_other, dp_result[i][2] * 8 // 3)
                 if score8 <= best_other:
                     continue
-                q_start = int(cres["q_start"][row])
-                q_end = int(cres["q_end"][row])
-                segs = [(int(cres["seg_q"][row][s]),
-                         int(cres["seg_diag"][row][s]))
-                        for s in range(nsegs)]
+                q_start = qs_l[row]
+                q_end = qe_l[row]
+                segs = list(zip(segq_l[row][:nsegs], segd_l[row][:nsegs]))
                 # all segments must stay on one chromosome
                 chroms = {db.chrnum(d + q) for q, d in segs}
                 chroms.add(db.chrnum(segs[-1][1] + q_end - 1))
@@ -401,7 +498,7 @@ def refine_unsolved(db, index, batch, res, config,
                 splice_result[i] = {
                     "segs": segs, "q_start": q_start, "q_end": q_end,
                     "strand": st0, "score": score8,
-                    "nmm": int(cres["nmm"][row]),
+                    "nmm": nmm_cl[row],
                 }
 
     # stage 3b: ambiguous / alternative splice ends (src/altsplice.c,
@@ -418,10 +515,24 @@ def refine_unsolved(db, index, batch, res, config,
                             # alternatives demote the junction back to a
                             # soft clip and surface in XA:Z:
         acodes = {}
-        for i in range(chunk_len):
-            if i in tr_records or res["diag"][i] == 0xFFFFFFFF:
+        acode_req = {}
+        # vectorized pre-filter: only trimmed rows whose short end can be
+        # ambiguous, plus solved splices, enter the per-row logic
+        tqs_v = np.asarray(res["trim_qstart"])[:chunk_len].astype(np.int64)
+        tqe_v = np.minimum(np.asarray(res["trim_qend"])[:chunk_len],
+                           len_v).astype(np.int64)
+        u_va, v_va = tqs_v, len_v - tqe_v
+        tnm_v = np.asarray(trim_nmm)[:chunk_len]
+        amb_m = valid_v & (((u_va >= 1) & (u_va <= se.AMB_MAX))
+                           | ((v_va >= 1) & (v_va <= se.AMB_MAX)))
+        amb_m = amb_m & (tnm_v <= np.maximum(
+            1, ((tqe_v - tqs_v).astype(np.float64)
+                * config.max_mismatch_frac).astype(np.int64)))
+        for i in sorted(set(np.nonzero(amb_m)[0].tolist())
+                        | set(splice_result)):
+            if i in tr_records or not valid_v[i]:
                 continue
-            li = int(batch["lengths"][i])
+            li = int(len_v[i])
             if i in splice_result:
                 s = splice_result[i]
                 segs = s["segs"]
@@ -434,31 +545,21 @@ def refine_unsolved(db, index, batch, res, config,
                     sides.append(("qstart", segs[1][1], segs[1][0], li))
                 if not sides:
                     continue
-                c = batch["codes"][i]
-                if s["strand"]:
-                    c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                        np.zeros(L - li, np.uint8)])
-                acodes[i] = c
+                acode_req[i] = s["strand"]
                 for (side, a, tqs, tqe) in sides:
                     review_rows.append((i, a, tqs, tqe, li, (side,)))
                 continue
-            if i in dp_result:
+            if i in dp_result or not amb_m[i]:
                 continue
-            tqs = int(res["trim_qstart"][i])
-            tqe = min(int(res["trim_qend"][i]), li)
-            u, v = tqs, li - tqe
-            if not (1 <= u <= se.AMB_MAX or 1 <= v <= se.AMB_MAX):
-                continue
-            if int(res.get("trim_nmm", res["nmismatch"])[i]) > \
-                    max(1, int((tqe - tqs) * config.max_mismatch_frac)):
-                continue
-            c = batch["codes"][i]
-            if res["strand"][i]:
-                c = np.concatenate([dna_utils.revcomp_codes(c[:li]),
-                                    np.zeros(L - li, np.uint8)])
-            acodes[i] = c
-            amb_rows.append((i, int(res["diag"][i]), tqs, tqe, li,
+            tqs, tqe = int(tqs_v[i]), int(tqe_v[i])
+            acode_req[i] = int(strand_v[i])
+            amb_rows.append((i, int(diag_v[i]), tqs, tqe, li,
                              ("qstart", "qend")))
+        if acode_req:
+            iis = np.fromiter(acode_req.keys(), dtype=np.int64)
+            sts = np.fromiter(acode_req.values(), dtype=np.int64)
+            ac, _m = _oriented_rows(batch, iis, sts, L)
+            acodes = {int(ii): ac[k] for k, ii in enumerate(iis)}
         if amb_rows or review_rows:
             se_res, se_amb = se.find_splice_ends(
                 db, index, acodes, amb_rows + review_rows, max_intron)

@@ -66,6 +66,10 @@ def get_lib():
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.anchor_runs.restype = None
+        lib.anchor_runs.argtypes = [
+            u32p, ctypes.c_long, u64p, u8p, ctypes.c_long, i32p,
+            ctypes.c_long, ctypes.c_long, i32p, i32p]
         lib.sam_emit_ungapped.restype = ctypes.c_long
         lib.sam_emit_ungapped.argtypes = [
             u32p, u32p,                          # genome packed/nmask

@@ -153,6 +153,47 @@ inline char* line_head(char* p, const char* qname, long qname_len,
 }  // namespace
 
 // ---------------------------------------------------------------------------
+// Anchored-run delimitation for the localscan salvage path
+// (src/spliceends.c trimmed-end role): per read, compare the oriented
+// read codes against the genome on the anchored diagonal and report the
+// first exact `runlen`-base run start (u_out) and the end of the last
+// one (e_out); u_out = -1 when no run exists or the window leaves the
+// genome.  Matches the Python np.convolve==runlen delimitation, which
+// compares raw 2-bit codes (no N overlay).
+extern "C" void anchor_runs(
+    const uint32_t* gpacked, long genome_len,
+    const uint64_t* diag, const uint8_t* codes, long Lstride,
+    const int32_t* lengths, long R, long runlen,
+    int32_t* u_out, int32_t* e_out) {
+    for (long r = 0; r < R; r++) {
+        u_out[r] = -1;
+        e_out[r] = -1;
+        long li = lengths[r];
+        uint64_t a = diag[r];
+        if ((long)(a + (uint64_t)li) > genome_len) continue;
+        const uint8_t* c = codes + r * Lstride;
+        long run = 0, first = -1, last = -1;
+        for (long j = 0; j < li; j++) {
+            uint64_t u = a + (uint64_t)j;
+            int g = (gpacked[u >> 4] >> (2 * (u & 15))) & 3;
+            if ((c[j] & 3) == g) {
+                if (++run >= runlen) {
+                    long start = j - runlen + 1;
+                    if (first < 0) first = start;
+                    last = start;
+                }
+            } else {
+                run = 0;
+            }
+        }
+        if (first >= 0) {
+            u_out[r] = (int32_t)first;
+            e_out[r] = (int32_t)(last + runlen);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Ungapped (substitution-only) records, optional terminal soft clips.
 //
 // Per read i with emit[i] != 0, appends one SAM line.  line_off[i] /
