@@ -117,6 +117,29 @@ def test_paired_spliced_end(tmp_path):
     assert s2.flag & 16 and s2.flag & 0x80
 
 
+def test_paired_bulk_emitter_parity(paired_case, monkeypatch):
+    """The native bulk paired emitter (io/sam_bulk.py + sam_emit.cc
+    mate columns) produces byte-identical SAM lines to the Python
+    record path for plain concordant pairs."""
+    from tpumap.gsnap.paired import align_paired_records as apr
+    from tpumap.io import sam_bulk
+
+    d, pairs, truth = paired_case
+    db = build_db(d / "g.fa", name="g", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    out_bulk = apr(db, index, pairs, AlignConfig())
+    n_raw = sum(isinstance(s, sam_bulk.RawSamRecord)
+                for pr in out_bulk for s in pr)
+    if n_raw == 0:
+        pytest.skip("native library unavailable")
+    monkeypatch.setattr(sam_bulk, "_lib", None)
+    monkeypatch.setattr(sam_bulk, "_lib_tried", True)
+    out_py = apr(db, index, pairs, AlignConfig())
+    for (a1, a2), (b1, b2) in zip(out_bulk, out_py):
+        assert a1.lines() == b1.lines()
+        assert a2.lines() == b2.lines()
+
+
 def test_concordance_device_matches_host():
     """Device concordance kernel vs the host reference implementation on
     random candidate sets: same validity and same nmm-sum (tie-breaks may

@@ -227,6 +227,10 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                                               config, L)
         return chunk, batch, L, dev
 
+    from tpumap.io import sam_bulk as _sam_bulk
+    bulk_ok = remapper is None and _sam_bulk._get_lib() is not None
+    bulk_rows = []
+
     out = []
     starts = list(range(0, len(pairs), batch_size))
     pending = _dispatch(starts[0]) if starts else None
@@ -541,18 +545,31 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                         amb_res[i] = keep
                     else:
                         amb_res.pop(i, None)
+            special = {k: _special_record(
+                           db, chunk[p][0 if k == i1 else 1],
+                           idx, res, dp_result, splice_result,
+                           int(batch["lengths"][idx]),
+                           config, int(mapq[idx]), known=known)
+                       for k, idx in ((i1, i1), (i2, i2))}
+            sp1, sp2 = special.get(i1), special.get(i2)
+            if (bulk_ok and sp1 is None and sp2 is None
+                    and e1 is not None and e2 is not None
+                    and i1 not in amb_res and i2 not in amb_res):
+                # both mates are plain ungapped records -> defer to one
+                # native bulk emission per chunk (io/sam_bulk.py)
+                plans = _pair_plan(r1, r2, e1, e2, pairmax,
+                                   resolve_inner=resolve_inner)
+                out.append([None, None])
+                for k, (idx, rec, pl) in enumerate(
+                        ((i1, r1, plans[0]), (i2, r2, plans[1]))):
+                    e = pl["e"]
+                    bulk_rows.append((len(out) - 1, k, idx, rec,
+                                      int(mapq[idx]), e, pl))
+                continue
             out.append(_emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
                                   int(mapq[i2]), pairmax,
                                   resolve_inner=resolve_inner,
-                                  special={
-                                      k: _special_record(
-                                          db, chunk[p][0 if k == i1 else 1],
-                                          idx, res, dp_result,
-                                          splice_result,
-                                          int(batch["lengths"][idx]),
-                                          config, int(mapq[idx]),
-                                          known=known)
-                                      for k, idx in ((i1, i1), (i2, i2))},
+                                  special=special,
                                   keys=(i1, i2)))
             if amb_res:
                 from tpumap.gsnap.spliceends import xa_tag
@@ -562,6 +579,10 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             if remapper is not None:
                 # transcript remap + joint paired velocity (XX/XY tags)
                 remap_mod.tag_pair(remapper, db, out[-1][0], out[-1][1])
+        if bulk_rows:
+            _flush_paired_bulk(db, batch, bulk_rows, out, pairmax,
+                               resolve_inner)
+            bulk_rows = []
     return out
 
 
@@ -591,23 +612,20 @@ def _special_record(db, rec, i, res, dp_result, splice_result, li, config,
     return None
 
 
-def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
-               keys=(None, None), resolve_inner=True):
-    special = special or {}
-    # a special (spliced/gapped/repaired) record supersedes the
-    # substitution placement — resolve BOTH effective ends first so the
-    # mate's flags/RNEXT/PNEXT reflect the superseding position (and a
-    # repaired previously-unmapped mate clears the 0x8 flag)
-    sp1, sp2 = special.get(keys[0]), special.get(keys[1])
+def _pair_plan(r1, r2, e1, e2, pairmax, sp1=None, sp2=None,
+               resolve_inner=True):
+    """Mate-field arithmetic shared by the Python and bulk emitters:
+    per mate (clip qs/qe, OR-in flag bits, mate univcoord or None,
+    tlen) after resolving superseding specials and --resolve-inner
+    dovetail clipping (src/pathpair-eval.c:410-470)."""
     if sp1 is not None:
         e1 = (sp1[1], sp1[2], 0)
     if sp2 is not None:
         e2 = (sp2[1], sp2[2], 0)
-    # --resolve-inner (default on, src/pathpair-eval.c:410-470): a read
-    # whose aligned span runs past the mate's DISTAL fragment boundary
-    # (dovetail/read-through) gets its overhang soft-clipped; q ranges
-    # are in the ALIGNED orientation so q_start always trims the
-    # genomic-low side
+    # --resolve-inner: a read whose aligned span runs past the mate's
+    # DISTAL fragment boundary (dovetail/read-through) gets its overhang
+    # soft-clipped; q ranges are in the ALIGNED orientation so q_start
+    # always trims the genomic-low side
     L1, L2 = len(r1.sequence), len(r2.sequence)
     clips = [[0, L1], [0, L2]]
     if (resolve_inner and e1 is not None and e2 is not None
@@ -621,32 +639,21 @@ def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
         over_lo = dplus - dminus                 # minus end before start
         if 0 < over_lo <= Lm - 20:
             clips[km][0] = over_lo
-    recs = []
-    for (rec, e, mq, other, first, sp, ki) in (
-            (r1, e1, mq1, e2, True, sp1, 0),
-            (r2, e2, mq2, e1, False, sp2, 1)):
-        if sp is not None:
-            s = sp[0]
-        elif e is None:
-            s = sam.unmapped_record(rec.accession, rec.sequence, rec.quality)
-        else:
-            qs, qe = clips[ki]
-            s = sam.ungapped_record(db, rec.accession, rec.sequence,
-                                    rec.quality, e[0], e[1], mq, e[2],
-                                    q_start=qs, q_end=qe)
-        s.flag |= 0x1 | (0x40 if first else 0x80)
+    plans = []
+    for (e, other, first, ki) in ((e1, e2, True, 0), (e2, e1, False, 1)):
+        flag_extra = 0x1 | (0x40 if first else 0x80)
         if e is None:
-            s.flag |= 0x4
+            flag_extra |= 0x4
+        mate_u = None
         if other is None:
-            s.flag |= 0x8
+            flag_extra |= 0x8
         else:
             if other[1]:
-                s.flag |= 0x20
-            rname, chrpos = db.chrpos(other[0] + clips[1 - ki][0])
-            s.rnext = "=" if (e is not None and s.rname == rname) else rname
-            s.pnext = chrpos + 1
-        recs.append(s)
-    r1s, r2s = recs
+                flag_extra |= 0x20
+            mate_u = other[0] + clips[1 - ki][0]
+        plans.append({"e": e, "qs": clips[ki][0], "qe": clips[ki][1],
+                      "flag_extra": flag_extra, "mate_u": mate_u,
+                      "tlen": 0})
     # proper pair + TLEN when both mapped on opposite strands within
     # range (clipped spans: a resolved dovetail shrinks the fragment)
     if e1 is not None and e2 is not None and e1[1] != e2[1]:
@@ -654,10 +661,77 @@ def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
         hi = max(e1[0] + clips[0][1], e2[0] + clips[1][1])
         tlen = hi - lo
         if tlen <= pairmax:
-            r1s.flag |= 0x2
-            r2s.flag |= 0x2
             sign1 = (1 if e1[0] + clips[0][0] <= e2[0] + clips[1][0]
                      else -1)
-            r1s.tlen = sign1 * tlen
-            r2s.tlen = -sign1 * tlen
-    return r1s, r2s
+            for pl, sg in ((plans[0], sign1), (plans[1], -sign1)):
+                pl["flag_extra"] |= 0x2
+                pl["tlen"] = sg * tlen
+    return plans
+
+
+def _plan_record(db, rec, pl, mq, sp=None):
+    """Build the Python SamRecord a _pair_plan entry describes."""
+    e = pl["e"]
+    if sp is not None:
+        s = sp[0]
+    elif e is None:
+        s = sam.unmapped_record(rec.accession, rec.sequence, rec.quality)
+    else:
+        s = sam.ungapped_record(db, rec.accession, rec.sequence,
+                                rec.quality, e[0], e[1], mq, e[2],
+                                q_start=pl["qs"], q_end=pl["qe"])
+    s.flag |= pl["flag_extra"]
+    if pl["mate_u"] is not None:
+        rname, chrpos = db.chrpos(pl["mate_u"])
+        s.rnext = "=" if (e is not None and s.rname == rname) else rname
+        s.pnext = chrpos + 1
+    s.tlen = pl["tlen"]
+    return s
+
+
+def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
+               keys=(None, None), resolve_inner=True):
+    special = special or {}
+    # a special (spliced/gapped/repaired) record supersedes the
+    # substitution placement — resolve BOTH effective ends first so the
+    # mate's flags/RNEXT/PNEXT reflect the superseding position (and a
+    # repaired previously-unmapped mate clears the 0x8 flag)
+    sp1, sp2 = special.get(keys[0]), special.get(keys[1])
+    plans = _pair_plan(r1, r2, e1, e2, pairmax, sp1, sp2, resolve_inner)
+    return (_plan_record(db, r1, plans[0], mq1, sp1),
+            _plan_record(db, r2, plans[1], mq2, sp2))
+
+
+def _flush_paired_bulk(db, batch, bulk_rows, out, pairmax, resolve_inner):
+    """One native C call emits every deferred plain paired mate of the
+    chunk (full FLAG + RNEXT/PNEXT/TLEN columns, no NH/HI, matching
+    _plan_record output byte for byte)."""
+    from tpumap.io import sam_bulk
+    m = len(bulk_rows)
+    idxs = np.array([b[2] for b in bulk_rows], dtype=np.int64)
+    recs = [b[3] for b in bulk_rows]
+    mq = np.array([b[4] for b in bulk_rows], dtype=np.int32)
+    diag = np.array([b[5][0] for b in bulk_rows], dtype=np.uint64)
+    strand = np.array([b[5][1] for b in bulk_rows], dtype=np.uint8)
+    flags = np.array([(16 if b[5][1] else 0) | b[6]["flag_extra"]
+                      for b in bulk_rows], dtype=np.int32)
+    mate_u = np.array([b[6]["mate_u"] for b in bulk_rows],
+                      dtype=np.uint64)
+    tlen = np.array([b[6]["tlen"] for b in bulk_rows], dtype=np.int64)
+    qs = np.array([b[6]["qs"] for b in bulk_rows], dtype=np.int32)
+    qe = np.array([b[6]["qe"] for b in bulk_rows], dtype=np.int32)
+    lengths = np.asarray(batch["lengths"])[idxs]
+    lines = sam_bulk.emit_ungapped_bulk(
+        db, recs, np.ascontiguousarray(np.asarray(batch["codes"])[idxs]),
+        np.ascontiguousarray(np.asarray(batch["nmask"])[idxs]),
+        lengths, diag, strand, mq, None, qs, qe,
+        np.ones(m, dtype=np.uint8), flags=flags, mate_u=mate_u,
+        tlen=tlen)
+    for j, (oi, k, _idx, rec, mq_j, _e, pl) in enumerate(bulk_rows):
+        if lines is not None and lines[j] is not None:
+            r = sam_bulk.RawSamRecord(lines[j], int(flags[j]), int(mq_j))
+        else:
+            r = _plan_record(db, rec, pl, mq_j)
+        out[oi][k] = r
+    for oi in {b[0] for b in bulk_rows}:
+        out[oi] = tuple(out[oi])

@@ -179,14 +179,17 @@ def _decode_lines(out_buf, line_off, total, B):
 
 
 def emit_ungapped_bulk(db, chunk, codes, rnmask, lengths, diag, strand,
-                       mapq, nbest, qstart, qend, emit):
+                       mapq, nbest, qstart, qend, emit,
+                       flags=None, mate_u=None, tlen=None):
     """Emit final SAM lines for every emit[i]!=0 row in one C call.
 
     codes/rnmask: (B, L) uint8 row-major read codes + N mask (forward
     orientation); diag: univcoord of query base 0 per read (uint64);
-    [qstart, qend) aligned span (soft clips outside).  Returns a list of
-    per-row SAM text (None where not emitted), or None if the native
-    library is unavailable.
+    [qstart, qend) aligned span (soft clips outside).  Paired mode:
+    pass full `flags`, the mate univcoord (`mate_u`, UINT64_MAX = none)
+    and signed `tlen`, with nbest=None to omit NH/HI (like the paired
+    printers).  Returns a list of per-row SAM text (None where not
+    emitted), or None if the native library is unavailable.
     """
     lib = _get_lib()
     if lib is None or not len(chunk):
@@ -204,17 +207,28 @@ def emit_ungapped_bulk(db, chunk, codes, rnmask, lengths, diag, strand,
     diag = np.ascontiguousarray(diag[:B], dtype=np.uint64)
     strand = np.ascontiguousarray(strand[:B], dtype=np.uint8)
     mapq = np.ascontiguousarray(np.clip(mapq[:B], 0, 255), dtype=np.uint8)
-    nbest = np.ascontiguousarray(nbest[:B], dtype=np.int32)
+    if nbest is not None:
+        nbest = np.ascontiguousarray(nbest[:B], dtype=np.int32)
     qstart = np.ascontiguousarray(qstart[:B], dtype=np.int32)
     qend = np.ascontiguousarray(qend[:B], dtype=np.int32)
     emit = np.ascontiguousarray(emit[:B], dtype=np.uint8)
+    if flags is not None:
+        flags = np.ascontiguousarray(flags[:B], dtype=np.int32)
+    if mate_u is not None:
+        mate_u = np.ascontiguousarray(mate_u[:B], dtype=np.uint64)
+    if tlen is not None:
+        tlen = np.ascontiguousarray(tlen[:B], dtype=np.int64)
     total = lib.sam_emit_ungapped(
         *genome_args, qblob, qoffp,
         _p(codes, _U8), _p(rnmask, _U8), L,
         qual_args[0], qual_args[1],
         _p(lengths, _I32), _p(diag, _U64), _p(strand, _U8),
-        _p(mapq, _U8), _p(nbest, _I32),
+        _p(mapq, _U8),
+        _p(nbest, _I32) if nbest is not None else None,
         _p(qstart, _I32), _p(qend, _I32),
+        _p(flags, _I32) if flags is not None else None,
+        _p(mate_u, _U64) if mate_u is not None else None,
+        _p(tlen, _I64) if tlen is not None else None,
         _p(emit, _U8), B, out_buf, cap, _p(line_off, _I64))
     if total < 0:
         return None

@@ -80,6 +80,7 @@ def get_lib():
             ctypes.c_char_p, i64p,               # qual blob/off
             i32p, u64p, u8p, u8p, i32p,          # len/diag/strand/mapq/nbest
             i32p, i32p,                          # qstart/qend
+            i32p, u64p, i64p,                    # flags/mate_u/tlen (paired)
             u8p, ctypes.c_long,                  # emit mask, B
             ctypes.c_char_p, ctypes.c_long, i64p]
         lib.sam_emit_path.restype = ctypes.c_long

@@ -199,6 +199,13 @@ extern "C" void anchor_runs(
 // Per read i with emit[i] != 0, appends one SAM line.  line_off[i] /
 // line_off[i+1] bound read i's bytes in out (equal => not emitted).
 // Returns total bytes written, or -1 if out_cap would overflow.
+//
+// Paired-end extension (Path_print_sam mate columns): when `flags` is
+// non-NULL it gives the full FLAG (0x1/0x2/0x20/0x40/0x80 set by the
+// caller); `mate_u` non-NULL gives the mate's univcoord (UINT64_MAX =
+// no mate info -> RNEXT '*'), RNEXT prints '=' when both sit on one
+// chromosome; `tlen` non-NULL gives the signed TLEN.  `nbest` may be
+// NULL to omit the NH/HI tags (the paired printers do not emit them).
 extern "C" long sam_emit_ungapped(
     const uint32_t* gpacked, const uint32_t* gnmask,
     const uint64_t* chrom_starts, const int64_t* chrom_spans,
@@ -210,6 +217,7 @@ extern "C" long sam_emit_ungapped(
     const int32_t* lengths, const uint64_t* diag, const uint8_t* strand,
     const uint8_t* mapq, const int32_t* nbest,
     const int32_t* qstart, const int32_t* qend,
+    const int32_t* flags, const uint64_t* mate_u, const int64_t* tlen,
     const uint8_t* emit, long B,
     char* out, long out_cap, int64_t* line_off) {
     ChromTab ct = {chrom_starts, chrom_spans, circularp, n_chroms,
@@ -237,15 +245,39 @@ extern "C" long sam_emit_ungapped(
         // base diag+j for j in [q0, q1)
         long mdlen = md_scan(seqbuf, q0, q1, gpacked, gnmask, diag[i],
                              mdbuf, &nm);
+        int flag = flags ? flags[i] : (st ? 16 : 0);
         p = line_head(p, qname_blob + qname_off[i],
                       qname_off[i + 1] - qname_off[i],
-                      st ? 16 : 0, ct, diag[i] + (uint64_t)q0, mapq[i]);
+                      flag, ct, diag[i] + (uint64_t)q0, mapq[i]);
         // CIGAR
         if (q0) { p = put_u64(p, (uint64_t)q0); *p++ = 'S'; }
         p = put_u64(p, (uint64_t)(q1 - q0));
         *p++ = 'M';
         if (L - q1) { p = put_u64(p, (uint64_t)(L - q1)); *p++ = 'S'; }
-        p = put_str(p, "\t*\t0\t0\t", 7);
+        // RNEXT / PNEXT / TLEN
+        if (mate_u && mate_u[i] != (uint64_t)-1) {
+            *p++ = '\t';
+            long mc = chrnum(chrom_starts, n_chroms, mate_u[i]);
+            long sc = chrnum(chrom_starts, n_chroms,
+                             diag[i] + (uint64_t)q0);
+            if (mc == sc) {
+                *p++ = '=';
+            } else {
+                p = put_str(p, rname_blob + rname_off[mc],
+                            rname_off[mc + 1] - rname_off[mc]);
+            }
+            *p++ = '\t';
+            uint64_t mpos = mate_u[i] - chrom_starts[mc];
+            if (circularp[mc]) mpos %= (uint64_t)chrom_spans[mc];
+            p = put_u64(p, mpos + 1);
+            *p++ = '\t';
+            long tl = tlen ? tlen[i] : 0;
+            if (tl < 0) { *p++ = '-'; tl = -tl; }
+            p = put_u64(p, (uint64_t)tl);
+            *p++ = '\t';
+        } else {
+            p = put_str(p, "\t*\t0\t0\t", 7);
+        }
         p = put_str(p, seqbuf, L);
         *p++ = '\t';
         // QUAL (reversed when strand)
@@ -261,9 +293,12 @@ extern "C" long sam_emit_ungapped(
         p = put_u64(p, (uint64_t)nm);
         p = put_str(p, "\tMD:Z:", 6);
         p = put_str(p, mdbuf, mdlen);
-        p = put_str(p, "\tNH:i:", 6);
-        p = put_u64(p, (uint64_t)(nbest[i] > 1 ? nbest[i] : 1));
-        p = put_str(p, "\tHI:i:1\n", 8);
+        if (nbest) {
+            p = put_str(p, "\tNH:i:", 6);
+            p = put_u64(p, (uint64_t)(nbest[i] > 1 ? nbest[i] : 1));
+            p = put_str(p, "\tHI:i:1", 7);
+        }
+        *p++ = '\n';
         line_off[i + 1] = p - out;
     }
     return p - out;
