@@ -98,10 +98,15 @@ def main():
     B = 16384
     nbatch = N // B
 
+    zero_stub = np.zeros((1, 1), dtype=pnmask.dtype)
+
     def run_batch(i):
         sl = slice(i * B, (i + 1) * B)
+        pm = pnmask[sl]
+        if not pm.any():            # N-free: skip the mask transfer
+            pm = zero_stub
         pbatch = {"packed": jnp.asarray(packed[sl]),
-                  "pnmask": jnp.asarray(pnmask[sl]),
+                  "pnmask": jnp.asarray(pm),
                   "lengths": jnp.asarray(lengths[sl])}
         return align_batch_cascaded_packed(index, pbatch, config, L, 3,
                                            256)

@@ -36,8 +36,12 @@ def _pack_batch(batch):
     import jax.numpy as jnp
     from tpumap.ops import pack
     out = {"packed": jnp.asarray(pack.pack_reads_host(batch["codes"])),
-           "pnmask": jnp.asarray(
-               pack.pack_reads_host(batch["nmask"].astype(np.uint8))),
+           "pnmask": (jnp.asarray(
+                          pack.pack_reads_host(
+                              batch["nmask"].astype(np.uint8)))
+                      if batch["nmask"].any()
+                      # N-free batch: (1,1) stub -> zeros made on device
+                      else jnp.zeros((1, 1), dtype=jnp.uint32)),
            "lengths": jnp.asarray(batch["lengths"])}
     if "quals" in batch:        # FASTQ input: quality-weighted MAPQ
         out["quals"] = jnp.asarray(batch["quals"])

@@ -705,9 +705,16 @@ def align_batch_cascaded_packed(index: DeviceIndex, pbatch,
     """align_batch_cascaded fed by HOST-PACKED reads: pbatch holds
     packed uint32[B, W] (pack_reads_host), pnmask uint32[B, W] (N flags
     packed the same way) and lengths int32[B]. The 4x-smaller transfer
-    matters on a tunnel-attached chip; codes are unpacked on device."""
+    matters on a tunnel-attached chip; codes are unpacked on device.
+
+    N-free batches (the common case) may pass a (1, 1) pnmask stub:
+    the mask is then materialized as device zeros instead of being
+    transferred at all, halving host->device bytes."""
     codes = pack.unpack_reads(pbatch["packed"], L)
-    nmask = pack.unpack_reads(pbatch["pnmask"], L).astype(jnp.bool_)
+    if pbatch["pnmask"].shape == pbatch["packed"].shape:
+        nmask = pack.unpack_reads(pbatch["pnmask"], L).astype(jnp.bool_)
+    else:
+        nmask = jnp.zeros(codes.shape, dtype=jnp.bool_)
     batch = {"codes": codes, "nmask": nmask, "lengths": pbatch["lengths"]}
     if "quals" in pbatch:
         batch["quals"] = pbatch["quals"]
