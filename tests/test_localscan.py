@@ -55,6 +55,32 @@ def test_short_suffix_anchor_salvage(world):
     assert "NM:i:0" in rec.tags
 
 
+def test_salvage_past_32k(tmp_path):
+    """A 50-kbp intron with a 12-bp distal fragment: the salvage window
+    covers the reference's full 65,536-bp localdb region scale
+    (src/localdb-write.c), not the 32-kbp cap round 1 shipped with."""
+    from tpumap.gsnap.driver import align_records
+    from tpumap.index import build_db
+    from tpumap.index.device import DeviceIndex
+
+    rng = np.random.default_rng(31)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 80000))
+    e1, e2 = 4000, 54100                # intron ~50 kbp > 32768
+    g = list(seq)
+    g[e1 + EXLEN:e1 + EXLEN + 2] = "GT"
+    g[e2 - 2:e2] = "AG"
+    seq = "".join(g)
+    (tmp_path / "g.fa").write_text(">chr1\n" + seq + "\n")
+    db = build_db(tmp_path / "g.fa", name="ls2", k=13, interval=3)
+    index = DeviceIndex.from_host(db)
+    read = seq[e1:e1 + EXLEN] + seq[e2:e2 + 12]
+    out = align_records(db, index, [Record("s", "", read)],
+                        novelsplicing=True, max_intron=60000)
+    rec = out[0]
+    assert f"{e2 - e1 - EXLEN}N" in rec.cigar, rec
+    assert rec.pos == e1 + 1
+
+
 def test_short_prefix_anchor_salvage(world):
     from tpumap.gsnap.driver import align_records
 

@@ -392,7 +392,10 @@ def refine_unsolved(db, index, batch, res, config,
             if salv:
                 from tpumap.ops import localscan
                 F = 16
-                W = min(32768, max(1024, max_intron))
+                # window = the reference's localdb region scale (65,536 bp
+                # suffix-array regions, src/localdb-write.c); splice
+                # distances past W are covered by the seeded chain path
+                W = min(65536, max(1024, max_intron))
                 R = pad_to_bucket(len(salv))
                 frag_s = np.zeros((R, F), dtype=np.uint8)
                 frag_p = np.zeros((R, F), dtype=np.uint8)

@@ -346,7 +346,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         if repair_rows:
             from tpumap.ops import localscan, pathdp
             FL = 16
-            W = min(32768, max(1024, pairmax))
+            W = min(65536, max(1024, pairmax))
             R = pad_to_bucket(len(repair_rows))
             frag_a = np.zeros((R, FL), np.uint8)
             frag_b = np.zeros((R, FL), np.uint8)

@@ -32,7 +32,8 @@ MIN_INTRON = 30
 AMB_MAX = 8            # longest residue handled here (>= 6 goes to localscan
                        # too, but a splice-dinuc-anchored scan still applies)
 TOP_ALTS = 8
-SCAN_W = 32768         # window cap, the localdb region scale
+SCAN_W = 65536         # window cap: the reference's localdb region scale
+                       # (per-65,536-bp suffix arrays, src/localdb-write.c)
 # dinucleotide base codes (A=0 C=1 G=2 T=3)
 _DONORS = {(2, 3): 1, (2, 1): 1, (1, 3): -1}     # GT, GC -> +; CT -> -
 _ACC_OF = {1: (0, 2), -1: (0, 1)}                # sense -> AG | AC
