@@ -70,6 +70,38 @@ def test_align_vs_truth(synthetic):
     assert n_ok == len(truth)
 
 
+def test_dirty_ends_clean_middle(synthetic):
+    """The Extension_search hard case (src/extension-search.c Elt runs):
+    substitutions planted inside BOTH end k-mers kill the ends rung, so
+    only dense interior seeding (prevalent rung) can place the read.
+    Validates the 'extension search subsumed by dense seeding' design
+    claim against its adversarial input."""
+    from tpumap.io.fasta import Record
+
+    root, genome_fa, reads_fa, truth = synthetic
+    db = build_db(genome_fa, name="g2", k=12, interval=3)
+    index = DeviceIndex.from_host(db)
+    seq = "".join(r.sequence for r in read_fasta(genome_fa))
+    rng = np.random.default_rng(77)
+    recs, want = [], []
+    for r in range(24):
+        p = int(rng.integers(0, len(seq) - 100))
+        s = list(seq[p:p + 100])
+        # corrupt positions 3 and 96: inside the first and last 12-mer,
+        # and (interval 3) inside every oligo covering the read ends
+        for j in (3, 96):
+            s[j] = "ACGT"[(("ACGT".index(s[j])) + 1) % 4]
+        recs.append(Record(f"d{r}", "", "".join(s)))
+        want.append(p)
+    out = align_records(db, index, recs, AlignConfig())
+    for rec, p in zip(out, want):
+        assert not rec.flag & 4, rec.qname
+        clip = 0
+        if "S" in rec.cigar.split("M")[0]:
+            clip = int(rec.cigar.split("S")[0])
+        assert rec.pos == p + 1 + clip, (rec.qname, rec.pos, p)
+
+
 @need_oracle
 def test_align_vs_reference_gsnap(synthetic):
     root, genome_fa, reads_fa, truth = synthetic
