@@ -43,7 +43,7 @@ def main():
     from tpumap.utils import dna
 
     gfa, _rfa = bench_data.ensure_files()
-    db = GenomeDB.load(str(bench_data.ROOT / "db_k13"))
+    db = GenomeDB.load(str(bench_data.ROOT / "db_k14"))
     index = DeviceIndex.from_host(db)
     queries = make_queries(db)
     enc = [dna.encode(q) for q in queries]
@@ -67,7 +67,7 @@ def main():
         # build a reference db once
         refdb = d / "refdb"
         subprocess.run([str(REFBIN / "gmap_build"), "-B", str(REFBIN),
-                        "-D", str(refdb), "-d", "bench", "-k", "13",
+                        "-D", str(refdb), "-d", "bench", "-k", "14",
                         str(gfa)], check=True, capture_output=True)
         t0 = time.perf_counter()
         out = subprocess.run([str(gmap), "-D", str(refdb), "-d", "bench",

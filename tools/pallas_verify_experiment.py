@@ -123,7 +123,7 @@ def main():
     from tpumap.index.device import DeviceIndex
     from tpumap.ops import verify
 
-    db = GenomeDB.load(str(bench_data.ROOT / "db_k13"))
+    db = GenomeDB.load(str(bench_data.ROOT / "db_k14"))
     index = DeviceIndex.from_host(db)
     B, W, C = 8192, 7, 8
     rng = np.random.default_rng(0)

@@ -32,11 +32,11 @@ REPS = 12
 
 def main():
     gfa, rfa = bench_data.ensure_files()
-    dbdir = bench_data.ROOT / "db_k13"
+    dbdir = bench_data.ROOT / "db_k14"
     if (dbdir / "meta.json").exists():
         db = GenomeDB.load(str(dbdir))
     else:
-        db = build_db(gfa, name="bench", k=13, interval=3)
+        db = build_db(gfa, name="bench", k=14, interval=3)
         db.save(str(dbdir))
     index = DeviceIndex.from_host(db)
     config = AlignConfig(top_k=4, max_occ=4)

@@ -113,9 +113,9 @@ def stage_fns(config, k):
 
 def main():
     gfa, rfa = bench_data.ensure_files()
-    dbdir = bench_data.ROOT / "db_k13"
+    dbdir = bench_data.ROOT / "db_k14"
     db = GenomeDB.load(str(dbdir)) if (dbdir / "meta.json").exists() \
-        else build_db(gfa, name="bench", k=13, interval=3)
+        else build_db(gfa, name="bench", k=14, interval=3)
     index = DeviceIndex.from_host(db)
     config = E.AlignConfig(top_k=4, max_occ=4)
 
