@@ -128,9 +128,13 @@ def main():
     # ---- RNA: end-to-end spliced workload ----------------------------
     _, rna_rfa = bench_data.ensure_rna_files()
     rna_reads = list(read_fasta(rna_rfa))
-    # warmup on a slice (compiles the refinement-ladder kernels)
-    align_records(db, index, rna_reads[:4096], config,
-                  novelsplicing=True, batch_size=4096)
+    # warmup on the FIRST BATCH AT THE TIMED SHAPES (a different warmup
+    # batch size left every ladder kernel to compile inside the timed
+    # region — the round-2 244 reads/s number was ~120 s of XLA compiles,
+    # not alignment); the persistent compile cache (utils/jaxcache.py)
+    # makes this warmup cheap on every run after the first
+    align_records(db, index, rna_reads[:16384], config,
+                  novelsplicing=True, batch_size=16384)
     t0 = time.perf_counter()
     rna_out = align_records(db, index, rna_reads, config,
                             novelsplicing=True, batch_size=16384)

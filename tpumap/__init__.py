@@ -19,3 +19,7 @@ Package layout:
 
 __version__ = "0.1.0"
 REFERENCE_VERSION = "2024-02-22"
+
+from tpumap.utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
