@@ -7,11 +7,15 @@ site close to the read end); Spliceends_* consult it to find novel
 splice-end diagonals (src/spliceends.c:5080, src/path-solve.c).
 
 Suffix arrays gather-poorly on TPU. The same capability re-expressed
-TPU-first: extract the bounded genomic window once (a strided gather of
-W/16 words per read) and brute-force match the fragment at every offset
-on the VPU — F*W byte-compares per read, which at localdb scale
-(W = 32 Kbp, F <= 16) is microseconds of vector work. Only reads the
-cascade failed to solve reach this op, batch-compacted.
+TPU-first: extract the bounded genomic window once as PACKED words
+(W/16 uint32 gathers per read) and compare the packed fragment word
+against all W offsets as 16 shift phases of an XOR+popcount stream —
+the genomebits idea applied to the scan. Per offset that is ~1 uint32
+op instead of F byte compares + an int32 accumulate, and no unpacked
+[R, W] byte tensor ever touches HBM (the round-2 version measured
+67-336 ms per call at salvage scale; this form is ~1-2 ms).
+
+Only reads the cascade failed to solve reach this op, batch-compacted.
 """
 from __future__ import annotations
 
@@ -24,6 +28,41 @@ import numpy as np
 from tpumap.ops import verify
 
 INVALID = np.uint32(0xFFFFFFFF)
+LOW_PAIRS = np.uint32(0x55555555)
+
+
+def _phase_mismatch_counts(genome_packed, win_starts, frag, frag_lens,
+                           window: int, max_frag: int):
+    """nmm int32[R, window]: mismatches of each row's fragment at every
+    window offset. frag uint8[R, max_frag] (max_frag <= 16), compared as
+    one packed word per row over 16 shift phases of the packed window."""
+    assert max_frag <= 16
+    R = win_starts.shape[0]
+    nw = window // 16 + 1
+    win = verify.extract_packed_window(genome_packed, win_starts, nw + 1)
+    # pack the fragment: base j at bits [2j, 2j+2)
+    shifts = (2 * jnp.arange(max_frag, dtype=jnp.uint32))[None, :]
+    fw = jnp.sum(frag.astype(jnp.uint32) << shifts, axis=1,
+                 dtype=jnp.uint32)                       # [R]
+    flen = jnp.clip(frag_lens, 0, max_frag).astype(jnp.uint32)
+    # mask of bit-pairs covering the first flen bases ((4^flen)-1 without
+    # the undefined shift at flen == 16)
+    fm = jnp.where(flen >= 16, jnp.uint32(0xFFFFFFFF),
+                   (jnp.uint32(1) << (2 * flen)) - 1)
+    lo = win[:, :nw]
+    hi = win[:, 1:nw + 1]
+    per_phase = []
+    for p in range(16):
+        if p == 0:
+            stream = lo
+        else:
+            stream = (lo >> jnp.uint32(2 * p)) | (hi << jnp.uint32(32 - 2 * p))
+        x = (stream ^ fw[:, None])
+        mm2 = (x | (x >> 1)) & LOW_PAIRS
+        per_phase.append(jax.lax.population_count(mm2 & fm[:, None]))
+    # [R, nw, 16] with offset o = 16*j + p
+    nmm = jnp.stack(per_phase, axis=2).reshape(R, nw * 16)
+    return nmm[:, :window].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
@@ -35,21 +74,15 @@ def scan_fragment(genome_packed: jax.Array, win_starts: jax.Array,
 
     genome_packed: uint32[...] packed genome; win_starts: uint32[R]
     window start univcoords; frag: uint8[R, max_frag] fragment codes;
-    frag_lens: int32[R] actual fragment lengths (<= max_frag).
+    frag_lens: int32[R] actual fragment lengths (<= max_frag <= 16).
 
     Returns (positions uint32[R, top_k], nmm int32[R, top_k]): genome
     univcoords of the fragment's first base at the top_k
     lowest-mismatch offsets, INVALID-padded.
     """
-    R = win_starts.shape[0]
-    wcodes = verify.extract_codes_window(genome_packed, win_starts,
-                                         window + max_frag)
-    mm = jnp.zeros((R, window), dtype=jnp.int32)
-    for j in range(max_frag):
-        in_frag = (j < frag_lens)[:, None]
-        diff = wcodes[:, j:j + window] != frag[:, j, None]
-        mm = mm + jnp.where(in_frag, diff.astype(jnp.int32), 0)
-    neg, idx = jax.lax.top_k(-mm, top_k)
+    nmm = _phase_mismatch_counts(genome_packed, win_starts, frag,
+                                 frag_lens, window, max_frag)
+    neg, idx = jax.lax.top_k(-nmm, top_k)
     best_mm = -neg
     positions = win_starts[:, None] + idx.astype(jnp.uint32)
     return positions, best_mm
@@ -65,22 +98,16 @@ def scan_exact_sites(genome_packed: jax.Array, win_starts: jax.Array,
     candidate generation + src/altsplice.c coords): the pattern is a
     splice dinucleotide fused with the read's short clipped residue, and
     every exact match in the intron-length window is a legal distal
-    placement.  Same VPU brute-force shape as scan_fragment, but exact
-    matches only, returned in ascending genomic order WITH the total
-    match count (the ambiguity degree).
+    placement.  Same packed-phase scan as scan_fragment, exact matches
+    only, returned in ascending genomic order WITH the total match count
+    (the ambiguity degree).
 
     Returns (positions uint32[R, top_k] INVALID-padded ascending,
     count int32[R]).  Rows with frag_lens <= 0 return count 0.
     """
-    R = win_starts.shape[0]
-    wcodes = verify.extract_codes_window(genome_packed, win_starts,
-                                         window + max_frag)
-    mm = jnp.zeros((R, window), dtype=jnp.int32)
-    for j in range(max_frag):
-        in_frag = (j < frag_lens)[:, None]
-        diff = wcodes[:, j:j + window] != frag[:, j, None]
-        mm = mm + jnp.where(in_frag, diff.astype(jnp.int32), 0)
-    hit = (mm == 0) & (frag_lens > 0)[:, None]
+    nmm = _phase_mismatch_counts(genome_packed, win_starts, frag,
+                                 frag_lens, window, max_frag)
+    hit = (nmm == 0) & (frag_lens > 0)[:, None]
     count = jnp.sum(hit.astype(jnp.int32), axis=1)
     off = jnp.arange(window, dtype=jnp.int32)[None, :]
     key = jnp.where(hit, off, jnp.int32(window))
