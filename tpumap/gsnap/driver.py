@@ -227,6 +227,8 @@ def refine_unsolved(db, index, batch, res, config,
     row; when amb_out (a dict) is given, reads whose short clipped end
     has several tied splice placements get their AmbEnd list there
     (spliceends.py — the altsplice.c representation)."""
+    import jax
+
     from tpumap.gsnap.engine import refine_indels, refine_splices
     from tpumap.ops import dp as dp_ops
     from tpumap.ops import verify
@@ -272,7 +274,7 @@ def refine_unsolved(db, index, batch, res, config,
         ref = refine_indels(index, jnp.asarray(codes),
                             jnp.asarray(lengths), jnp.asarray(diags),
                             INDEL_BAND, INDEL_MARGIN)
-        ref = {k: np.asarray(v) for k, v in ref.items()}
+        ref = jax.device_get(ref)
         # plain-list views: iterating numpy elements in Python is ~10x
         # slower than list iteration, and this loop walks every op
         ops_l = ref["ops"].tolist()
@@ -421,8 +423,8 @@ def refine_unsolved(db, index, batch, res, config,
                 pos_p, mm_p = localscan.scan_fragment(
                     index.genome_packed, jnp.asarray(ws_p),
                     jnp.asarray(frag_p), jnp.asarray(flen_p), W, F)
-                pos_s, mm_s = np.asarray(pos_s), np.asarray(mm_s)
-                pos_p, mm_p = np.asarray(pos_p), np.asarray(mm_p)
+                pos_s, mm_s, pos_p, mm_p = jax.device_get(
+                    (pos_s, mm_s, pos_p, mm_p))
                 for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
                     v = li - e
                     st0, cands = cands_per_read[j]
@@ -469,13 +471,14 @@ def refine_unsolved(db, index, batch, res, config,
                 scoring=sc, with_quals=quals is not None,
                 quals=jnp.asarray(cquals) if quals is not None else None,
                 known=known_dev)
-            nsegs_l = np.asarray(cres["nsegs"]).tolist()
-            score_l8 = np.asarray(cres["score"]).tolist()
-            qs_l = np.asarray(cres["q_start"]).tolist()
-            qe_l = np.asarray(cres["q_end"]).tolist()
-            nmm_cl = np.asarray(cres["nmm"]).tolist()
-            segq_l = np.asarray(cres["seg_q"]).tolist()
-            segd_l = np.asarray(cres["seg_diag"]).tolist()
+            cres = jax.device_get(cres)
+            nsegs_l = cres["nsegs"].tolist()
+            score_l8 = cres["score"].tolist()
+            qs_l = cres["q_start"].tolist()
+            qe_l = cres["q_end"].tolist()
+            nmm_cl = cres["nmm"].tolist()
+            segq_l = cres["seg_q"].tolist()
+            segd_l = cres["seg_diag"].tolist()
             trim_score_l2 = (np.asarray(res["trim_score"]).tolist()
                              if trim_qs is not None else None)
             for row, (i, st0, cands) in enumerate(rows):
@@ -925,6 +928,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     search — reads solved on a transcript get their multi-intron junction
     structure from the exon table (src/stage1hr-single.c:202-260,
     src/trpath-convert.c)."""
+    import jax
     import jax.numpy as jnp
 
     out = []
@@ -962,7 +966,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         tr_records = {}
         if tr is not None:
             tr_records = _tr_rung(db, tr, chunk, batch, config)
-        res = {k: np.asarray(v) for k, v in dev.items()}
+        # ONE batched transfer for the whole result dict: each
+        # np.asarray is a separate ~28 ms tunnel RPC on this backend
+        res = jax.device_get(dev)
         if stats is not None and "stage2_overflow" in res:
             stats["stage2_overflow"] = (stats.get("stage2_overflow", 0)
                                         + int(res["stage2_overflow"]))
@@ -1153,13 +1159,14 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
 def _tr_rung(db, tr, chunk, batch, config):
     """Align the chunk against the transcriptome index and convert solved
     reads to genome-coordinate multi-exon SAM records."""
+    import jax
     import jax.numpy as jnp
 
     transcriptome, tr_index = tr
     res = align_batch_cascaded(
         tr_index, {k: jnp.asarray(v) for k, v in batch.items()
                    if k in ("codes", "nmask", "lengths")}, config)
-    res = {k: np.asarray(v) for k, v in res.items()}
+    res = jax.device_get(res)
     mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                             res["n_best"], batch["lengths"])
     trdb = transcriptome.trdb

@@ -72,7 +72,11 @@ class DeviceIndex:
         return self.alt_offsets[space], self.alt_positions[space]
 
     @classmethod
-    def from_host(cls, db: GenomeDB, device=None, pad_words: int = 64) -> "DeviceIndex":
+    def from_host(cls, db: GenomeDB, device=None,
+                  pad_words: int = 4352) -> "DeviceIndex":
+        # pad_words covers the widest window fetched as one dynamic slice
+        # (a 65,536 bp localscan window = 4,097 words), so slices starting
+        # anywhere in the genome never clamp (ops/verify.py)
         if db.positions.dtype != np.uint32:
             raise ValueError(
                 "genome exceeds the uint32 coordinate space (gsnapl "

@@ -82,8 +82,35 @@ def scan_fragment(genome_packed: jax.Array, win_starts: jax.Array,
     """
     nmm = _phase_mismatch_counts(genome_packed, win_starts, frag,
                                  frag_lens, window, max_frag)
-    neg, idx = jax.lax.top_k(-nmm, top_k)
-    best_mm = -neg
+    # exact top_k by iterated global-min over a combined (nmm, offset)
+    # key with two-level (block-min) reduction: lax.top_k over the full
+    # [R, window] tensor measured 660 ms/batch; this form is ~10 ms.
+    R = nmm.shape[0]
+    off = jnp.arange(window, dtype=jnp.int32)[None, :]
+    key = nmm * jnp.int32(131072) + off            # nmm-major, offset tiebreak
+    BLK = 64
+    nb = (window + BLK - 1) // BLK
+    if nb * BLK != window:
+        key = jnp.concatenate(
+            [key, jnp.full((R, nb * BLK - window), 2 ** 30, jnp.int32)],
+            axis=1)
+        off = jnp.concatenate(
+            [off, jnp.full((1, nb * BLK - window), 2 ** 30, jnp.int32)],
+            axis=1)
+    idxs, mms = [], []
+    for _ in range(top_k):
+        kb = key.reshape(R, nb, BLK)
+        bmin = jnp.min(kb, axis=2)
+        barg = jnp.argmin(kb, axis=2)
+        b = jnp.argmin(bmin, axis=1)
+        inner = jnp.take_along_axis(barg, b[:, None], axis=1)[:, 0]
+        o = b.astype(jnp.int32) * BLK + inner.astype(jnp.int32)
+        v = jnp.take_along_axis(bmin, b[:, None], axis=1)[:, 0]
+        idxs.append(o)
+        mms.append(v >> jnp.int32(17))
+        key = jnp.where(off == o[:, None], jnp.int32(2 ** 30), key)
+    idx = jnp.stack(idxs, axis=1)
+    best_mm = jnp.stack(mms, axis=1)
     positions = win_starts[:, None] + idx.astype(jnp.uint32)
     return positions, best_mm
 

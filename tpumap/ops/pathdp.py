@@ -184,19 +184,33 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
     splice_base = jnp.int32(scoring.splice_base)
     match_i = jnp.int32(scoring.match)
 
-    # scan inputs, time-major
-    s_t = jnp.transpose(s, (2, 0, 1))                 # [L, R, K]
-    don_t = jnp.transpose(don, (2, 0, 1))
-    acc_t = jnp.transpose(acc, (2, 0, 1))
-    kdon_t = jnp.transpose(kdon, (2, 0, 1))
-    kacc_t = jnp.transpose(kacc, (2, 0, 1))
-    kantidon_t = jnp.transpose(kantidon, (2, 0, 1))
-    kantiacc_t = jnp.transpose(kantiacc, (2, 0, 1))
-    q_t = jnp.arange(L, dtype=jnp.int32)
+    # scan inputs, time-major; pad L to a multiple of the unroll factor
+    # (padded steps have q >= lengths and are inert under the active
+    # guard).  Unrolling amortizes the per-step scan overhead — the
+    # [R, K, K] transition math is small, so step dispatch dominated.
+    U = 4
+    Lp = ((L + U - 1) // U) * U
+    pad = Lp - L
+
+    def tmajor(x, fill=0):
+        x = jnp.transpose(x, (2, 0, 1))
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)], axis=0)
+        return x.reshape(Lp // U, U, *x.shape[1:])
+
+    s_t = tmajor(s)                                   # [L/U, U, R, K]
+    don_t = tmajor(don)
+    acc_t = tmajor(acc)
+    kdon_t = tmajor(kdon)
+    kacc_t = tmajor(kacc)
+    kantidon_t = tmajor(kantidon)
+    kantiacc_t = tmajor(kantiacc)
+    q_t = jnp.arange(Lp, dtype=jnp.int32).reshape(Lp // U, U)
 
     start_val = jnp.where(valid_k, 0, NEG)            # [R, K]
 
-    def step(carry, xs):
+    def step1(carry, xs):
         H, best_score, best_q, best_k = carry
         s_q, don_q, acc_q, kd_q, ka_q, kad_q, kaa_q, q = xs
 
@@ -243,6 +257,13 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
         best_k = jnp.where(upd, row_k, best_k)
         return (H_next, best_score, best_q, best_k), choice
 
+    def step(carry, xs):
+        outs = []
+        for u in range(U):
+            carry, choice = step1(carry, tuple(x[u] for x in xs))
+            outs.append(choice)
+        return carry, jnp.stack(outs, axis=0)
+
     H0 = jnp.full((R, K), NEG, jnp.int32)
     bs0 = jnp.full((R,), NEG, jnp.int32)
     bq0 = jnp.zeros((R,), jnp.int32)
@@ -250,10 +271,11 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
     (H_last, best_score, best_q, best_k), choices = jax.lax.scan(
         step, (H0, bs0, bq0, bk0),
         (s_t, don_t, acc_t, kdon_t, kacc_t, kantidon_t, kantiacc_t, q_t))
+    choices = choices.reshape(Lp, R, K)[:L]
     # choices: [L, R, K] uint8
 
     # ---- traceback (reverse scan) ----
-    def back(carry, xs):
+    def back1(carry, xs):
         k_cur, done, seg_idx, seg_q, seg_k = carry
         c_q, q = xs                                   # c_q [R, K]
         inside = (q <= best_q) & ~done
@@ -272,8 +294,22 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
         done = done | is_start
         return (k_cur, done, seg_idx, seg_q, seg_k), kk
 
-    c_rev = choices[::-1]
-    q_rev = q_t[::-1]
+    def back(carry, xs):
+        outs = []
+        for u in range(U):
+            carry, kk = back1(carry, tuple(x[u] for x in xs))
+            outs.append(kk)
+        return carry, jnp.stack(outs, axis=0)
+
+    # reversed + padded (padded steps carry q < 0: no choice events, and
+    # their kk output rows are sliced away below)
+    c_rev = jnp.concatenate(
+        [choices[::-1], jnp.zeros((pad, R, K), choices.dtype)], axis=0)
+    q_rev = jnp.concatenate(
+        [jnp.arange(L - 1, -1, -1, dtype=jnp.int32),
+         jnp.full((pad,), -1, jnp.int32)])
+    c_rev = c_rev.reshape(Lp // U, U, R, K)
+    q_rev = q_rev.reshape(Lp // U, U)
     (k_fin, done_fin, nsegs, seg_q_rev, seg_k_rev), kk_rev = jax.lax.scan(
         back,
         (best_k, jnp.zeros((R,), jnp.bool_),
@@ -281,7 +317,7 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
          jnp.zeros((R, S), jnp.int32),
          jnp.zeros((R, S), jnp.int32)),
         (c_rev, q_rev))
-    kk = kk_rev[::-1]                                 # [L, R]
+    kk = kk_rev.reshape(Lp, R)[:L][::-1]              # [L, R]
     kk = jnp.transpose(kk, (1, 0))                    # [R, L]
 
     # segments were recorded last-first; flip to ascending query order

@@ -32,12 +32,25 @@ def extract_packed_window(genome_packed: jax.Array, starts: jax.Array,
     Returns uint32[..., nwords] where word j holds bases
     [start + 16*j, start + 16*j + 16), i.e. the same layout as a packed read
     starting at `start`.
+
+    Wide windows are fetched as one dynamic slice per row (a contiguous
+    DMA) rather than an elementwise gather: XLA lowers per-element takes
+    to scalar HBM gathers, which measured ~50M elements/s — a 65 Kbp
+    window scan spent ~1 s/batch on the gather alone.  DeviceIndex pads
+    genome_packed so slices never clamp for in-genome starts.
     """
     starts = starts.astype(jnp.uint32)
     w0 = (starts >> 4).astype(jnp.int32)
     s2 = ((starts & 15) << 1).astype(jnp.uint32)       # bit shift within word
-    idx = w0[..., None] + jnp.arange(nwords + 1, dtype=jnp.int32)
-    words = jnp.take(genome_packed, idx, mode="clip")
+    if nwords >= 16:
+        flat = w0.reshape(-1)
+        words = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(genome_packed, (s,),
+                                            (nwords + 1,)))(flat)
+        words = words.reshape(*w0.shape, nwords + 1)
+    else:
+        idx = w0[..., None] + jnp.arange(nwords + 1, dtype=jnp.int32)
+        words = jnp.take(genome_packed, idx, mode="clip")
     lo = words[..., :nwords] >> s2[..., None]
     # (32 - s2) & 31 avoids the undefined shift-by-32; the s2==0 case is
     # masked out explicitly.
