@@ -21,6 +21,7 @@ from tpumap.index.device import DeviceIndex
 from tpumap.io import sam
 from tpumap.io.fasta import Record, read_seqs
 from tpumap.utils import dna
+from tpumap.utils.fetch import device_fetch
 
 
 def pad_to_bucket(n: int, buckets=(32, 64, 96, 128, 160, 192, 256, 384, 512)) -> int:
@@ -93,17 +94,10 @@ def make_batch(records: list[Record], batch_size: int, L: int):
     return batch
 
 
-INDEL_NMM_TRIGGER = 4     # reads with >= this many mismatches get a DP pass
-INDEL_BAND = 32
-INDEL_MARGIN = 4
-SPLICE_NMM_TRIGGER = 6    # and >= this many get the splice-junction pass
-CLIP_SPLICE_TRIGGER = 8   # or >= this many soft-clipped bases (a clipped
-#                           end is often an unplaced exon, spliceends.c;
-#                           8 = smallest partner exon the chain DP can
-#                           anchor profitably, cf. min_shortend)
-MAX_CAND_PAIRS = 8
-CHAIN_K = 8               # candidate diagonals per read in the chain solver
-MIN_INTRON = 9
+from tpumap.gsnap.params import (CHAIN_K, CLIP_SPLICE_TRIGGER, INDEL_BAND,
+                                 INDEL_MARGIN, INDEL_NMM_TRIGGER,
+                                 MAX_CAND_PAIRS, MIN_INTRON,
+                                 SPLICE_NMM_TRIGGER)
 
 
 MIN_FUSION_PIECE = 20     # src/path-fusion.c requires substantial ends
@@ -241,6 +235,66 @@ def refine_unsolved(db, index, batch, res, config,
     known_dev = known.to_device() if known is not None else None
     chunk_len = res["nmismatch"].shape[0]
 
+    if "in_idx" in res:
+        # fused-ladder results (gsnap/ladder.align_batch_full): the indel
+        # and chain stages already ran ON DEVICE inside the cascade jit;
+        # apply the same host-side acceptance rules to the compacted
+        # blocks, then fall through to the splice-ends/fusion stages.
+        len_v = np.asarray(batch["lengths"])[:chunk_len].astype(np.int32)
+        diag_v = res["diag"][:chunk_len]
+        dp_result = {}
+        splice_result = {}
+        if "ch_sel" in res:
+            rows = np.nonzero(res["ch_sel"])[0]
+            ch_idx = res["ch_idx"]
+            segq_l = res["ch_segq"]
+            segd_l = res["ch_segd"]
+            nsegs_l = res["ch_nsegs"]
+            st_l = res["strand"]
+            for r in rows.tolist():
+                i = int(ch_idx[r])
+                if i >= chunk_len:
+                    continue
+                ns = int(nsegs_l[r])
+                splice_result[i] = {
+                    "segs": list(zip(segq_l[r][:ns].tolist(),
+                                     segd_l[r][:ns].tolist())),
+                    "q_start": int(res["ch_qstart"][r]),
+                    "q_end": int(res["ch_qend"][r]),
+                    "strand": int(st_l[i]),
+                    "score": int(res["ch_score"][r]),
+                    "nmm": int(res["ch_nmm"][r]),
+                }
+        irows = np.nonzero(res["in_sel"])[0]
+        if len(irows):
+            from tpumap.ops import dp as dp_ops
+            nmm_v = res["nmismatch"]
+            trim_score_v = res.get("trim_score")
+            ops_l = res["in_ops"][irows].tolist()
+            score_l = res["in_score"][irows].tolist()
+            start_l = res["in_startoff"][irows].tolist()
+            for row, r in enumerate(irows.tolist()):
+                i = int(res["in_idx"][r])
+                if i >= chunk_len or i in splice_result:
+                    continue
+                li = int(len_v[i])
+                sub_score = 3 * li - 6 * int(nmm_v[i])
+                if trim_score_v is not None:
+                    sub_score = max(sub_score,
+                                    int(trim_score_v[i]) * 3 // 8)
+                ops = [o for o in ops_l[row][::-1] if o != dp_ops.T_END]
+                if score_l[row] > sub_score:
+                    if not _indel_limits_ok(ops, max_insertions,
+                                            max_deletions,
+                                            indel_endlength):
+                        continue
+                    dp_result[i] = (int(diag_v[i]) + start_l[row],
+                                    ops, score_l[row])
+        return _late_stages(db, index, batch, res, config, dp_result,
+                            splice_result, novelsplicing, max_intron,
+                            known, find_fusions, tr_records, L, quals,
+                            amb_out, chunk_len, len_v)
+
     # second stage: DP refinement of high-mismatch reads (the indel
     # path; batch-compacted like the reference's method ladder). Reads
     # overlapping a LEARNED indel site (gsnap --indels-read / pass 2 of
@@ -274,7 +328,7 @@ def refine_unsolved(db, index, batch, res, config,
         ref = refine_indels(index, jnp.asarray(codes),
                             jnp.asarray(lengths), jnp.asarray(diags),
                             INDEL_BAND, INDEL_MARGIN)
-        ref = jax.device_get(ref)
+        ref = device_fetch(ref)
         # plain-list views: iterating numpy elements in Python is ~10x
         # slower than list iteration, and this loop walks every op
         ops_l = ref["ops"].tolist()
@@ -423,7 +477,7 @@ def refine_unsolved(db, index, batch, res, config,
                 pos_p, mm_p = localscan.scan_fragment(
                     index.genome_packed, jnp.asarray(ws_p),
                     jnp.asarray(frag_p), jnp.asarray(flen_p), W, F)
-                pos_s, mm_s, pos_p, mm_p = jax.device_get(
+                pos_s, mm_s, pos_p, mm_p = device_fetch(
                     (pos_s, mm_s, pos_p, mm_p))
                 for row, (j, i, a, st, c, li, u, e) in enumerate(salv):
                     v = li - e
@@ -471,7 +525,7 @@ def refine_unsolved(db, index, batch, res, config,
                 scoring=sc, with_quals=quals is not None,
                 quals=jnp.asarray(cquals) if quals is not None else None,
                 known=known_dev)
-            cres = jax.device_get(cres)
+            cres = device_fetch(cres)
             nsegs_l = cres["nsegs"].tolist()
             score_l8 = cres["score"].tolist()
             qs_l = cres["q_start"].tolist()
@@ -511,6 +565,31 @@ def refine_unsolved(db, index, batch, res, config,
                     "nmm": nmm_cl[row],
                 }
 
+    return _late_stages(db, index, batch, res, config, dp_result,
+                        splice_result, novelsplicing, max_intron,
+                        known, find_fusions, tr_records, L, quals,
+                        amb_out, chunk_len, len_v)
+
+
+
+
+def _late_stages(db, index, batch, res, config, dp_result, splice_result,
+                 novelsplicing, max_intron, known, find_fusions, tr_records,
+                 L, quals, amb_out, chunk_len, len_v):
+    """Stages shared by the fused-ladder and legacy paths: ambiguous
+    splice ends (3b) and fusion search (4). Returns the refine_unsolved
+    triple."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumap.gsnap.engine import refine_splices
+    from tpumap.ops import verify
+    from tpumap.utils import dna as dna_utils
+
+    diag_v = res["diag"][:chunk_len]
+    strand_v = res["strand"][:chunk_len]
+    valid_v = diag_v != 0xFFFFFFFF
+    trim_nmm = res.get("trim_nmm", res["nmismatch"])
     # stage 3b: ambiguous / alternative splice ends (src/altsplice.c,
     # src/spliceends.c): terminal residues too short to seed or localscan
     # (1..AMB_MAX bases), anchored at a proximal splice dinucleotide.
@@ -627,7 +706,7 @@ def refine_unsolved(db, index, batch, res, config,
     # nothing else solved (Path_fusion_*, src/path-fusion.c; inversions
     # i.e. cross-strand fusions are not attempted yet)
     fusion_result = {}
-    if find_fusions:
+    if find_fusions and "cand_diags" in res:
         fneed = []
         for i in range(chunk_len):
             solved = (i in tr_records or i in splice_result
@@ -940,9 +1019,16 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             remapper = remap_mod.TranscriptRemapper(tr[0])
             tr[0]._remapper = remapper
 
+    # the fused device ladder (gsnap/ladder.py) serves every request the
+    # basic single-end path can express on device; features that need the
+    # candidate lists or extra host context keep the staged path
+    use_fused = (known is None and tr is None and not find_fusions
+                 and known_indels is None and device_ctx is None
+                 and npaths == 1)
+
     def _dispatch(start):
-        """Build + async-dispatch one batch's cascade; host work on the
-        previous batch overlaps this batch's device compute."""
+        """Build + async-dispatch one batch's device work; host work on
+        the previous batch overlaps this batch's device compute."""
         chunk = records[start:start + batch_size]
         B = (pad_to_bucket(len(chunk)) if len(chunk) < batch_size
              else batch_size)
@@ -950,6 +1036,14 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         batch = make_batch(chunk, B, L)
         if device_ctx is not None:
             dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
+        elif use_fused:
+            from tpumap.gsnap import ladder
+            from tpumap.ops import pathdp
+            sc = pathdp.PathScoring(max_intron=max(max_intron, MIN_INTRON))
+            dev = ladder.align_batch_full(
+                index, _pack_batch(batch), config, L, sc,
+                novelsplicing, novelsplicing and use_localdb,
+                min(8192, B), min(2048, B), min(2048, B))
         else:
             dev = align_batch_cascaded_packed(index, _pack_batch(batch),
                                               config, L)
@@ -968,7 +1062,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             tr_records = _tr_rung(db, tr, chunk, batch, config)
         # ONE batched transfer for the whole result dict: each
         # np.asarray is a separate ~28 ms tunnel RPC on this backend
-        res = jax.device_get(dev)
+        res = device_fetch(dev)
         if stats is not None and "stage2_overflow" in res:
             stats["stage2_overflow"] = (stats.get("stage2_overflow", 0)
                                         + int(res["stage2_overflow"]))
@@ -1166,7 +1260,7 @@ def _tr_rung(db, tr, chunk, batch, config):
     res = align_batch_cascaded(
         tr_index, {k: jnp.asarray(v) for k, v in batch.items()
                    if k in ("codes", "nmask", "lengths")}, config)
-    res = jax.device_get(res)
+    res = device_fetch(res)
     mapq = mapq_from_scores(res["nmismatch"], res["second_nmismatch"],
                             res["n_best"], batch["lengths"])
     trdb = transcriptome.trdb

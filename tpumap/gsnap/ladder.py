@@ -1,0 +1,312 @@
+"""Fused device refinement ladder — cascade + splice + indel in ONE jit.
+
+The round-2 driver ran the method ladder as host-orchestrated stages
+(cascade -> host -> indel DP -> host -> candidate assembly -> chain DP ->
+host -> salvage scan -> host), each stage a separate dispatch and a
+separate device->host fetch.  On the tunnel-attached backend every fetch
+RPC costs ~28 ms and dispatch ~1-5 ms, so the orchestration overhead
+dwarfed the compute.  This module is the TPU-native re-expression of the
+whole ladder (src/stage1hr-single.c method ladder + src/path-solve.c
+Path_solve_from_diagonals + src/spliceends.c localdb salvage +
+src/dynprog_single.c indel DP) as one compiled program:
+
+  cascade (seed/verify/trim)
+    -> chain-trigger compaction (fixed R_CHAIN rows)
+    -> on-device candidate assembly from the cascade's ranked lists
+    -> chain DP pass 1 (multi-junction splices + deletions + trimming)
+    -> residual-clip detection -> localdb fragment salvage scan
+       (fixed R_SALV rows) -> chain DP pass 2 with augmented candidates
+    -> indel-trigger compaction gated on splice failure (fixed R_INDEL)
+       -> banded affine DP
+    -> one result dict (fetched with a single RPC by the driver)
+
+All compaction sizes are static, so exactly one executable per
+(batch-shape, config) serves every batch — no per-batch recompiles.
+
+The salvage pass 2 is also what solves the two-junction reads whose
+SHORT middle exon never seeds (the reference finds these through
+localdb lookups inside path-solve): pass 1 soft-clips at the missing
+exon, the residual-clip fragment scan finds the middle-exon diagonal,
+and pass 2 chains all three segments.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumap.gsnap.engine import (AlignConfig, align_batch_cascaded_packed,
+                                 refine_indels)
+from tpumap.ops import localscan, pack, pathdp, verify
+
+INVALID = np.uint32(0xFFFFFFFF)
+
+SALVAGE_W = 65536         # localdb region scale (src/localdb-write.c)
+SALVAGE_F = 16
+RUNLEN = 20               # anchor-run length (driver._anchor_runs parity)
+MIN_FRAG = 6
+
+
+def _oriented_rows_dev(packed, pnmask, lengths, idx, strands, L):
+    """Compacted rows as per-base codes in the aligned orientation."""
+    p = jnp.take(packed, idx, axis=0)
+    li = jnp.take(lengths, idx)
+    codes = pack.unpack_reads(p, L)
+    if pnmask.shape == packed.shape:
+        nm = pack.unpack_reads(jnp.take(pnmask, idx, axis=0), L)
+        nmask = nm.astype(jnp.bool_)
+    else:
+        nmask = jnp.zeros(codes.shape, jnp.bool_)
+    is_rc = (strands == 1)
+    rc_codes = pack.revcomp_codes(codes, li)
+    rc_nmask = pack.revcomp_codes(
+        jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)), li) == jnp.uint8(3)
+    codes = jnp.where(is_rc[:, None], rc_codes, codes)
+    nmask = jnp.where(is_rc[:, None], rc_nmask, nmask)
+    return codes, nmask, li
+
+
+def _dedup_keep_first(cands):
+    """INVALID-out duplicate lanes, preserving lane positions."""
+    dup = (cands[:, None, :] == cands[:, :, None]) & (
+        jnp.arange(cands.shape[1])[None, :] <
+        jnp.arange(cands.shape[1])[:, None])[None]
+    return jnp.where(jnp.any(dup, axis=2), INVALID, cands)
+
+
+def _anchor_runs_dev(mm, lengths, L):
+    """First RUNLEN-base exact-run start u and last run end e per row
+    from a per-base mismatch mask (u = L when no run exists)."""
+    mmi = mm.astype(jnp.int32)
+    cnt = jnp.concatenate(
+        [jnp.zeros((mm.shape[0], 1), jnp.int32), jnp.cumsum(mmi, axis=1)],
+        axis=1)
+    p = jnp.arange(L - RUNLEN + 1, dtype=jnp.int32)[None, :]
+    run = ((jnp.take_along_axis(cnt, p + RUNLEN, axis=1)
+            - jnp.take_along_axis(cnt, p, axis=1)) == 0)
+    run = run & ((p + RUNLEN) <= lengths[:, None])
+    u = jnp.min(jnp.where(run, p, L), axis=1)
+    e = jnp.max(jnp.where(run, p + RUNLEN, -1), axis=1)
+    return u, e
+
+
+def _take_window(codes, starts, n, L):
+    """codes[r, starts[r] : starts[r]+n] with clipping, uint8[R, n]."""
+    idx = jnp.clip(starts[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :],
+                   0, L - 1)
+    return jnp.take_along_axis(codes, idx, axis=1)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def align_batch_full(index, pbatch, config: AlignConfig, L: int,
+                     scoring: pathdp.PathScoring,
+                     splicing: bool, salvage: bool,
+                     r_chain: int, r_salv: int, r_indel: int):
+    """One-jit GSNAP ladder. Returns a flat dict of device arrays:
+
+    cascade fields (diag/strand/nmismatch/.../trim_*), plus
+    ch_idx/ch_sel/ch_score/ch_qstart/ch_qend/ch_nsegs/ch_segq/ch_segd/
+    ch_nmm [r_chain...] (chain solutions for compacted rows) and
+    in_idx/in_sel/in_score/in_ops/in_startoff [r_indel...] (banded-DP
+    indel solutions for rows the splice pass did not solve).
+    """
+    res = align_batch_cascaded_packed(index, pbatch, config, L)
+    lengths = pbatch["lengths"]
+    B = lengths.shape[0]
+    diag = res["diag"]
+    strand = res["strand"]
+    valid = diag != INVALID
+    out = dict(res)
+
+    nmm = res["nmismatch"]
+    trim_nmm = res.get("trim_nmm", nmm)
+    if "trim_qstart" in res:
+        tqs = res["trim_qstart"]
+        tqe = jnp.minimum(res["trim_qend"], lengths)
+        clip = tqs + (lengths - tqe)
+    else:
+        clip = jnp.zeros_like(nmm)
+
+    from tpumap.gsnap.params import (CLIP_SPLICE_TRIGGER,
+                                     INDEL_BAND, INDEL_MARGIN,
+                                     INDEL_NMM_TRIGGER,
+                                     SPLICE_NMM_TRIGGER)
+
+    splice_accept_b = jnp.zeros((B,), jnp.bool_)
+    if splicing:
+        rc = min(r_chain, B)
+        chain_m = valid & ((trim_nmm >= SPLICE_NMM_TRIGGER)
+                           | (clip >= CLIP_SPLICE_TRIGGER))
+        # stable compaction: selected rows in ascending batch order
+        prio = jnp.where(chain_m, jnp.int32(2 * B) - jnp.arange(B,
+                         dtype=jnp.int32), 0)
+        _, idx = jax.lax.top_k(prio, rc)
+        sel = jnp.take(chain_m, idx)
+        st = jnp.take(strand, idx)
+        codes, nmask, li = _oriented_rows_dev(
+            pbatch["packed"], pbatch["pnmask"], lengths, idx, st, L)
+        adiag = jnp.take(diag, idx)
+
+        # candidates: the cascade's ranked lists, same-strand, dedup
+        cd = jnp.take(res["cand_diags"], idx, axis=0)
+        cs = jnp.take(res["cand_strands"], idx, axis=0)
+        cands = jnp.where(cs == st[:, None], cd, INVALID)
+        cands = _dedup_keep_first(cands)
+
+        quals = None
+        with_quals = "quals" in pbatch
+        if with_quals:
+            q = jnp.take(pbatch["quals"], idx, axis=0)
+            rev = jnp.clip(li[:, None] - 1
+                           - jnp.arange(L, dtype=jnp.int32)[None, :],
+                           0, L - 1)
+            q_rc = jnp.take_along_axis(q, rev, axis=1)
+            quals = jnp.where((st == 1)[:, None], q_rc, q)
+
+        c1 = pathdp.chain_solve(index, codes, nmask, li, cands,
+                                scoring=scoring, with_quals=with_quals,
+                                quals=quals)
+
+        if salvage:
+            rs = min(r_salv, rc)
+            # residual clip after pass 1: an unexplained read end >= 6 bp
+            # (the missing middle/short exon case)
+            resid_pre = c1["q_start"]
+            resid_suf = li - c1["q_end"]
+            need = sel & ((resid_pre >= MIN_FRAG) | (resid_suf >= MIN_FRAG))
+            sprio = jnp.where(need, jnp.int32(2 * rc)
+                              - jnp.arange(rc, dtype=jnp.int32), 0)
+            _, sidx = jax.lax.top_k(sprio, rs)
+            s_sel = jnp.take(need, sidx)
+            s_codes = jnp.take(codes, sidx, axis=0)
+            s_li = jnp.take(li, sidx)
+            s_qs = jnp.take(c1["q_start"], sidx)
+            s_qe = jnp.take(c1["q_end"], sidx)
+            # anchor diagonals at the solved path's ends
+            s_segq = jnp.take(c1["seg_q"], sidx, axis=0)
+            s_segd = jnp.take(c1["seg_diag"], sidx, axis=0)
+            nsegs = jnp.take(c1["nsegs"], sidx)
+            first_d = s_segd[:, 0]
+            last_ix = jnp.maximum(nsegs - 1, 0)[:, None]
+            last_d = jnp.take_along_axis(s_segd, last_ix, axis=1)[:, 0]
+            has_sol = nsegs >= 1
+            s_adiag = jnp.take(adiag, sidx)
+            first_d = jnp.where(has_sol, first_d, s_adiag)
+            last_d = jnp.where(has_sol, last_d, s_adiag)
+            # suffix fragment: first SALVAGE_F bases after q_end, scanned
+            # downstream of the last segment's boundary coordinate
+            fl_s = jnp.clip(s_li - s_qe, 0, SALVAGE_F)
+            frag_s = _take_window(s_codes, s_qe, SALVAGE_F, L)
+            ws_s = last_d + s_qe.astype(jnp.uint32) + jnp.uint32(
+                scoring.min_intron)
+            # prefix fragment: last bases before q_start, scanned upstream
+            fl_p = jnp.clip(s_qs, 0, SALVAGE_F)
+            frag_p = _take_window(s_codes, s_qs - fl_p, SALVAGE_F, L)
+            base_p = first_d + s_qs.astype(jnp.uint32)
+            ws_p = jnp.where(
+                base_p > jnp.uint32(SALVAGE_W + scoring.min_intron),
+                base_p - jnp.uint32(SALVAGE_W + scoring.min_intron),
+                jnp.uint32(0))
+            frag2 = jnp.concatenate([frag_s, frag_p], axis=0)
+            fl2 = jnp.concatenate([
+                jnp.where(fl_s >= MIN_FRAG, fl_s, 0),
+                jnp.where(fl_p >= MIN_FRAG, fl_p, 0)])
+            ws2 = jnp.concatenate([ws_s, ws_p])
+            pos2, mm2 = localscan.scan_fragment(
+                index.genome_packed, ws2, frag2, fl2, SALVAGE_W,
+                SALVAGE_F, 4)
+            ok2 = mm2 <= 1
+            pos_s, pos_p = pos2[:rs], pos2[rs:]
+            ok_s = ok2[:rs] & (fl_s >= MIN_FRAG)[:, None]
+            ok_p = ok2[rs:] & (fl_p >= MIN_FRAG)[:, None]
+            # hit -> candidate diagonal
+            dB = pos_s - s_qe[:, None].astype(jnp.uint32)
+            ok_s = ok_s & ((dB - last_d[:, None])
+                           <= jnp.uint32(scoring.max_intron))
+            dA = pos_p - (s_qs - fl_p)[:, None].astype(jnp.uint32)
+            ok_p = ok_p & ((first_d[:, None] - dA)
+                           <= jnp.uint32(scoring.max_intron))
+            new_cands = jnp.concatenate(
+                [jnp.take(cands, sidx, axis=0),
+                 jnp.where(ok_s, dB, INVALID),
+                 jnp.where(ok_p, dA, INVALID)], axis=1)
+            # keep the 8 best lanes: original candidates first, then hits
+            new_cands = _dedup_keep_first(new_cands)
+            K = cands.shape[1]
+            lane_valid = new_cands != INVALID
+            order = jnp.argsort(~lane_valid, axis=1, stable=True)
+            new_cands = jnp.take_along_axis(new_cands, order, axis=1)[:, :K]
+            s_nmask = jnp.take(nmask, sidx, axis=0)
+            s_quals = (jnp.take(quals, sidx, axis=0) if with_quals
+                       else None)
+            c2 = pathdp.chain_solve(index, s_codes, s_nmask, s_li,
+                                    new_cands, scoring=scoring,
+                                    with_quals=with_quals, quals=s_quals)
+            better = s_sel & (c2["score"] > jnp.take(c1["score"], sidx))
+            for key in ("score", "q_start", "q_end", "nsegs", "nmm"):
+                upd = jnp.where(better, c2[key], jnp.take(c1[key], sidx))
+                c1[key] = c1[key].at[sidx].set(upd)
+            for key in ("seg_q", "seg_diag"):
+                upd = jnp.where(better[:, None], c2[key],
+                                jnp.take(c1[key], sidx, axis=0))
+                c1[key] = c1[key].at[sidx].set(upd)
+
+        # acceptance: strictly better than the trimmed/full substitution
+        # alternative, all segments on one chromosome
+        li_b = jnp.take(lengths, idx)
+        if "trim_score" in res:
+            best_other = jnp.take(res["trim_score"], idx)
+        else:
+            best_other = 8 * li_b - 32 * jnp.take(nmm, idx)
+        accept = sel & (c1["nsegs"] >= 1) & (c1["score"] > best_other)
+        # chromosome containment (uint32 chrom offsets, few chroms)
+        co = index.chrom_offsets
+        seg_start = c1["seg_diag"] + c1["seg_q"].astype(jnp.uint32)
+        in_seg = (jnp.arange(c1["seg_q"].shape[1])[None, :]
+                  < c1["nsegs"][:, None])
+        chr_of = jnp.searchsorted(co, seg_start, side="right")
+        last_end = (jnp.take_along_axis(
+            c1["seg_diag"],
+            jnp.maximum(c1["nsegs"] - 1, 0)[:, None], axis=1)[:, 0]
+            + c1["q_end"].astype(jnp.uint32) - 1)
+        chr_last = jnp.searchsorted(co, last_end, side="right")
+        chr0 = chr_of[:, 0]
+        same = jnp.all(jnp.where(in_seg, chr_of == chr0[:, None], True),
+                       axis=1) & (chr_last == chr0)
+        accept = accept & same
+
+        out["ch_idx"] = idx
+        out["ch_sel"] = accept
+        out["ch_score"] = c1["score"]
+        out["ch_qstart"] = c1["q_start"]
+        out["ch_qend"] = c1["q_end"]
+        out["ch_nsegs"] = c1["nsegs"]
+        out["ch_segq"] = c1["seg_q"]
+        out["ch_segd"] = c1["seg_diag"]
+        out["ch_nmm"] = c1["nmm"]
+        splice_accept_b = jnp.zeros((B,), jnp.bool_).at[idx].set(
+            accept & sel)
+
+    # indel stage AFTER splices: only rows splices did not solve
+    ri = min(r_indel, B)
+    need_i = valid & (nmm >= INDEL_NMM_TRIGGER) & ~splice_accept_b
+    iprio = jnp.where(need_i, jnp.int32(2 * B) - jnp.arange(B,
+                      dtype=jnp.int32), 0)
+    _, iidx = jax.lax.top_k(iprio, ri)
+    isel = jnp.take(need_i, iidx)
+    ist = jnp.take(strand, iidx)
+    icodes, _inm, ili = _oriented_rows_dev(
+        pbatch["packed"], pbatch["pnmask"], lengths, iidx, ist, L)
+    idg = jnp.where(jnp.take(valid, iidx), jnp.take(diag, iidx), 0)
+    ref = refine_indels(index, icodes, ili, idg, INDEL_BAND, INDEL_MARGIN)
+    out["in_idx"] = iidx
+    out["in_sel"] = isel
+    out["in_score"] = ref["score"]
+    out["in_ops"] = ref["ops"]
+    out["in_startoff"] = ref["start_off"]
+    # cand lists are only consumed on device now; don't ship them back
+    for key in ("cand_diags", "cand_strands", "cand_nmm"):
+        out.pop(key, None)
+    return out

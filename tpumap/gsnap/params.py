@@ -1,0 +1,19 @@
+"""Refinement-ladder trigger parameters (shared host/device).
+
+Mirrors the reference's method-ladder economics (src/stage1hr-single.c
+found_score thresholds, src/path-solve.c, src/spliceends.c
+min_shortend): which reads escalate from the substitution cascade to
+the indel DP and chain-DP splice stages.
+"""
+
+INDEL_NMM_TRIGGER = 4     # reads with >= this many mismatches get a DP pass
+INDEL_BAND = 32
+INDEL_MARGIN = 4
+SPLICE_NMM_TRIGGER = 6    # and >= this many get the splice-junction pass
+CLIP_SPLICE_TRIGGER = 8   # or >= this many soft-clipped bases (a clipped
+#                           end is often an unplaced exon, spliceends.c;
+#                           8 = smallest partner exon the chain DP can
+#                           anchor profitably, cf. min_shortend)
+MAX_CAND_PAIRS = 8
+CHAIN_K = 8               # candidate diagonals per read in the chain solver
+MIN_INTRON = 9

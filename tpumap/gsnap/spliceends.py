@@ -151,8 +151,8 @@ def find_splice_ends(db, index, aligned_codes, rows, max_intron):
     pos, count = localscan.scan_exact_sites(
         index.genome_packed, jnp.asarray(wstarts), jnp.asarray(frags),
         jnp.asarray(flens), W, F, TOP_ALTS)
-    import jax
-    pos, count = jax.device_get((pos, count))
+    from tpumap.utils.fetch import device_fetch
+    pos, count = device_fetch((pos, count))
 
     # pool hits per (read, side) over all probed boundaries
     by_side: dict[tuple, list] = {}
