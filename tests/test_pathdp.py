@@ -183,6 +183,8 @@ def oracle_chain(genome, codes, length, diags, sc=pathdp.PathScoring(),
                     or (site_l in known["antiacceptor"]
                         and site_r in known["antidonor"])):
                 bonus = max(bonus, sc.bonus_known)
+        if bonus == 0 and not sc.allow_noncanon:
+            return None
         return sc.splice_base + bonus
 
     NEG = -(2 ** 20)

@@ -107,3 +107,39 @@ def test_clean_reads_untouched(world):
     rec = _align(db, index, genome[5000:5100])
     assert rec.cigar == "100M"
     assert not any(t.startswith("XA:") for t in rec.tags)
+
+
+def test_noncanonical_boundary_tie_demoted(world):
+    """A salvage-found junction whose boundary is NONCANONICAL and can
+    wobble to an equal-mismatch placement has no evidence for either
+    boundary: the terminal exon demotes to a soft clip (the altsplice.c
+    tie rule applied to the boundary itself; regression for the
+    localscan-created ties VERDICT r2 flagged)."""
+    db, index, genome = world
+    # exon1 [e1 - 88, e1) .. "intron" .. exon2 [e2, e2 + 12): pick
+    # boundaries whose dinucleotides are noncanonical in BOTH wobble
+    # positions, and make boundaries e1 and e1-1 equal-mismatch by using
+    # the last intron base as the final exon1 base (microhomology)
+    bad = ("GT", "GC", "AT", "CT")
+    bad_a = ("AG", "AC", "GC", "AT")
+    e1 = next(p for p in range(40050, 40800)
+              if all(genome[q:q + 2] not in bad
+                     for q in range(p - 4, p + 3)))
+    e2 = next(p for p in range(42000, 42800)
+              if all(genome[q - 2:q] not in bad_a
+                     for q in range(p - 4, p + 3)))
+    seq = genome[e1 - 88:e1 - 1] + genome[e2 - 1] + genome[e2:e2 + 12]
+    rec = _align(db, index, seq)
+    assert not rec.flag & 4
+    assert "N" not in rec.cigar, rec.cigar
+
+
+def test_canonical_boundary_kept_under_microhomology(world):
+    """The same wobble with a CANONICAL donor/acceptor keeps the
+    junction: the dinucleotide signal breaks the tie (splice.c)."""
+    db, index, genome = world
+    # intron A at 12000..12800 is GT..AG; terminal exon 12 bp via salvage
+    seq = genome[12000 - 88:12000] + genome[12800:12812]
+    rec = _align(db, index, seq)
+    assert not rec.flag & 4
+    assert rec.cigar == "88M800N12M", rec.cigar

@@ -244,17 +244,35 @@ def refine_unsolved(db, index, batch, res, config,
         diag_v = res["diag"][:chunk_len]
         dp_result = {}
         splice_result = {}
+        from tpumap.io import sam_bulk
+        have_native = sam_bulk._get_lib() is not None
         if "ch_sel" in res:
-            rows = np.nonzero(res["ch_sel"])[0]
+            from tpumap.gsnap.spliceends import NC_REVIEW_MAX as AMB_MAX
             ch_idx = res["ch_idx"]
             segq_l = res["ch_segq"]
             segd_l = res["ch_segd"]
-            nsegs_l = res["ch_nsegs"]
+            nsegs_l = res["ch_nsegs"].astype(np.int32)
             st_l = res["strand"]
-            for r in rows.tolist():
+            sel = res["ch_sel"] & (ch_idx < chunk_len)
+            # rows whose accepted path has a SHORT terminal exon need the
+            # splice-ends review (altsplice.c tie demotion) and therefore
+            # a mutable dict entry; everything else stays array-form and
+            # emits through the native bulk path (sp_* keys below)
+            last_q = np.take_along_axis(
+                segq_l, np.maximum(nsegs_l - 1, 0)[:, None],
+                axis=1)[:, 0].astype(np.int64)
+            multi = nsegs_l >= 2
+            end_short = multi & (res["ch_qend"] - last_q >= 1) & (
+                res["ch_qend"] - last_q <= AMB_MAX)
+            start_short = multi & (
+                segq_l[:, 1].astype(np.int64) - res["ch_qstart"] >= 1) & (
+                segq_l[:, 1].astype(np.int64) - res["ch_qstart"]
+                <= AMB_MAX)
+            need_dict = sel & (end_short | start_short)
+            if not have_native:
+                need_dict = sel        # no bulk path: dicts for all
+            for r in np.nonzero(need_dict)[0].tolist():
                 i = int(ch_idx[r])
-                if i >= chunk_len:
-                    continue
                 ns = int(nsegs_l[r])
                 splice_result[i] = {
                     "segs": list(zip(segq_l[r][:ns].tolist(),
@@ -265,12 +283,14 @@ def refine_unsolved(db, index, batch, res, config,
                     "score": int(res["ch_score"][r]),
                     "nmm": int(res["ch_nmm"][r]),
                 }
+            # array-form splice solutions for the bulk emitter
+            res["sp_sel"] = sel & ~need_dict
         irows = np.nonzero(res["in_sel"])[0]
         if len(irows):
-            from tpumap.ops import dp as dp_ops
             nmm_v = res["nmismatch"]
             trim_score_v = res.get("trim_score")
-            ops_l = res["in_ops"][irows].tolist()
+            runop_l = res["in_runop"][irows].tolist()
+            runlen_l = res["in_runlen"][irows].tolist()
             score_l = res["in_score"][irows].tolist()
             start_l = res["in_startoff"][irows].tolist()
             for row, r in enumerate(irows.tolist()):
@@ -282,8 +302,12 @@ def refine_unsolved(db, index, batch, res, config,
                 if trim_score_v is not None:
                     sub_score = max(sub_score,
                                     int(trim_score_v[i]) * 3 // 8)
-                ops = [o for o in ops_l[row][::-1] if o != dp_ops.T_END]
                 if score_l[row] > sub_score:
+                    ops = []
+                    for op1, n in zip(runop_l[row], runlen_l[row]):
+                        if not op1:
+                            break
+                        ops.extend([op1 - 1] * n)
                     if not _indel_limits_ok(ops, max_insertions,
                                             max_deletions,
                                             indel_endlength):
@@ -573,6 +597,67 @@ def refine_unsolved(db, index, batch, res, config,
 
 
 
+_CANON_PAIRS = {(2, 3, 0, 2), (2, 1, 0, 2), (0, 3, 0, 1),   # GT-AG GC-AG AT-AC
+                (1, 3, 0, 1), (1, 3, 2, 1), (2, 3, 0, 3)}   # antisense
+
+
+def _junction_bonus_zero(db, dprox, ddist, qb, known) -> bool:
+    """True iff the junction boundary at query position qb between the
+    proximal diagonal dprox and distal diagonal ddist carries NO signal:
+    noncanonical dinucleotides and (if given) not a known site."""
+    lo, hi = (dprox, ddist) if dprox <= ddist else (ddist, dprox)
+    don = db.get_codes(lo + qb, 2)
+    acc = db.get_codes(hi + qb - 2, 2)
+    if len(don) < 2 or len(acc) < 2:
+        return False
+    if (int(don[0]), int(don[1]), int(acc[0]), int(acc[1])) in _CANON_PAIRS:
+        return False
+    if known is not None:
+        sl, sr = lo + qb, hi + qb
+        if ((sl in known.donor and sr in known.acceptor)
+                or (sl in known.antiacceptor and sr in known.antidonor)):
+            return False
+    return True
+
+
+def _noncanon_tie(db, c, s, side, li, known) -> bool:
+    """altsplice.c tie rule applied to the junction BOUNDARY: a solved
+    junction whose boundary is noncanonical and can wobble to another
+    equal-mismatch noncanonical placement has no evidence for either
+    placement — the caller demotes the terminal exon to a soft clip."""
+    segs = s["segs"]
+    if side == "qend":
+        qb, dprox, ddist = segs[-1][0], segs[-2][1], segs[-1][1]
+        lo_q = segs[-2][0] + 1
+        hi_q = s["q_end"] - 1
+    else:
+        qb, ddist, dprox = segs[1][0], segs[0][1], segs[1][1]
+        lo_q = s["q_start"] + 1
+        hi_q = (segs[2][0] if len(segs) > 2 else s["q_end"]) - 1
+    if not _junction_bonus_zero(db, dprox, ddist, qb, known):
+        return False
+    d_lt = segs[-2][1] if side == "qend" else segs[0][1]   # earlier-q diag
+    d_rt = segs[-1][1] if side == "qend" else segs[1][1]
+    for sh in (-2, -1, 1, 2):
+        qb2 = qb + sh
+        if not (lo_q <= qb2 <= hi_q):
+            continue
+        a, b = sorted((qb, qb2))
+        gl = db.get_codes(d_lt + a, b - a)
+        gr = db.get_codes(d_rt + a, b - a)
+        if len(gl) < b - a or len(gr) < b - a:
+            continue
+        seg = c[a:b]
+        delta = int(np.sum(seg != gl)) - int(np.sum(seg != gr))
+        if sh < 0:
+            delta = -delta
+        # moving the boundary by sh costs `delta` extra mismatches; a
+        # zero-cost move to another signal-free boundary is a tie
+        if delta == 0 and _junction_bonus_zero(db, d_lt, d_rt, qb2, known):
+            return True
+    return False
+
+
 def _late_stages(db, index, batch, res, config, dp_result, splice_result,
                  novelsplicing, max_intron, known, find_fusions, tr_records,
                  L, quals, amb_out, chunk_len, len_v):
@@ -603,6 +688,12 @@ def _late_stages(db, index, batch, res, config, dp_result, splice_result,
                             # greedily; altsplice.c demands tied exact
                             # alternatives demote the junction back to a
                             # soft clip and surface in XA:Z:
+        nc_rows = []        # short-terminal-exon junctions with a
+                            # NONCANONICAL boundary: a wobble-tied boundary
+                            # (equal mismatches, no dinucleotide or known
+                            # signal to break it) also demotes — the
+                            # altsplice.c tie rule applied to the boundary
+                            # itself rather than the distal placement
         acodes = {}
         acode_req = {}
         # vectorized pre-filter: only trimmed rows whose short end can be
@@ -632,7 +723,11 @@ def _late_stages(db, index, batch, res, config, dp_result, splice_result,
                     sides.append(("qend", segs[-2][1], 0, segs[-1][0]))
                 if 1 <= segs[1][0] - s["q_start"] <= se.AMB_MAX:
                     sides.append(("qstart", segs[1][1], segs[1][0], li))
-                if not sides:
+                if 1 <= s["q_end"] - segs[-1][0] <= se.NC_REVIEW_MAX:
+                    nc_rows.append((i, "qend"))
+                if 1 <= segs[1][0] - s["q_start"] <= se.NC_REVIEW_MAX:
+                    nc_rows.append((i, "qstart"))
+                if not sides and not (nc_rows and nc_rows[-1][0] == i):
                     continue
                 acode_req[i] = s["strand"]
                 for (side, a, tqs, tqe) in sides:
@@ -700,6 +795,25 @@ def _late_stages(db, index, batch, res, config, dp_result, splice_result,
                         s["segs"] = s["segs"][1:]
                     if amb_out is not None:
                         amb_out.setdefault(i, []).append(amb)
+        # noncanonical boundary-wobble ties (see _noncanon_tie): demote
+        # the terminal exon exactly like a tied distal placement
+        for (i, side) in nc_rows:
+            s = splice_result.get(i)
+            if s is None or len(s["segs"]) < 2 or i not in acodes:
+                continue
+            if side == "qend" and s["q_end"] <= s["segs"][-1][0]:
+                continue            # already demoted by the review above
+            if side == "qstart" and s["q_start"] >= s["segs"][1][0]:
+                continue
+            if _noncanon_tie(db, acodes[i], s, side, int(len_v[i]), known):
+                if side == "qend":
+                    s["score"] -= 8 * (s["q_end"] - s["segs"][-1][0])
+                    s["q_end"] = s["segs"][-1][0]
+                    s["segs"] = s["segs"][:-1]
+                else:
+                    s["score"] -= 8 * (s["segs"][1][0] - s["q_start"])
+                    s["q_start"] = s["segs"][1][0]
+                    s["segs"] = s["segs"][1:]
 
     # fourth stage: fusions/translocations — same-orientation candidate
     # pairs at ANY distance (cross-chromosome included) for reads that
@@ -924,6 +1038,29 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
         for i in d:
             if i < n:
                 emit[i] = False
+    sp_arr_rows = None
+    if "sp_sel" in res and known is None:
+        # array-form chain solutions (fused ladder): vectorized filters,
+        # no per-row dict in the hot path
+        rsel = np.nonzero(res["sp_sel"])[0]
+        ii = res["ch_idx"][rsel].astype(np.int64)
+        keep = ii < n
+        rsel, ii = rsel[keep], ii[keep]
+        a_qs = res["ch_qstart"][rsel].astype(np.int32)
+        a_qe = res["ch_qend"][rsel].astype(np.int32)
+        a_nmm = res["ch_nmm"][rsel].astype(np.int32)
+        al = a_qe - a_qs
+        ok = ((a_nmm <= np.maximum(
+                  1, (al * config.max_mismatch_frac).astype(np.int32)))
+              & (al >= np.maximum(
+                  20, (li[ii] * config.min_coverage).astype(np.int32))))
+        if amb_result or tr_records:
+            excl = np.fromiter((int(i_) in amb_result
+                                or int(i_) in tr_records for i_ in ii),
+                               dtype=bool, count=len(ii))
+            ok &= ~excl
+        sp_arr_rows = (rsel[ok], ii[ok])
+        emit[ii] = False            # spliced rows never emit as ungapped
     qstart = np.where(plain, 0, tqs).astype(np.int32)
     qend = np.where(plain, li, tqe).astype(np.int32)
     methods = np.full(n, "sub", dtype=object)
@@ -938,13 +1075,31 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
 
     # chain-DP spliced/deletion paths (known splicing falls back to the
     # Python path_record so annotated junctions can set XS)
-    if splice_result and known is None:
-        sp_rows, seg_q, seg_d = [], [], []
+    if (splice_result or (sp_arr_rows and len(sp_arr_rows[0]))) \
+            and known is None:
+        sp_rows = []
         sp_strand = np.zeros(n, np.uint8)
         sp_qs = np.zeros(n, np.int32)
         sp_qe = np.zeros(n, np.int32)
         sp_emit = np.zeros(n, np.uint8)
         counts = np.zeros(n, dtype=np.int64)
+        S = res["ch_segq"].shape[1] if "ch_segq" in res else 8
+        segq_m = np.zeros((n, S), np.int32)
+        segd_m = np.zeros((n, S), np.uint64)
+        if sp_arr_rows is not None and len(sp_arr_rows[0]):
+            rsel, ii = sp_arr_rows
+            ns = res["ch_nsegs"][rsel].astype(np.int64)
+            sp_rows.extend(ii.tolist())
+            sp_emit[ii] = 1
+            a_st = strand[ii]
+            flags[ii] = np.where(a_st, 16, 0)
+            sp_strand[ii] = a_st
+            sp_qs[ii] = res["ch_qstart"][rsel]
+            sp_qe[ii] = res["ch_qend"][rsel]
+            counts[ii] = ns
+            segq_m[ii] = res["ch_segq"][rsel]
+            segd_m[ii] = res["ch_segd"][rsel]
+            methods[ii[ns > 1]] = "splice"
         for i in sorted(splice_result):
             s = splice_result[i]
             if i >= n or i in amb_result or i in tr_records:
@@ -954,7 +1109,7 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
                     and al >= max(20, int(li[i] * config.min_coverage))):
                 continue
             segs = s["segs"]
-            if segs[0][0] != s["q_start"]:
+            if segs[0][0] != s["q_start"] or len(segs) > S:
                 continue            # keep Python semantics for odd paths
             sp_rows.append(i)
             sp_emit[i] = 1
@@ -963,20 +1118,22 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
             sp_qs[i] = s["q_start"]
             sp_qe[i] = s["q_end"]
             counts[i] = len(segs)
-            for q0, d0 in segs:
-                seg_q.append(q0)
-                seg_d.append(d0)
+            for c_, (q0, d0) in enumerate(segs):
+                segq_m[i, c_] = q0
+                segd_m[i, c_] = d0
             methods[i] = "splice" if len(segs) > 1 else "sub"
         if sp_rows:
-            # rows were visited in ascending order, so row i's segments
-            # are the contiguous run [off[i], off[i+1]) of the flattened
-            # arrays
+            # flatten per-row segment slots in ascending (row, slot)
+            # order; row i's segments are [off[i], off[i+1])
             off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(counts, out=off[1:])
+            segmask = (np.arange(S, dtype=np.int64)[None, :]
+                       < counts[:, None])
             plines = sam_bulk.emit_path_bulk(
                 db, chunk, batch["codes"], batch["nmask"], li, sp_strand,
                 mapq, sp_qs, sp_qe, off,
-                np.asarray(seg_q, np.int32), np.asarray(seg_d, np.uint64),
+                segq_m[segmask].astype(np.int32),
+                segd_m[segmask].astype(np.uint64),
                 sp_emit, MIN_INTRON)
             if plines is not None:
                 for i in sp_rows:

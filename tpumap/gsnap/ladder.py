@@ -279,13 +279,13 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
 
         out["ch_idx"] = idx
         out["ch_sel"] = accept
-        out["ch_score"] = c1["score"]
-        out["ch_qstart"] = c1["q_start"]
-        out["ch_qend"] = c1["q_end"]
-        out["ch_nsegs"] = c1["nsegs"]
-        out["ch_segq"] = c1["seg_q"]
+        out["ch_score"] = c1["score"].astype(jnp.int16)
+        out["ch_qstart"] = c1["q_start"].astype(jnp.uint16)
+        out["ch_qend"] = c1["q_end"].astype(jnp.uint16)
+        out["ch_nsegs"] = c1["nsegs"].astype(jnp.uint8)
+        out["ch_segq"] = c1["seg_q"].astype(jnp.uint16)
         out["ch_segd"] = c1["seg_diag"]
-        out["ch_nmm"] = c1["nmm"]
+        out["ch_nmm"] = c1["nmm"].astype(jnp.uint16)
         splice_accept_b = jnp.zeros((B,), jnp.bool_).at[idx].set(
             accept & sel)
 
@@ -301,11 +301,31 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
         pbatch["packed"], pbatch["pnmask"], lengths, iidx, ist, L)
     idg = jnp.where(jnp.take(valid, iidx), jnp.take(diag, iidx), 0)
     ref = refine_indels(index, icodes, ili, idg, INDEL_BAND, INDEL_MARGIN)
+    # run-length-encode the edit transcript on device: the raw ops tensor
+    # [R, L+band] was the largest single item in the result fetch
+    from tpumap.ops.dp import T_END
+    MAXRUNS = 12
+    rev = ref["ops"][:, ::-1]
+    ops_valid = rev != jnp.uint8(T_END)
+    prev = jnp.concatenate(
+        [jnp.full((rev.shape[0], 1), 255, rev.dtype), rev[:, :-1]], axis=1)
+    prev_valid = jnp.concatenate(
+        [jnp.zeros((rev.shape[0], 1), jnp.bool_), ops_valid[:, :-1]],
+        axis=1)
+    newrun = ops_valid & ((rev != prev) | ~prev_valid)
+    runidx = jnp.cumsum(newrun.astype(jnp.int32), axis=1) - 1
+    nruns = jnp.max(jnp.where(ops_valid, runidx, -1), axis=1) + 1
+    slot = jnp.arange(MAXRUNS, dtype=jnp.int32)[None, None, :]
+    onehot = (runidx[:, :, None] == slot) & ops_valid[:, :, None]
+    run_len = jnp.sum(onehot, axis=1).astype(jnp.uint16)
+    run_op = (jnp.max(jnp.where(onehot, rev[:, :, None] + 1, 0), axis=1)
+              .astype(jnp.uint8))
     out["in_idx"] = iidx
-    out["in_sel"] = isel
-    out["in_score"] = ref["score"]
-    out["in_ops"] = ref["ops"]
-    out["in_startoff"] = ref["start_off"]
+    out["in_sel"] = isel & (nruns <= MAXRUNS)
+    out["in_score"] = ref["score"].astype(jnp.int16)
+    out["in_runop"] = run_op
+    out["in_runlen"] = run_len
+    out["in_startoff"] = ref["start_off"].astype(jnp.int16)
     # cand lists are only consumed on device now; don't ship them back
     for key in ("cand_diags", "cand_strands", "cand_nmm"):
         out.pop(key, None)

@@ -31,6 +31,11 @@ import numpy as np
 MIN_INTRON = 30
 AMB_MAX = 8            # longest residue handled here (>= 6 goes to localscan
                        # too, but a splice-dinuc-anchored scan still applies)
+NC_REVIEW_MAX = 14     # longest terminal exon reviewed for NONCANONICAL
+                       # boundary-wobble ties (driver._noncanon_tie); longer
+                       # exons anchor their boundary with enough sequence
+                       # that the reference keeps the junction
+
 TOP_ALTS = 8
 SCAN_W = 65536         # window cap: the reference's localdb region scale
                        # (per-65,536-bp suffix arrays, src/localdb-write.c)

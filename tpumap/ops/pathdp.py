@@ -76,6 +76,12 @@ class PathScoring:
     bonus_known: int = 74        # net -16: known junctions open readily
     min_intron: int = 9          # same as path-solve.c MIN_INTRONLEN
     max_intron: int = 200_000
+    # noncanonical novel junctions pay splice_base with no bonus (the
+    # MaxEnt-low-probability analog); False rejects them outright.
+    # Ambiguity control is downstream: a noncanonical junction whose
+    # boundary placement TIES under wobble is demoted to a soft clip by
+    # the splice-ends review (driver._late_stages), per altsplice.c.
+    allow_noncanon: bool = True
 
 
 def quality_mismatch_cost(quals: jax.Array) -> jax.Array:
@@ -229,6 +235,8 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
                       | (kaa_q[:, :, None] & kad_q[:, None, :]))
         bonus = jnp.maximum(canon, jnp.where(known_pair, b_known, 0))
         intron_cost = splice_base + bonus
+        if not scoring.allow_noncanon:
+            intron_cost = jnp.where(bonus > 0, intron_cost, NEG)
 
         trans = jnp.where(is_intron, intron_cost,
                           jnp.where(is_del, del_cost, NEG))
