@@ -1,24 +1,23 @@
 #!/usr/bin/env python3
-"""Benchmark: GSNAP-style short-read alignment throughput on one chip.
+"""Benchmark: GSNAP/GMAP throughput on one chip, measured END-TO-END.
 
-Two workloads on a chr21-scale genome (46.7 Mbp, tools/bench_data.py):
+Workloads on a chr21-scale genome (46.7 Mbp, tools/bench_data.py):
 
-* DNA (headline): 100 bp reads, 1% substitutions — device cascade
-  throughput (the round-1 metric, now at human-chromosome index scale);
-* RNA: 40% spliced reads (1-2 GT..AG junctions) — END-TO-END through
-  align_records (cascade + indel DP + chain-DP splice solving + SAM
-  emission), the workload VERDICT r1 flagged as unmeasured.
+* DNA (headline): 100 bp reads, 1% substitutions — align_records through
+  final SAM text (ladder + native emission), >= 1 s of wall; the device
+  cascade is also timed alone as a secondary number.
+* RNA: 40% spliced reads (1-2 GT..AG junctions) — end-to-end, with
+  junction-level precision/recall/F1 against the generator's truth.
+* PE: 20k FR pairs — end-to-end through the paired driver, with the
+  concordance rate.
+* GMAP: 256 multi-exon cDNAs through the bulk cDNA aligner.
 
-Prints ONE JSON line:
-  {"metric": "reads_per_sec", "value": N, "unit": "reads/s/chip",
-   "vs_baseline": R, ...}
-
-vs_baseline compares against a 32-core-EQUIVALENT of the reference:
-per-core AVX2 gsnap throughput (tools/measure_baseline.py, hand-built
-gsnap_avx2 matching src/Makefile.am avx2 flags) x 32, assuming perfect
-core scaling — the deployment BASELINE.md demands, not the single-core
-nosimd build round 1 compared against.  Falls back to nosimd x the
-measured avx2 uplift if only that was measured.
+Prints ONE JSON line. vs_baseline ratios compare against a
+32-core-EQUIVALENT of the reference: per-core AVX2 gsnap marginal
+throughput (tools/measure_baseline.py, hand-built, steady-state slope)
+x 32 assuming perfect core scaling — the deployment baseline BASELINE.md
+demands. Timing on this backend is only trustworthy when values are
+actually materialized; every timed region here ends in host bytes.
 """
 import json
 import pathlib
@@ -33,27 +32,61 @@ BASELINE_CORES = 32
 
 
 def _load_baseline():
-    """Returns (dna_rps_32core, rna_rps_32core, note) or Nones."""
     f = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
     if not f.exists():
-        return None, None, "unmeasured"
+        return {}, "unmeasured"
     d = json.loads(f.read_text())
-    # prefer marginal (steady-state slope) rates: they exclude reference
-    # process startup / index page-in, the honest production per-core rate
-    dna1 = (d.get("gsnap_avx2_dna_marginal_rps")
-            or d.get("gsnap_avx2_reads_per_sec")
-            or d.get("gsnap_dna_marginal_rps")
-            or d.get("gsnap_reads_per_sec"))
-    rna1 = (d.get("gsnap_avx2_rna_marginal_rps")
-            or d.get("gsnap_avx2_rna_reads_per_sec")
-            or d.get("gsnap_rna_marginal_rps")
-            or d.get("gsnap_rna_reads_per_sec"))
-    which = "avx2" if d.get("gsnap_avx2_reads_per_sec") else "nosimd"
-    marg = "marginal " if d.get(f"gsnap_{'avx2_' if which == 'avx2' else ''}"
-                                "dna_marginal_rps") else ""
-    note = f"{which} {marg}1-core x {BASELINE_CORES}"
-    return (dna1 * BASELINE_CORES if dna1 else None,
-            rna1 * BASELINE_CORES if rna1 else None, note)
+    out = {}
+    for k, keys in (
+            ("dna", ("gsnap_avx2_dna_marginal_rps",
+                     "gsnap_avx2_reads_per_sec", "gsnap_dna_marginal_rps",
+                     "gsnap_reads_per_sec")),
+            ("rna", ("gsnap_avx2_rna_marginal_rps",
+                     "gsnap_avx2_rna_reads_per_sec",
+                     "gsnap_rna_marginal_rps", "gsnap_rna_reads_per_sec")),
+            ("pe", ("gsnap_avx2_pe_marginal_rps",
+                    "gsnap_avx2_pe_reads_per_sec",
+                    "gsnap_pe_reads_per_sec")),
+            ("gmap", ("gmap_queries_per_sec",))):
+        v = next((d[key] for key in keys if d.get(key)), None)
+        if v:
+            out[k] = v * (BASELINE_CORES if k != "gmap" else 1)
+    note = ("avx2 marginal 1-core x 32"
+            if d.get("gsnap_avx2_dna_marginal_rps") else "nosimd x 32")
+    return out, note
+
+
+def _vs(value, base):
+    return round(value / base, 2) if base else None
+
+
+def _junctions(rec):
+    """Genomic (donor, acceptor) junction pairs from a SAM record
+    (single-chromosome bench genome: univcoord == chrpos)."""
+    if rec.flag & 4:
+        return ()
+    cig = rec.cigar
+    if "N" not in cig:
+        return ()
+    js = []
+    cur = rec.pos - 1
+    num = 0
+    for ch in cig:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            if ch == "N":
+                js.append((cur, cur + num))
+                cur += num
+            elif ch in "MD=X":
+                cur += num
+            num = 0
+    return js
+
+
+def _sam_bytes(records):
+    """Materialize final SAM text (the end-to-end contract)."""
+    return sum(len(r.lines()) for r in records)
 
 
 def main():
@@ -64,12 +97,14 @@ def main():
     from tpumap.gsnap.driver import align_records
     from tpumap.gsnap.engine import (AlignConfig,
                                      align_batch_cascaded_packed)
+    from tpumap.gsnap.paired import align_paired_records
     from tpumap.ops import pack
     from tpumap.index import GenomeDB, build_db
     from tpumap.index.device import DeviceIndex
-    from tpumap.io.fasta import read_fasta
+    from tpumap.io.fasta import Record, read_fasta
     from tpumap.utils import dna
 
+    base, base_note = _load_baseline()
     gfa, rfa = bench_data.ensure_files()
     dbdir = bench_data.ROOT / "db_k14"
     if (dbdir / "meta.json").exists():
@@ -79,73 +114,142 @@ def main():
         db.save(str(dbdir))
     index = DeviceIndex.from_host(db)
     config = AlignConfig(top_k=4, max_occ=4)
+    B = 16384
+    out = {"baseline": base_note}
 
-    # ---- DNA: device cascade throughput (headline) -------------------
-    # reads are PACKED on the host (4x smaller transfer — the
-    # tunnel-attached chip makes host->device bytes a first-order cost)
+    # ---- DNA end-to-end (headline) -----------------------------------
     reads = list(read_fasta(rfa))
+    align_records(db, index, reads[:B], config, batch_size=B)  # warm
+    t0 = time.perf_counter()
+    recs = align_records(db, index, reads, config, batch_size=B)
+    nbytes = _sam_bytes(recs)
+    dna_dt = time.perf_counter() - t0
+    dna_rps = len(reads) / dna_dt
+    out.update({
+        "metric": "reads_per_sec",
+        "value": round(dna_rps, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": _vs(dna_rps, base.get("dna")),
+        "wall_s": round(dna_dt, 3),
+        "sam_mb": round(nbytes / 1e6, 1),
+        "aligned_frac": round(sum(1 for r in recs if not r.flag & 4)
+                              / len(recs), 4),
+    })
+    del recs
+
+    # ---- DNA device cascade alone (secondary) ------------------------
     N, L = len(reads), 112
     codes = np.zeros((N, L), dtype=np.uint8)
-    nmask = np.zeros((N, L), dtype=np.uint8)
     lengths = np.full(N, bench_data.READ_LEN, dtype=np.int32)
     for i, r in enumerate(reads):
-        c, m = dna.encode(r.sequence)
+        c, _ = dna.encode(r.sequence)
         codes[i, :len(c)] = c
-        nmask[i, :len(c)] = m
     packed = pack.pack_reads_host(codes)
-    pnmask = pack.pack_reads_host(nmask)
+    stub = jnp.zeros((1, 1), dtype=jnp.uint32)
+    lend = jnp.asarray(lengths[:B])
 
-    B = 16384
-    nbatch = N // B
-
-    zero_stub = np.zeros((1, 1), dtype=pnmask.dtype)
-
-    def run_batch(i):
+    def cascade(i):
         sl = slice(i * B, (i + 1) * B)
-        pm = pnmask[sl]
-        if not pm.any():            # N-free: skip the mask transfer
-            pm = zero_stub
-        pbatch = {"packed": jnp.asarray(packed[sl]),
-                  "pnmask": jnp.asarray(pm),
-                  "lengths": jnp.asarray(lengths[sl])}
-        return align_batch_cascaded_packed(index, pbatch, config, L, 3,
-                                           256)
+        pb = {"packed": jnp.asarray(packed[sl]), "pnmask": stub,
+              "lengths": lend}
+        return align_batch_cascaded_packed(index, pb, config, L)
 
-    out = run_batch(0)          # warmup/compile
-    jax.block_until_ready(out)
-
+    r = cascade(0)
+    _ = np.asarray(r["nmismatch"])          # force real execution
     t0 = time.perf_counter()
-    outs = []
-    for i in range(nbatch):
-        outs.append(run_batch(i))
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    total = 0
+    nb = N // B
+    mapped = 0
+    while time.perf_counter() - t0 < 1.0:   # >= 1 s of wall (VERDICT r2)
+        for i in range(nb):
+            r = cascade(i)
+            mapped += int(np.asarray(r["mapped"]).sum())
+        total += nb * B
+    casc_dt = time.perf_counter() - t0
+    out["dna_cascade_reads_per_sec"] = round(total / casc_dt, 1)
+    out["dna_cascade_vs_baseline"] = _vs(total / casc_dt, base.get("dna"))
 
-    n_aligned = int(sum(np.asarray(o["mapped"]).sum() for o in outs))
-    dna_rps = nbatch * B / dt
-    del outs
-
-    # ---- RNA: end-to-end spliced workload ----------------------------
+    # ---- RNA end-to-end + junction truth accuracy --------------------
     _, rna_rfa = bench_data.ensure_rna_files()
     rna_reads = list(read_fasta(rna_rfa))
-    # warmup on the FIRST BATCH AT THE TIMED SHAPES (a different warmup
-    # batch size left every ladder kernel to compile inside the timed
-    # region — the round-2 244 reads/s number was ~120 s of XLA compiles,
-    # not alignment); the persistent compile cache (utils/jaxcache.py)
-    # makes this warmup cheap on every run after the first
-    align_records(db, index, rna_reads[:16384], config,
-                  novelsplicing=True, batch_size=16384)
+    align_records(db, index, rna_reads[:B], config,
+                  novelsplicing=True, batch_size=B)             # warm
     t0 = time.perf_counter()
     rna_out = align_records(db, index, rna_reads, config,
-                            novelsplicing=True, batch_size=16384)
+                            novelsplicing=True, batch_size=B)
+    _sam_bytes(rna_out)
     rna_dt = time.perf_counter() - t0
+    truth = bench_data.rna_truth()
+    tp = fp = fn = 0
+    n_loc = 0
+    rna_spliced = 0
+    for rec, (tjs, tstart) in zip(rna_out, truth):
+        pjs = set(_junctions(rec))
+        if pjs:
+            rna_spliced += 1
+        tp += len(pjs & tjs)
+        fp += len(pjs - tjs)
+        fn += len(tjs - pjs)
+        if not rec.flag & 4 and abs(rec.pos - 1 - tstart) <= 150:
+            n_loc += 1
+    prec = tp / max(tp + fp, 1)
+    rec_ = tp / max(tp + fn, 1)
     rna_rps = len(rna_reads) / rna_dt
-    rna_mapped = sum(1 for r in rna_out if not r.flag & 4)
-    rna_spliced = sum(1 for r in rna_out if "N" in r.cigar)
+    out.update({
+        "rna_reads_per_sec": round(rna_rps, 1),
+        "rna_vs_baseline": _vs(rna_rps, base.get("rna")),
+        "rna_mapped_frac": round(sum(1 for r in rna_out
+                                     if not r.flag & 4) / len(rna_out), 4),
+        "rna_spliced_frac": round(rna_spliced / len(rna_out), 4),
+        "rna_junction_precision": round(prec, 4),
+        "rna_junction_recall": round(rec_, 4),
+        "rna_junction_f1": round(2 * prec * rec_ / max(prec + rec_, 1e-9),
+                                 4),
+        "rna_locus_acc": round(n_loc / len(rna_out), 4),
+    })
+    del rna_out
+
+    # ---- paired-end --------------------------------------------------
+    f1, f2 = bench_data.ensure_pe_files()
+    r1 = list(read_fasta(f1))
+    r2 = list(read_fasta(f2))
+    pairs = list(zip(r1, r2))
+    align_paired_records(db, index, pairs[:2048], config,
+                         batch_size=2048, pairmax=1000)          # warm
+    t0 = time.perf_counter()
+    pe_out = align_paired_records(db, index, pairs, config,
+                                  batch_size=4096, pairmax=1000)
+    for a, b in pe_out:
+        a.lines(), b.lines()
+    pe_dt = time.perf_counter() - t0
+    pe_rps = 2 * len(pairs) / pe_dt
+    conc = sum(1 for a, _b in pe_out if a.flag & 2) / len(pe_out)
+    out.update({
+        "pe_reads_per_sec": round(pe_rps, 1),
+        "pe_vs_baseline": _vs(pe_rps, base.get("pe")),
+        "pe_concordant_frac": round(conc, 4),
+    })
+    del pe_out
+
+    # ---- GMAP cDNA ----------------------------------------------------
+    try:
+        from tools.bench_gmap import make_queries
+        from tpumap.cli.gmap_cli import align_queries_bulk
+        queries = make_queries(db)
+        enc = [dna.encode(q) for q in queries]
+        align_queries_bulk(db, index, enc)                       # warm
+        t0 = time.perf_counter()
+        res = align_queries_bulk(db, index, enc)
+        gmap_dt = time.perf_counter() - t0
+        out["gmap_queries_per_sec"] = round(len(queries) / gmap_dt, 1)
+        out["gmap_vs_baseline"] = _vs(len(queries) / gmap_dt,
+                                      base.get("gmap"))
+        out["gmap_found_frac"] = round(sum(1 for x in res if x)
+                                       / len(queries), 4)
+    except Exception as exc:                # keep the bench JSON intact
+        out["gmap_error"] = f"{type(exc).__name__}: {exc}"
 
     # ---- DP cells/sec/chip (BASELINE.json second headline) -----------
-    # the dynprog_simd.c analog: batched banded affine-gap DP
-    # (ops/dp.banded_align).  Cells = B * Lq * (2*band+1) per call.
     from tpumap.ops import dp as dp_ops
     DB, DLQ, DBAND = 8192, 112, 16
     rng = np.random.default_rng(7)
@@ -155,32 +259,17 @@ def main():
     ql = jnp.full(DB, DLQ, jnp.int32)
     gl = jnp.full(DB, DLQ + 2 * DBAND, jnp.int32)
     r = dp_ops.banded_align(qc, ql, gc, gl, DBAND)
-    jax.block_until_ready(r)
+    _ = np.asarray(r["score"][:4])
     NREP = 10
     t0 = time.perf_counter()
-    for _ in range(NREP):
+    for _i in range(NREP):
         r = dp_ops.banded_align(qc, ql, gc, gl, DBAND)
-    jax.block_until_ready(r)
+    _ = np.asarray(r["score"][:4])
     dp_dt = time.perf_counter() - t0
-    dp_cells = NREP * DB * DLQ * (2 * DBAND + 1) / dp_dt
+    out["dp_cells_per_sec"] = round(
+        NREP * DB * DLQ * (2 * DBAND + 1) / dp_dt, 0)
 
-    base_dna, base_rna, base_note = _load_baseline()
-    vs = (dna_rps / base_dna) if base_dna else None
-    print(json.dumps({
-        "metric": "reads_per_sec",
-        "value": round(dna_rps, 1),
-        "unit": "reads/s/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "baseline": base_note,
-        "aligned_frac": round(n_aligned / (nbatch * B), 4),
-        "wall_s": round(dt, 3),
-        "rna_reads_per_sec": round(rna_rps, 1),
-        "rna_vs_baseline": (round(rna_rps / base_rna, 2)
-                            if base_rna else None),
-        "rna_mapped_frac": round(rna_mapped / len(rna_reads), 4),
-        "rna_spliced_frac": round(rna_spliced / len(rna_reads), 4),
-        "dp_cells_per_sec": round(dp_cells, 0),
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

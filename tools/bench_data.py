@@ -160,6 +160,62 @@ def rna_read_plan():
     return plan
 
 
+def rna_truth():
+    """Per-read truth from the RNA plan: (junction set, locus start).
+
+    Junctions are genomic (donor_univcoord, acceptor_univcoord) pairs
+    with donor = first intron base and acceptor = first exon base after
+    the intron; locus start = leftmost genomic coordinate."""
+    out = []
+    for p in rna_read_plan():
+        segs = p["segs"]
+        js = {(a + n, b) for (a, n), (b, _n2) in zip(segs, segs[1:])}
+        out.append((js, segs[0][0]))
+    return out
+
+
+# paired-end workload: DNA fragments, FR orientation (BASELINE.md row 4)
+PE_N_PAIRS = 20_000
+PE_FRAG_MEAN, PE_FRAG_SD = 350, 40
+
+
+def pe_read_plan():
+    """Deterministic paired-end plan: (frag_start, frag_len, subs1, subs2)."""
+    rng = np.random.default_rng(5)
+    plan = []
+    for i in range(PE_N_PAIRS):
+        fl = int(np.clip(rng.normal(PE_FRAG_MEAN, PE_FRAG_SD),
+                         2 * READ_LEN, PE_FRAG_MEAN + 4 * PE_FRAG_SD))
+        start = int(rng.integers(0, GENOME_LEN - fl))
+        subs1 = [(int(rng.integers(0, READ_LEN)), int(rng.integers(0, 4)))
+                 for _ in range(rng.binomial(READ_LEN, SUB_RATE))]
+        subs2 = [(int(rng.integers(0, READ_LEN)), int(rng.integers(0, 4)))
+                 for _ in range(rng.binomial(READ_LEN, SUB_RATE))]
+        plan.append((start, fl, subs1, subs2))
+    return plan
+
+
+def ensure_pe_files():
+    """reads_pe_1.fa / reads_pe_2.fa: FR pairs from the bench genome."""
+    ensure_files()
+    f1, f2 = ROOT / "reads_pe_1.fa", ROOT / "reads_pe_2.fa"
+    if f1.exists() and f2.exists():
+        return f1, f2
+    codes = genome_codes()
+    with open(f1, "w") as o1, open(f2, "w") as o2:
+        for i, (start, fl, subs1, subs2) in enumerate(pe_read_plan()):
+            s1 = codes[start:start + READ_LEN].copy()
+            for j, b in subs1:
+                s1[j] = b
+            s2 = codes[start + fl - READ_LEN:start + fl].copy()
+            for j, b in subs2:
+                s2[j] = b
+            s2 = 3 - s2[::-1]                    # mate 2 is reverse strand
+            o1.write(f">p{i}/1\n{_codes_to_str(s1)}\n")
+            o2.write(f">p{i}/2\n{_codes_to_str(s2)}\n")
+    return f1, f2
+
+
 def _write_rna_reads(rfa):
     codes = genome_codes()
     plan = rna_read_plan()

@@ -118,6 +118,68 @@ def main(n_reads: int = 20000):
             out[f"gsnap{key}_rna_marginal_rps"] = round(
                 sorted(slopes)[len(slopes) // 2], 1)
 
+    # paired-end (BASELINE.md plan row 4): avx2 build, FR pairs
+    pe1, pe2 = bench_data.ensure_pe_files()
+    binary = REFBIN / "gsnap_avx2"
+    if binary.exists():
+        def _pe_sub(n):
+            s1 = _subset(pe1, n, "pe1")
+            s2 = _subset(pe2, n, "pe2")
+            return s1, s2
+
+        def _time_pe(f1, f2, npairs):
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [str(binary), "-D", str(dbdir), "-d", "bench", "-t", "1",
+                 "-A", "sam", "--pairmax-dna", "1000", str(f1), str(f2)],
+                capture_output=True, text=True, check=True)
+            dt = time.perf_counter() - t0
+            conc = sum(1 for l in r.stdout.splitlines()
+                       if l and not l.startswith("@")
+                       and int(l.split("\t")[1]) & 2)
+            return dt, conc
+
+        nsub = 5000
+        s1, s2 = _pe_sub(nsub)
+        _time_pe(s1, s2, nsub)                  # warm page cache
+        dt_sub, _ = _time_pe(s1, s2, nsub)
+        out["gsnap_avx2_pe_reads_per_sec"] = round(2 * nsub / dt_sub, 1)
+        slopes = []
+        for _ in range(3):
+            _, _c = _time_pe(s1, s2, nsub)
+            dt_sub2, _ = _time_pe(s1, s2, nsub)
+            dt_all, conc = _time_pe(pe1, pe2, bench_data.PE_N_PAIRS)
+            if dt_all > dt_sub2:
+                slopes.append(2 * (bench_data.PE_N_PAIRS - nsub)
+                              / (dt_all - dt_sub2))
+        if slopes:
+            out["gsnap_avx2_pe_marginal_rps"] = round(
+                sorted(slopes)[len(slopes) // 2], 1)
+            out["gsnap_avx2_pe_concordant"] = conc
+
+    # GMAP cDNA throughput (the bench_gmap workload, avx2-equivalent is
+    # not built for gmap — the reference gmap build here is nosimd)
+    gmap = REFBIN / "gmap"
+    if gmap.exists():
+        from tools.bench_gmap import make_queries
+        from tpumap.index import GenomeDB
+        db = GenomeDB.load(str(bench_data.ROOT / "db_k14")) \
+            if (bench_data.ROOT / "db_k14" / "meta.json").exists() else None
+        if db is not None:
+            qfa = bench_data.ROOT / "gmap_queries.fa"
+            if not qfa.exists():
+                qs = make_queries(db)
+                with open(qfa, "w") as f:
+                    for i, q in enumerate(qs):
+                        f.write(f">q{i}\n{q}\n")
+            t0 = time.perf_counter()
+            subprocess.run([str(gmap), "-D", str(dbdir), "-d", "bench",
+                            "-t", "1", "-f", "samse", str(qfa)],
+                           capture_output=True, text=True, check=True)
+            dt = time.perf_counter() - t0
+            nq = sum(1 for l in open(qfa) if l.startswith(">"))
+            out["gmap_queries_per_sec"] = round(nq / dt, 1)
+
     out["config"] = (f"-t 1 (1-core host), k=15/q3 index, {n_reads} of "
                      f"{bench_data.N_READS} bench reads, chr21-scale "
                      f"genome ({bench_data.GENOME_LEN} bp)")

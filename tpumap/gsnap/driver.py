@@ -1073,6 +1073,26 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
     if lines is None:
         lines = [None] * n
 
+    # rows nothing will claim emit as unmapped in one C call (the Python
+    # fallback loop only sees rows with an override entry)
+    unm = ~plain & ~trim_ok
+    if sp_arr_rows is not None and len(sp_arr_rows[1]):
+        unm[sp_arr_rows[1]] = False
+    for d in overrides:
+        for i in d:
+            if i < n:
+                unm[i] = False
+    if unm.any():
+        ulines = sam_bulk.emit_unmapped_bulk(
+            db, chunk, batch["codes"], batch["nmask"], li,
+            unm.astype(np.uint8))
+        if ulines is not None:
+            for i in np.nonzero(unm)[0].tolist():
+                if ulines[i] is not None:
+                    lines[i] = ulines[i]
+                    flags[i] = 4
+                    methods[i] = "unmapped"
+
     # chain-DP spliced/deletion paths (known splicing falls back to the
     # Python path_record so annotated junctions can set XS)
     if (splice_result or (sp_arr_rows and len(sp_arr_rows[0]))) \
@@ -1278,11 +1298,12 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
 
         for i, rec in enumerate(chunk):
             if bulk is not None and bulk_lines[i] is not None:
+                m = bulk_methods[i]
                 if stats is not None:
-                    m = bulk_methods[i]
                     stats[m] = stats.get(m, 0) + 1
-                out.append(RawSamRecord(bulk_lines[i],
-                                        int(bulk_flags[i]), int(mapq[i])))
+                out.append(RawSamRecord(
+                    bulk_lines[i], int(bulk_flags[i]),
+                    0 if m == "unmapped" else int(mapq[i])))
                 continue
             li = int(batch["lengths"][i])
             max_equiv = int(li * config.max_mismatch_frac)

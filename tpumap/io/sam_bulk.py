@@ -274,3 +274,33 @@ def emit_path_bulk(db, chunk, codes, rnmask, lengths, strand, mapq,
     if total < 0:
         return None
     return _decode_lines(out_buf.raw, line_off, total, B)
+
+
+def emit_unmapped_bulk(db, chunk, codes, rnmask, lengths, emit, flags=None):
+    """Emit unmapped SAM lines for every emit[i]!=0 row in one C call."""
+    lib = _get_lib()
+    if lib is None or not len(chunk):
+        return None
+    B = len(chunk)
+    _genome_args, (qblob, qoffp), qual_args, _keep = _common_args(db, chunk)
+    L = codes.shape[1]
+    qn_max = max(len(r.accession) for r in chunk)
+    cap = B * (2 * L + qn_max + 48)
+    out_buf = ctypes.create_string_buffer(cap)
+    line_off = np.zeros(B + 1, dtype=np.int64)
+    codes = np.ascontiguousarray(codes[:B], dtype=np.uint8)
+    rnmask = np.ascontiguousarray(rnmask[:B]).view(np.uint8)
+    lengths = np.ascontiguousarray(lengths[:B], dtype=np.int32)
+    emit = np.ascontiguousarray(emit[:B], dtype=np.uint8)
+    if flags is not None:
+        flags = np.ascontiguousarray(flags[:B], dtype=np.int32)
+    total = lib.sam_emit_unmapped(
+        qblob, qoffp,
+        _p(codes, _U8), _p(rnmask, _U8), L,
+        qual_args[0], qual_args[1],
+        _p(lengths, _I32),
+        _p(flags, _I32) if flags is not None else None,
+        _p(emit, _U8), B, out_buf, cap, _p(line_off, _I64))
+    if total < 0:
+        return None
+    return _decode_lines(out_buf.raw, line_off, total, B)

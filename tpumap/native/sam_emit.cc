@@ -428,3 +428,45 @@ extern "C" long sam_emit_path(
     }
     return p - out;
 }
+
+// ---------------------------------------------------------------------------
+// Unmapped records: QNAME 4 * 0 0 * * 0 0 SEQ QUAL (forward orientation).
+// With `flags` non-NULL the caller supplies the full FLAG (paired-end
+// unmapped carry 0x1/0x8/0x40/0x80).
+extern "C" long sam_emit_unmapped(
+    const char* qname_blob, const int64_t* qname_off,
+    const uint8_t* codes, const uint8_t* rnmask, long Lstride,
+    const char* qual_blob, const int64_t* qual_off,
+    const int32_t* lengths, const int32_t* flags,
+    const uint8_t* emit, long B,
+    char* out, long out_cap, int64_t* line_off) {
+    char* p = out;
+    char seqbuf[8192];
+    line_off[0] = 0;
+    for (long i = 0; i < B; i++) {
+        if (!emit[i]) { line_off[i + 1] = p - out; continue; }
+        long L = lengths[i];
+        if (L > 8000) { line_off[i + 1] = p - out; continue; }
+        if (out_cap - (p - out) < 2 * L
+                                  + (qname_off[i + 1] - qname_off[i]) + 48)
+            return -1;
+        oriented_read(codes + i * Lstride, rnmask + i * Lstride, L, 0,
+                      seqbuf);
+        p = put_str(p, qname_blob + qname_off[i],
+                    qname_off[i + 1] - qname_off[i]);
+        *p++ = '\t';
+        p = put_u64(p, (uint64_t)(flags ? flags[i] : 4));
+        p = put_str(p, "\t*\t0\t0\t*\t*\t0\t0\t", 15);
+        p = put_str(p, seqbuf, L);
+        *p++ = '\t';
+        long qlen = qual_off ? (qual_off[i + 1] - qual_off[i]) : 0;
+        if (qlen == L) {
+            p = put_str(p, qual_blob + qual_off[i], L);
+        } else {
+            *p++ = '*';
+        }
+        *p++ = '\n';
+        line_off[i + 1] = p - out;
+    }
+    return p - out;
+}
