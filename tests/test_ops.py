@@ -73,6 +73,32 @@ def test_extract_packed_window(small_db):
         np.testing.assert_array_equal(win[i], expect, err_msg=f"start={s}")
 
 
+def test_extract_wide_window_no_clamp(small_db):
+    """Regression (round 3): lax.dynamic_slice silently clamps the start
+    index when start + nwords + 1 exceeds the padded genome, shifting the
+    whole window to wrong coordinates.  GMAP's region buckets (Rp up to
+    hundreds of kbp) exceed the fixed DeviceIndex pad on small genomes, so
+    mid-genome fetches returned wrong bases and db-mode emitted nothing.
+    Every in-genome base of a fetched window must be exact regardless of
+    (genome size, window bucket)."""
+    db, seq = small_db
+    idx = DeviceIndex.from_host(db)
+    glen = len(seq)
+    truth, _ = dna.encode(seq)
+    truth[500:503] = 0          # Ns encode as code 0 in get_codes
+    # window widths spanning: take path (<16 words), dynamic-slice path
+    # within SAFE_PAD_WORDS, and GMAP bucket sizes far beyond the pad
+    for L in (64, 1024, 65536, 262144):
+        starts = np.array([0, 1, 17, glen // 2, glen - 40], dtype=np.uint32)
+        win = np.asarray(verify.extract_codes_window(
+            idx.genome_packed, jnp.asarray(starts), L))
+        for i, s in enumerate(starts.tolist()):
+            n = min(L, glen - s)
+            np.testing.assert_array_equal(
+                win[i, :n], truth[s:s + n],
+                err_msg=f"L={L} start={s}: window shifted/clamped")
+
+
 def test_extract_bit_window(small_db):
     db, seq = small_db
     idx = DeviceIndex.from_host(db)

@@ -73,10 +73,15 @@ class DeviceIndex:
 
     @classmethod
     def from_host(cls, db: GenomeDB, device=None,
-                  pad_words: int = 4352) -> "DeviceIndex":
-        # pad_words covers the widest window fetched as one dynamic slice
-        # (a 65,536 bp localscan window = 4,097 words), so slices starting
-        # anywhere in the genome never clamp (ops/verify.py)
+                  pad_words: int | None = None) -> "DeviceIndex":
+        # pad_words covers the widest FIXED window fetched as one dynamic
+        # slice (a 65,536 bp localscan window = 4,097 words), so those
+        # slices never clamp for in-genome starts; wider windows (GMAP
+        # region buckets) are handled inside ops/verify.py
+        # extract_packed_window by zero-extending the operand.
+        if pad_words is None:
+            from tpumap.ops.verify import SAFE_PAD_WORDS
+            pad_words = SAFE_PAD_WORDS
         if db.positions.dtype != np.uint32:
             raise ValueError(
                 "genome exceeds the uint32 coordinate space (gsnapl "

@@ -23,6 +23,17 @@ import numpy as np
 U32_ONES = np.uint32(0xFFFFFFFF)
 LOW_PAIRS = np.uint32(0x55555555)
 
+# Trailing pad (in uint32 words) that DeviceIndex.from_host guarantees on
+# genome_packed / genome_nmask / positions.  Sized for the widest FIXED
+# window fetched as one dynamic slice (the 65,536 bp localscan window =
+# 4,097 words + 1 alignment word).  Wider windows (GMAP region buckets can
+# exceed this on small genomes) MUST NOT rely on the pad: lax.dynamic_slice
+# silently clamps the start index when start + size exceeds the operand,
+# shifting the whole window to wrong genome coordinates — the round-3
+# db-mode GMAP regression.  extract_packed_window therefore zero-extends
+# the operand itself whenever nwords + 1 > SAFE_PAD_WORDS.
+SAFE_PAD_WORDS = 4352
+
 
 def extract_packed_window(genome_packed: jax.Array, starts: jax.Array,
                           nwords: int) -> jax.Array:
@@ -37,12 +48,22 @@ def extract_packed_window(genome_packed: jax.Array, starts: jax.Array,
     DMA) rather than an elementwise gather: XLA lowers per-element takes
     to scalar HBM gathers, which measured ~50M elements/s — a 65 Kbp
     window scan spent ~1 s/batch on the gather alone.  DeviceIndex pads
-    genome_packed so slices never clamp for in-genome starts.
+    genome_packed by SAFE_PAD_WORDS so slices up to that width never clamp
+    for in-genome starts; wider windows zero-extend the operand here so
+    lax.dynamic_slice's silent start-clamping can never shift a window
+    (bases past the genome end read as zeros/'A', which callers mask via
+    window-length / N masks).
     """
     starts = starts.astype(jnp.uint32)
     w0 = (starts >> 4).astype(jnp.int32)
     s2 = ((starts & 15) << 1).astype(jnp.uint32)       # bit shift within word
     if nwords >= 16:
+        if nwords + 1 > SAFE_PAD_WORDS:
+            # any start within the (pre-extension) operand now fetches
+            # exactly, since w0 + nwords + 1 <= len + nwords + 1
+            genome_packed = jnp.concatenate(
+                [genome_packed,
+                 jnp.zeros(nwords + 1, dtype=genome_packed.dtype)])
         flat = w0.reshape(-1)
         words = jax.vmap(
             lambda s: jax.lax.dynamic_slice(genome_packed, (s,),
