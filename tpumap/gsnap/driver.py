@@ -1203,13 +1203,22 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                  and known_indels is None and device_ctx is None
                  and npaths == 1)
 
+    # ONE (B, L) shape for the whole run: a bucketed tail batch would
+    # compile a second program per shape — ~20-90 s through the tunnel,
+    # which dwarfs the wasted compute of padding the tail up to a full
+    # batch (round-3 bench was dominated by exactly this shape churn).
+    # Runs smaller than one batch still use the small buckets.
+    run_L = pad_to_bucket(max((len(r.sequence) for r in records),
+                              default=1))
+    pad_tail = len(records) >= batch_size
+
     def _dispatch(start):
         """Build + async-dispatch one batch's device work; host work on
         the previous batch overlaps this batch's device compute."""
         chunk = records[start:start + batch_size]
-        B = (pad_to_bucket(len(chunk)) if len(chunk) < batch_size
-             else batch_size)
-        L = pad_to_bucket(max(len(r.sequence) for r in chunk))
+        B = (batch_size if (pad_tail or len(chunk) == batch_size)
+             else pad_to_bucket(len(chunk)))
+        L = run_L
         batch = make_batch(chunk, B, L)
         if device_ctx is not None:
             dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
