@@ -189,3 +189,41 @@ def test_many_exon_long_query(tmp_path):
     # junction-boundary ambiguity on random (noncanonical) junctions may
     # cost a few mismatches but identity must stay ~99.5%
     assert chain.mismatches <= 0.01 * len(q)
+
+
+@need_oracle
+def test_end_gap_indel_parity(tmp_path):
+    """Indel-capable end gaps (Dynprog_end5/3_gap QUERYEND_INDELS,
+    src/dynprog_end.h:26,48): a cDNA with a 1 bp indel a few bases from
+    a query end must align FULL-length with the indel recovered — byte
+    parity vs reference gmap -A (translation annotation rows excluded:
+    the reference translates genome and cDNA frames independently
+    across a frameshifting insertion; tracked separately)."""
+    import subprocess
+    import numpy as np
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 30000))
+    (tmp_path / "g.fa").write_text(">chr1\n" + "\n".join(
+        seq[i:i + 60] for i in range(0, 30000, 60)) + "\n")
+    q1 = seq[5000:5292] + seq[5293:5301]         # 1 bp del, 8 bp from 3'
+    q2 = seq[7000:7009] + "A" + seq[7009:7300]   # 1 bp ins, 9 bp from 5'
+    (tmp_path / "q.fa").write_text(f">q1\n{q1}\n>q2\n{q2}\n")
+    ref = subprocess.run(
+        [str(REFBIN / "gmap"), "-g", str(tmp_path / "g.fa"),
+         str(tmp_path / "q.fa"), "-A"],
+        capture_output=True, text=True, check=True).stdout
+    import io as _io
+    from contextlib import redirect_stdout
+    from tpumap.cli import gmap_cli
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        gmap_cli.main(["-g", str(tmp_path / "g.fa"),
+                       str(tmp_path / "q.fa"), "-A"])
+    ours = buf.getvalue()
+
+    def strip(text):
+        return [l.rstrip() for l in text.splitlines()
+                if l.strip() and not l.startswith("aa.")
+                and "Translation:" not in l]
+
+    assert strip(ours) == strip(ref)

@@ -101,6 +101,19 @@ def world(tmp_path_factory):
         add(f"spl{r}", seq[a - split:a] + seq[b:b + 150 - split],
             "splice", r % 3 == 0, a - split,
             f"{split}M{b - a}N{150 - split}M")
+    for r in range(8):                  # intron + insertion in one read
+        # (src/path-solve.c:309 Indel_resolve_middle_insertion alongside
+        # splice resolution; src/junction.h:5 INS_JUNCTION)
+        a, b = INTRON_A if r % 2 else INTRON_B
+        split = int(rng.integers(30, 60))
+        icut = int(rng.integers(split + 25, 120))
+        ilen = int(rng.integers(1, 4))
+        ins = "".join("ACGT"[i] for i in rng.integers(0, 4, ilen))
+        s = (seq[a - split:a] + seq[b:b + icut - split] + ins
+             + seq[b + icut - split:b + 150 - ilen - split])
+        add(f"splins{r}", s, "splins", r % 3 == 0, a - split,
+            f"{split}M{b - a}N{icut - split}M{ilen}I"
+            f"{150 - icut - ilen}M")
     for r in range(8):                                    # dirty ends
         p = int(rng.integers(0, GLEN - 150))
         s = seq[p:p + 150]
@@ -111,6 +124,21 @@ def world(tmp_path_factory):
         else:
             s = s[:-12] + junk
             add(f"trim{r}", s, "trim", r % 4 == 0, p, "138M12S")
+    for r in range(10):                 # indel near the query END
+        # (Dynprog_end5/3_gap QUERYEND_INDELS, src/dynprog_end.h:26,48;
+        # the reference build soft-clips most of these — truth matching
+        # is the bar, see module docstring)
+        p = int(rng.integers(100, GLEN - 200))
+        off = int(rng.integers(6, 12))
+        if r % 2:
+            s = seq[p:p + 150 - off] + seq[p + 151 - off:p + 151]
+            add(f"endind{r}", s, "endindel", r % 4 == 0, p,
+                f"{150 - off}M1D{off}M")
+        else:
+            ib = "ACGT"[int(rng.integers(0, 4))]
+            s = seq[p:p + 150 - off] + ib + seq[p + 150 - off:p + 149]
+            add(f"endind{r}", s, "endindel", r % 4 == 0, p,
+                f"{150 - off}M1I{off - 1}M")
     for r in range(6):                                    # N bases
         p = int(rng.integers(0, GLEN - 150))
         s = list(seq[p:p + 150])
@@ -225,7 +253,7 @@ def test_cigar_parity_mixed(world):
 
     # per-class agreement bars (waivers documented in module docstring)
     bars = {"sub": 0.90, "indel": 0.80, "splice": 0.75, "trim": 0.60,
-            "nbase": 0.80}
+            "nbase": 0.80, "splins": 0.70, "endindel": 0.80}
     for cls, (n, cig_ok, _pos_ok) in sorted(stats.items()):
         assert n > 0, cls
         frac = cig_ok / n

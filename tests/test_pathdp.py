@@ -160,7 +160,15 @@ def oracle_chain(genome, codes, length, diags, sc=pathdp.PathScoring(),
 
     def jump_cost(kp, k, q):
         gap = diags[k] - diags[kp]
-        if gap < 1 or q < 1:
+        if q < 1:
+            return None
+        if gap < 1:
+            # insertion jump (exact correction of the n pre-jump scores)
+            n = -gap
+            if 1 <= n <= sc.max_insert and q >= n + 1:
+                corr = sum(s[kp][q - j] for j in range(1, n + 1)
+                           if q - j >= 0)
+                return sc.ins_open + sc.ins_extend * (n - 1) - corr
             return None
         if gap < sc.min_intron:
             return sc.del_open + sc.del_extend * (gap - 1)
@@ -398,3 +406,72 @@ def test_chain_quality_weighting(small_db):
                                quals=jnp.asarray(quals[None]))
     assert np.asarray(out_flat["q_end"])[0] == 70     # tail trimmed
     assert np.asarray(out_q["q_end"])[0] == 80        # tail kept
+
+
+def test_middle_insertion(small_db):
+    """Insertion INSIDE a chain (src/path-solve.c:309
+    Indel_resolve_middle_insertion): a 2-base query insertion appears as
+    a jump to a diagonal 2 EARLIER; the solver must chain both segments
+    instead of soft-clipping the suffix."""
+    db, seq = small_db
+    # read = 40 genome bases + "CC" inserted + 50 more contiguous bases;
+    # pick insert bases that differ from genome at the junction
+    ins = "C" if seq[740] != "C" else "G"
+    read = seq[700:740] + ins * 2 + seq[740:790]
+    codes, _ = dna.encode(read)
+    # suffix: query 42 aligns genome 740 -> diag 698
+    out = run_chain(db, [codes], [[700, 698]])
+    assert out["nsegs"][0] == 2
+    assert out["seg_diag"][0][0] == 700
+    assert out["seg_diag"][0][1] == 698
+    assert out["seg_q"][0][1] == 42            # new segment starts past the insert
+    assert out["q_start"][0] == 0 and out["q_end"][0] == 92
+
+
+def test_intron_plus_insertion(small_db):
+    """One intron AND one insertion in the same read (the r2 missing
+    feature): intron [2000,2300), then a 2-base insertion 30 bases into
+    exon 2 — three segments, mixed N and I junctions."""
+    db, seq = small_db
+    ins = "A" if seq[2330] != "A" else "T"
+    read = seq[1960:2000] + seq[2300:2330] + ins * 2 + seq[2330:2380]
+    codes, _ = dna.encode(read)
+    dA = 1960                 # exon1 q in [0, 40)
+    dB = 2300 - 40            # exon2a q in [40, 70)
+    dC = 2330 - 72            # exon2b q in [72, 122)
+    out = run_chain(db, [codes], [[dA, dB, dC]])
+    assert out["nsegs"][0] == 3
+    assert list(out["seg_diag"][0][:3]) == [dA, dB, dC]
+    assert out["seg_q"][0][1] == 40
+    # the I placement may left-shift within a homopolymer tie (SAM
+    # convention allows either end of the run); the emitted alignment
+    # must be mismatch-free either way
+    qb = int(out["seg_q"][0][2])
+    assert 70 <= qb <= 74
+    assert out["q_start"][0] == 0 and out["q_end"][0] == 122
+    assert out["nmm"][0] == 0
+    from tpumap.io import sam as sam_mod
+    segs = list(zip(out["seg_q"][0][:3].tolist(),
+                    out["seg_diag"][0][:3].tolist()))
+    rec = sam_mod.path_record(db, "q1", read, None, segs, 0, 122, 0, 40)
+    import re
+    parts = re.findall(r"(\d+)([MIDNS])", rec.cigar)
+    assert ("2", "I") in parts and ("300", "N") in parts
+    nm = next(int(t[5:]) for t in rec.tags if t.startswith("NM:i:"))
+    assert nm == 2            # the 2 inserted bases only
+
+
+def test_insertion_path_record(small_db):
+    """path_record emits M/I/M CIGAR + MD/NM for an insertion path."""
+    from tpumap.io import sam as sam_mod
+    db, seq = small_db
+    ins = "C" if seq[740] != "C" else "G"
+    read = seq[700:740] + ins * 2 + seq[740:790]
+    rec = sam_mod.path_record(db, "q1", read, None,
+                              [(0, 700), (42, 698)], 0, 92, 0, 40)
+    assert rec.cigar == "40M2I50M"
+    assert rec.pos == 701
+    nm = next(int(t[5:]) for t in rec.tags if t.startswith("NM:i:"))
+    assert nm == 2
+    md = next(t[5:] for t in rec.tags if t.startswith("MD:Z:"))
+    assert md == "90"

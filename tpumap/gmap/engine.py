@@ -74,6 +74,24 @@ class ExonChain:
     def coverage(self) -> float:
         return sum(e.qend - e.qstart for e in self.exons)
 
+    # non-intron gap accounting (src/pair.c:1410,1419: qindels = cdna
+    # insertion bases, tindels = genome deletion bases)
+    @property
+    def qindels(self) -> int:
+        return sum(i.length for i in self.introns if i.kind == "insertion")
+
+    @property
+    def tindels(self) -> int:
+        return sum(i.length for i in self.introns if i.kind == "deletion")
+
+    @property
+    def qopens(self) -> int:
+        return sum(1 for i in self.introns if i.kind == "insertion")
+
+    @property
+    def topens(self) -> int:
+        return sum(1 for i in self.introns if i.kind == "deletion")
+
 
 @dataclass(frozen=True)
 class GmapConfig:
@@ -726,6 +744,14 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
             continue
         break
 
+    # indel-capable END extension (Dynprog_end5_gap/Dynprog_end3_gap with
+    # QUERYEND_INDELS, src/dynprog_end.h:26,48 + src/dynprog.h:25): the
+    # substitution-only trim above clips a query end that actually
+    # continues across ONE small indel; try a shifted-diagonal outer
+    # piece at each trimmed end and keep it when it buys score
+    _end_gap_extend(q_cmp, query_nmask, r_cmp, region_nmask, qspans,
+                    introns, Q)
+
     exons = []
     kept_introns = []
     for i, (qlo, qhi, d) in enumerate(qspans):
@@ -740,6 +766,113 @@ def refine_chain(query_codes, query_nmask, region_codes, region_nmask,
     result = ExonChain(exons=exons, introns=kept_introns)
     _set_direction(result)
     return result
+
+
+MAX_END_INDEL = 3        # largest single end-gap indel tried per end
+END_GAP_MIN = 3          # trimmed bases needed to attempt recovery
+
+
+def _end_gap_extend(q_cmp, query_nmask, r_cmp, region_nmask, qspans,
+                    introns, Q) -> None:
+    """Recover ONE small indel inside a trimmed query end, in place.
+
+    For each trimmed end, try outer pieces on a diagonal shifted by a
+    1..MAX_END_INDEL-base deletion or insertion; the boundary p and the
+    outer piece's own trim are chosen to maximize (matches - 3*mm) with
+    an affine indel charge, and the extension is kept when the net gain
+    is positive — the Dynprog_end5/3_gap QUERYEND_INDELS economics
+    (match +1 / mismatch -3, open -4, extend -1)."""
+    def mm_score(d, a, b):
+        mm = _mm(q_cmp, query_nmask, r_cmp, region_nmask, d, a, b)
+        return np.where(mm, -MM_COST, 1).astype(np.int64)
+
+    # ---- 5' end: outer piece covers [qlo', p), main exon starts at p
+    qlo0, qhi0, d0 = qspans[0]
+    if qlo0 >= END_GAP_MIN:
+        sc_main = mm_score(d0, 0, qlo0)
+        # G[p] = score of extending the main exon down to p on d0
+        G = np.concatenate([np.cumsum(sc_main[::-1])[::-1], [0]])
+        best = (0, None)
+        for glen in range(1, MAX_END_INDEL + 1):
+            for kind in ("deletion", "insertion"):
+                dO = d0 - glen if kind == "deletion" else d0 + glen
+                n_ins = glen if kind == "insertion" else 0
+                sc_out = mm_score(dO, 0, qlo0)
+                # run[j] = best sum of a suffix of sc_out[..j) (>=1 base)
+                run = np.empty(qlo0 + 1, np.int64)
+                run[0] = -(2 ** 30)
+                acc = 0
+                for j in range(1, qlo0 + 1):
+                    acc = max(acc, 0) + sc_out[j - 1]
+                    run[j] = acc
+                pen = 4 + glen
+                for p in range(1 + n_ins, qlo0 + 1):
+                    tot = G[p] + run[p - n_ins] - pen
+                    if tot > best[0]:
+                        best = (tot, (p, dO, kind, glen))
+        if best[1] is not None:
+            p, dO, kind, glen = best[1]
+            n_ins = glen if kind == "insertion" else 0
+            # outer piece's own start = the suffix run's argmax start
+            sc_out = mm_score(dO, 0, p - n_ins)
+            acc, start, cur = 0, p - n_ins, p - n_ins
+            bestv = -(2 ** 30)
+            for j in range(p - n_ins - 1, -1, -1):
+                acc += sc_out[j]
+                if acc >= bestv:
+                    bestv, start = acc, j
+                if acc < 0:
+                    acc = 0
+            qspans[0] = (p, qhi0, d0)
+            qspans.insert(0, (start, p - n_ins, dO))
+            introns.insert(0, Intron(kind, glen))
+
+    # ---- 3' end: main exon ends at p, outer piece covers [p + ins, qhi')
+    qloN, qhiN, dN = qspans[-1]
+    if Q - qhiN >= END_GAP_MIN:
+        # the boundary may RETRACT a few bases into the trimmed exon so
+        # an indel inside a repeat left-aligns (SAM convention; ties in
+        # a homopolymer score identically and the smallest p wins)
+        back = min(8, qhiN - qloN - 1)
+        lo = qhiN - max(back, 0)
+        sc_main = mm_score(dN, lo, Q)
+        # G[t] = score delta of moving the main-exon end to lo + t
+        base = np.concatenate([[0], np.cumsum(sc_main)])
+        G = base - base[qhiN - lo]
+        best = (0, None)
+        W = Q - lo
+        for glen in range(1, MAX_END_INDEL + 1):
+            for kind in ("deletion", "insertion"):
+                dO = dN + glen if kind == "deletion" else dN - glen
+                n_ins = glen if kind == "insertion" else 0
+                sc_out = mm_score(dO, lo, Q)
+                run = np.empty(W + 1, np.int64)
+                run[W] = -(2 ** 30)
+                acc = 0
+                for j in range(W - 1, -1, -1):
+                    acc = max(acc, 0) + sc_out[j]
+                    run[j] = acc
+                pen = 4 + glen
+                for t in range(0, W - n_ins):
+                    # boundary p = lo + t; outer starts at p + n_ins
+                    tot = G[t] + run[t + n_ins] - pen
+                    if tot > best[0]:
+                        best = (tot, (t, dO, kind, glen))
+        if best[1] is not None:
+            t, dO, kind, glen = best[1]
+            n_ins = glen if kind == "insertion" else 0
+            p = lo + t
+            sc_out = mm_score(dO, p + n_ins, Q)
+            acc, end, bestv = 0, p + n_ins, -(2 ** 30)
+            for j in range(len(sc_out)):
+                acc += sc_out[j]
+                if acc >= bestv:
+                    bestv, end = acc, p + n_ins + j + 1
+                if acc < 0:
+                    acc = 0
+            qspans[-1] = (qloN, p, dN)
+            qspans.append((p + n_ins, end, dO))
+            introns.append(Intron(kind, glen))
 
 
 def _set_direction(result: ExonChain) -> None:

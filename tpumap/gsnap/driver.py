@@ -94,7 +94,8 @@ def make_batch(records: list[Record], batch_size: int, L: int):
     return batch
 
 
-from tpumap.gsnap.params import (CHAIN_K, CLIP_SPLICE_TRIGGER, INDEL_BAND,
+from tpumap.gsnap.params import (CHAIN_K, CLIP_INDEL_TRIGGER,
+                                 CLIP_SPLICE_TRIGGER, INDEL_BAND,
                                  INDEL_MARGIN, INDEL_NMM_TRIGGER,
                                  MAX_CAND_PAIRS, MIN_INTRON,
                                  SPLICE_NMM_TRIGGER)
@@ -268,7 +269,14 @@ def refine_unsolved(db, index, batch, res, config,
                 segq_l[:, 1].astype(np.int64) - res["ch_qstart"] >= 1) & (
                 segq_l[:, 1].astype(np.int64) - res["ch_qstart"]
                 <= AMB_MAX)
-            need_dict = sel & (end_short | start_short)
+            # insertion junctions (diag decreases) also emit via the
+            # Python path_record — the native bulk emitter assumes
+            # non-negative gaps (N/D only)
+            sd = segd_l.astype(np.int64)
+            vpair = (np.arange(1, sd.shape[1])[None, :]
+                     < nsegs_l[:, None])
+            has_ins = np.any(vpair & (sd[:, 1:] < sd[:, :-1]), axis=1)
+            need_dict = sel & (end_short | start_short | has_ins)
             if not have_native:
                 need_dict = sel        # no bulk path: dicts for all
             for r in np.nonzero(need_dict)[0].tolist():
@@ -330,6 +338,14 @@ def refine_unsolved(db, index, batch, res, config,
     valid_v = diag_v != 0xFFFFFFFF
     nmm_l = nmm_v.tolist()
     need_m = valid_v & (nmm_v >= INDEL_NMM_TRIGGER)
+    if "trim_qstart" in res:
+        # clipped ends can hide an END indel under the nmm trigger
+        # (QUERYEND_INDELS role, src/dynprog_end.h:26,48)
+        tqs_c = np.asarray(res["trim_qstart"])[:chunk_len]
+        tqe_c = np.minimum(np.asarray(res["trim_qend"])[:chunk_len],
+                           len_v)
+        need_m |= valid_v & ((tqs_c + (len_v - tqe_c))
+                             >= CLIP_INDEL_TRIGGER)
     if known_indels is not None:
         for i in np.nonzero(valid_v & ~need_m & (nmm_v >= 1))[0]:
             d = int(diag_v[i])
@@ -719,13 +735,21 @@ def _late_stages(db, index, batch, res, config, dp_result, splice_result,
                 if len(segs) < 2:
                     continue
                 sides = []
-                if 1 <= s["q_end"] - segs[-1][0] <= se.AMB_MAX:
+                # the ambiguity/tie review applies to SPLICE junctions
+                # only — terminal segments joined by an insertion or
+                # deletion junction are placed by the DP, not by splice
+                # evidence (altsplice.c reviews splice ends)
+                end_intron = (int(segs[-1][1]) - int(segs[-2][1])
+                              >= MIN_INTRON)
+                start_intron = (int(segs[1][1]) - int(segs[0][1])
+                                >= MIN_INTRON)
+                if end_intron and 1 <= s["q_end"] - segs[-1][0] <= se.AMB_MAX:
                     sides.append(("qend", segs[-2][1], 0, segs[-1][0]))
-                if 1 <= segs[1][0] - s["q_start"] <= se.AMB_MAX:
+                if start_intron and 1 <= segs[1][0] - s["q_start"] <= se.AMB_MAX:
                     sides.append(("qstart", segs[1][1], segs[1][0], li))
-                if 1 <= s["q_end"] - segs[-1][0] <= se.NC_REVIEW_MAX:
+                if end_intron and 1 <= s["q_end"] - segs[-1][0] <= se.NC_REVIEW_MAX:
                     nc_rows.append((i, "qend"))
-                if 1 <= segs[1][0] - s["q_start"] <= se.NC_REVIEW_MAX:
+                if start_intron and 1 <= segs[1][0] - s["q_start"] <= se.NC_REVIEW_MAX:
                     nc_rows.append((i, "qstart"))
                 if not sides and not (nc_rows and nc_rows[-1][0] == i):
                     continue
@@ -1129,8 +1153,10 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
                     and al >= max(20, int(li[i] * config.min_coverage))):
                 continue
             segs = s["segs"]
-            if segs[0][0] != s["q_start"] or len(segs) > S:
+            if (segs[0][0] != s["q_start"] or len(segs) > S
+                    or any(b[1] < a[1] for a, b in zip(segs, segs[1:]))):
                 continue            # keep Python semantics for odd paths
+                                    # (incl. insertion junctions)
             sp_rows.append(i)
             sp_emit[i] = 1
             flags[i] = 16 if s["strand"] else 0

@@ -129,7 +129,8 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
     else:
         clip = jnp.zeros_like(nmm)
 
-    from tpumap.gsnap.params import (CLIP_SPLICE_TRIGGER,
+    from tpumap.gsnap.params import (CLIP_INDEL_TRIGGER,
+                                     CLIP_SPLICE_TRIGGER,
                                      INDEL_BAND, INDEL_MARGIN,
                                      INDEL_NMM_TRIGGER,
                                      SPLICE_NMM_TRIGGER)
@@ -289,9 +290,13 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
         splice_accept_b = jnp.zeros((B,), jnp.bool_).at[idx].set(
             accept & sel)
 
-    # indel stage AFTER splices: only rows splices did not solve
+    # indel stage AFTER splices: only rows splices did not solve.
+    # Clipped ends trigger too — an end indel's few tail mismatches can
+    # stay under the nmm trigger while the trim stage clips them away
+    # (QUERYEND_INDELS role, src/dynprog_end.h:26,48).
     ri = min(r_indel, B)
-    need_i = valid & (nmm >= INDEL_NMM_TRIGGER) & ~splice_accept_b
+    need_i = valid & ((nmm >= INDEL_NMM_TRIGGER)
+                      | (clip >= CLIP_INDEL_TRIGGER)) & ~splice_accept_b
     iprio = jnp.where(need_i, jnp.int32(2 * B) - jnp.arange(B,
                       dtype=jnp.int32), 0)
     _, iidx = jax.lax.top_k(iprio, ri)

@@ -7,6 +7,11 @@ the indel DP and chain-DP splice stages.
 """
 
 INDEL_NMM_TRIGGER = 4     # reads with >= this many mismatches get a DP pass
+CLIP_INDEL_TRIGGER = 5    # or >= this many soft-clipped bases: a short
+#                           clipped tail often hides an END indel whose
+#                           few tail mismatches stay under the nmm
+#                           trigger (Dynprog_end5/3_gap QUERYEND_INDELS
+#                           role, src/dynprog_end.h:26,48)
 INDEL_BAND = 32
 INDEL_MARGIN = 4
 SPLICE_NMM_TRIGGER = 6    # and >= this many get the splice-junction pass

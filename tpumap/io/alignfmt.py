@@ -118,7 +118,23 @@ def build_columns(chain: ExonChain, query_codes: np.ndarray,
         if i > 0:
             prev = chain.exons[i - 1]
             ilen = e.gstart - prev.gend
-            if ilen > 0:
+            intr = chain.introns[i - 1] if i - 1 < len(chain.introns) \
+                else None
+            if intr is not None and intr.kind != "intron":
+                # non-intron gaps render INLINE (INDEL_COMP columns,
+                # src/pair.c:2314): deletion = genome base over '-' over
+                # a space; insertion = space over '-' over the query base
+                for j in range(prev.gend, e.gstart):      # deletion
+                    cols.append(Column(
+                        gchar=dna.BASES[region_codes[j]], qchar=" ",
+                        mchar="-", gpos=j + 1 + genome_offset))
+                for q in range(prev.qend, e.qstart):      # insertion
+                    cols.append(Column(
+                        gchar=" ", qchar=dna.BASES[query_codes[q]],
+                        mchar="-", qpos=qpos_map(q),
+                        aag=aag_by_q.get(q, " "), aac=aac_by_q.get(q, " "),
+                        aanum=aanum_by_q.get(q, -1)))
+            elif ilen > 0:
                 label = "" if nolengths else str(ilen)
                 pad = (width - len(label)) // 2
                 lab = " " * pad + label + " " * (width - pad - len(label))
@@ -225,21 +241,59 @@ def render_blocks(cols: list[Column], block: int = BLOCK,
     return "\n\n".join(out) + "\n\n"
 
 
+@dataclass
+class _Block:
+    """Display exon: pieces joined by non-intron junctions merged into
+    one block (the reference's pairs-array exon, delimited by gapp pairs
+    only — src/pair.c:2211)."""
+    qstart: int
+    qend: int
+    gstart: int
+    gend: int
+    matches: int
+    den: int        # match/mismatch + indel columns (src/pair.c:2316)
+
+
+def _display_blocks(chain: ExonChain):
+    """(blocks, introns-between-blocks) merging indel-joined pieces."""
+    blocks: list[_Block] = []
+    bintrons = []
+    cur = None
+    for i, e in enumerate(chain.exons):
+        if cur is None:
+            cur = _Block(e.qstart, e.qend, e.gstart, e.gend,
+                         e.matches, e.qend - e.qstart)
+        else:
+            # join: indel columns between the previous piece and this one
+            cur.den += (e.gstart - cur.gend) + (e.qstart - cur.qend)
+            cur.den += e.qend - e.qstart
+            cur.matches += e.matches
+            cur.qend, cur.gend = e.qend, e.gend
+        nxt = chain.introns[i] if i < len(chain.introns) else None
+        if nxt is None or nxt.kind == "intron":
+            blocks.append(cur)
+            cur = None
+            if nxt is not None:
+                bintrons.append(nxt)
+    if cur is not None:
+        blocks.append(cur)
+    return blocks, bintrons
+
+
 def exon_summary_lines(chain: ExonChain, genome_offset: int = 0,
                        qlen: int = 0, view: str = "plus") -> str:
     """view: 'plus' (ascending), 'minus0' (reversed display: genome
     descending, query ascending original), or 'minus12' (aligned order,
     query numbering descending original)."""
     lines = []
-    exons = list(chain.exons)
-    introns = list(chain.introns)
+    exons, introns = _display_blocks(chain)
     reversed_view = view == "minus0"
     order = (list(range(len(exons)))[::-1] if reversed_view
              else list(range(len(exons))))
     for row, i in enumerate(order):
         e = exons[i]
-        total = e.qend - e.qstart
-        pct = round(100 * e.matches / total) if total else 100
+        # den counts indel columns too; pct floors (src/pair.c:2244)
+        pct = (int(100 * e.matches // e.den) if e.den else 100)
         if view == "minus0":
             gl = f"{e.gend + genome_offset}-{e.gstart + 1 + genome_offset}"
             ql = f"({qlen - e.qend + 1}-{qlen - e.qstart})"
@@ -286,22 +340,29 @@ def path_summary(chain: ExonChain, qlen: int, chrname: str | None,
     dirname = {1: "sense", -1: "antisense", 0: "indeterminate"}[
         chain.cdna_direction * (-1 if minus else 1)]
     matches, mm = chain.matches, chain.mismatches
-    denom = max(matches + mm, 1)
+    qind, tind = chain.qindels, chain.tindels
+    denom = max(matches + mm + qind + tind, 1)   # src/pair.c:1410
     cov = 100.0 * (chain.exons[-1].qend - chain.exons[0].qstart) / max(qlen, 1)
     trimmed_len = chain.exons[-1].qend - chain.exons[0].qstart
+    nexons = len(_display_blocks(chain)[0])
     lines = [
         f"  Path {pathnum}: query {q_lo}..{q_hi} ({qlen} bp) => genome "
         f"{commafmt(g_lo)}..{commafmt(g_hi)} ({gspan} bp)",
         f"    cDNA direction: {dirname}",
         (f"    Genomic pos: {chrname + ':' if chrname else ''}"
          f"{commafmt(g_lo)}..{commafmt(g_hi)} ({strand} strand)"),
-        f"    Number of exons: {len(chain.exons)}",
+        f"    Number of exons: {nexons}",
         f"    Coverage: {cov:.1f} (query length: {qlen} bp)",
         (f"    Trimmed coverage: {cov:.1f} (trimmed length: {trimmed_len} bp, "
          f"trimmed region: {q_lo}..{q_hi})"),
         (f"    Percent identity: {100.0 * matches / denom:.1f} "
-         f"({matches} matches, {mm} mismatches, 0 indels, 0 unknowns)"),
+         f"({matches} matches, {mm} mismatches, {qind + tind} indels,"
+         f" 0 unknowns)"),
     ]
+    if qind + tind > 0:      # src/pair.c:1419
+        lines.append(
+            f"    Non-intron gaps: {chain.qopens} openings, {qind} bases"
+            f" in cdna; {chain.topens} openings, {tind} bases in genome")
     if orf is not None:
         orf_s, orf_e, aa = orf
         if orf_display is None:

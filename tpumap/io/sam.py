@@ -419,14 +419,23 @@ def path_record(db: GenomeDB, qname: str, seq: str, qual: str | None,
     senses = []
     for i, (q0, d) in enumerate(segs):
         q1 = segs[i + 1][0] if i + 1 < len(segs) else q_end
-        n = q1 - q0
+        gap = segs[i + 1][1] - d if i + 1 < len(segs) else 0
+        # insertion junction (gap < 0, src/junction.h:5 INS_JUNCTION):
+        # the next segment sits |gap| diagonals EARLIER; query bases
+        # [q1 - |gap|, q1) are inserted relative to the genome, and this
+        # segment's M run ends where the insertion begins
+        n_ins = -gap if gap < 0 else 0
+        n = q1 - n_ins - q0
         cig.append(f"{n}M")
         ops.extend([0] * n)
-        read_parts.append(oriented[q0:q1])
+        read_parts.append(oriented[q0:q1 - n_ins])
         genome_parts.append(db.get_seq(d + q0, n))
         if i + 1 < len(segs):
-            gap = segs[i + 1][1] - d
-            if gap >= min_intron:
+            if n_ins:
+                cig.append(f"{n_ins}I")
+                ops.extend([1] * n_ins)
+                read_parts.append(oriented[q1 - n_ins:q1])
+            elif gap >= min_intron:
                 cig.append(f"{gap}N")
                 senses.append(_junction_sense(db, d + q1,
                                               segs[i + 1][1] + q1,

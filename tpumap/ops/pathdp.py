@@ -76,6 +76,13 @@ class PathScoring:
     bonus_known: int = 74        # net -16: known junctions open readily
     min_intron: int = 9          # same as path-solve.c MIN_INTRONLEN
     max_intron: int = 200_000
+    # insertions INSIDE the chain (src/path-solve.c:309
+    # Indel_resolve_middle_insertion interleaved with splice resolution,
+    # src/junction.h:5 INS_JUNCTION): a jump to a genomically-EARLIER
+    # diagonal by n <= max_insert bases is an n-base query insertion.
+    ins_open: int = -24
+    ins_extend: int = -8
+    max_insert: int = 6
     # noncanonical novel junctions pay splice_base with no bonus (the
     # MaxEnt-low-probability analog); False rejects them outright.
     # Ambiguity control is downstream: a noncanonical junction whose
@@ -181,6 +188,23 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
     del_cost = (jnp.int32(scoring.del_open)
                 + jnp.int32(scoring.del_extend)
                 * jnp.maximum(gap_small - 1, 0))
+    # insertion jump: new diagonal n bases EARLIER (query gains n bases
+    # with no genome counterpart).  The DP walks every query position, so
+    # a jump at q means the n query bases [q-n, q) are the inserted run:
+    # H already match/mismatch-scored them on the OLD diagonal k', and
+    # the transition subtracts exactly those n per-base scores back out
+    # (a rolling window of recent s values carried through the scan), so
+    # the chain score equals the emitted alignment's score regardless of
+    # where the tie-free boundary lands.  Emission: previous segment M
+    # ends at q-n, query [q-n, q) is the nI run, new segment starts at q.
+    neg_gap = jnp.uint32(0) - gap                     # d[k'] - d[k]
+    is_ins = ((neg_gap >= jnp.uint32(1))
+              & (neg_gap <= jnp.uint32(scoring.max_insert)))
+    nins = jnp.minimum(neg_gap, jnp.uint32(scoring.max_insert)
+                       ).astype(jnp.int32)
+    ins_cost = (jnp.int32(scoring.ins_open)
+                + jnp.int32(scoring.ins_extend) * jnp.maximum(nins - 1, 0))
+    NI = int(scoring.max_insert)
     pair_ok = valid_k[:, :, None] & valid_k[:, None, :]
 
     b_gtag = jnp.int32(scoring.bonus_gtag)
@@ -217,7 +241,7 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
     start_val = jnp.where(valid_k, 0, NEG)            # [R, K]
 
     def step1(carry, xs):
-        H, best_score, best_q, best_k = carry
+        H, best_score, best_q, best_k, recent = carry
         s_q, don_q, acc_q, kd_q, ka_q, kad_q, kaa_q, q = xs
 
         dj = don_q[:, :, None]                        # donor on k'
@@ -238,8 +262,20 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
         if not scoring.allow_noncanon:
             intron_cost = jnp.where(bonus > 0, intron_cost, NEG)
 
+        # exact insertion correction: remove the per-base scores H
+        # accumulated on the OLD diagonal for the n inserted bases
+        # [q-n, q) — recent[r, k', j] = s at step q-1-j on diagonal k'
+        run = jnp.cumsum(recent, axis=-1)             # [R, K, NI]
+        corr = jnp.zeros_like(ins_cost)
+        for n in range(1, NI + 1):
+            corr = jnp.where(nins == n, run[..., n - 1][:, :, None], corr)
         trans = jnp.where(is_intron, intron_cost,
-                          jnp.where(is_del, del_cost, NEG))
+                          jnp.where(is_del, del_cost,
+                                    jnp.where(is_ins, ins_cost - corr,
+                                              NEG)))
+        # an insertion jump at q needs the n inserted bases to exist
+        # before q (q >= n + 1 so the previous segment keeps >= 1 base)
+        trans = jnp.where(is_ins & (q < nins + 1), NEG, trans)
         trans = jnp.where(pair_ok & (q >= 1), trans, NEG)
 
         jump = H[:, :, None] + trans                  # [R, K', K]
@@ -256,6 +292,10 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
         active = (q < lengths)[:, None]
         H_next = jnp.where(active, H_next, H)
         choice = jnp.where(active, choice, 0).astype(jnp.uint8)
+        recent = jnp.where(
+            active[..., None],
+            jnp.concatenate([s_q[..., None], recent[..., :-1]], axis=-1),
+            recent)
 
         row_best = jnp.max(H_next, axis=1)
         row_k = jnp.argmax(H_next, axis=1).astype(jnp.int32)
@@ -263,7 +303,7 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
         best_score = jnp.where(upd, row_best, best_score)
         best_q = jnp.where(upd, q, best_q)
         best_k = jnp.where(upd, row_k, best_k)
-        return (H_next, best_score, best_q, best_k), choice
+        return (H_next, best_score, best_q, best_k, recent), choice
 
     def step(carry, xs):
         outs = []
@@ -276,15 +316,16 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
     bs0 = jnp.full((R,), NEG, jnp.int32)
     bq0 = jnp.zeros((R,), jnp.int32)
     bk0 = jnp.zeros((R,), jnp.int32)
-    (H_last, best_score, best_q, best_k), choices = jax.lax.scan(
-        step, (H0, bs0, bq0, bk0),
+    rec0 = jnp.zeros((R, K, NI), jnp.int32)
+    (H_last, best_score, best_q, best_k, _rec), choices = jax.lax.scan(
+        step, (H0, bs0, bq0, bk0, rec0),
         (s_t, don_t, acc_t, kdon_t, kacc_t, kantidon_t, kantiacc_t, q_t))
     choices = choices.reshape(Lp, R, K)[:L]
     # choices: [L, R, K] uint8
 
     # ---- traceback (reverse scan) ----
     def back1(carry, xs):
-        k_cur, done, seg_idx, seg_q, seg_k = carry
+        k_cur, done, seg_idx, seg_q, seg_k, skip = carry
         c_q, q = xs                                   # c_q [R, K]
         inside = (q <= best_q) & ~done
         c = jnp.take_along_axis(c_q, k_cur[:, None], axis=1)[:, 0]
@@ -297,10 +338,23 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
         seg_q = jnp.where(slot, q, seg_q)
         seg_k = jnp.where(slot, k_cur[:, None], seg_k)
         seg_idx = seg_idx + event.astype(jnp.int32)
-        kk = jnp.where(inside, k_cur, -1)
+        # inserted query bases (the skip>0 window below an insertion
+        # jump) are I ops in the emitted alignment: exclude them from
+        # the per-base diag track so nmm matches the emitted NM
+        kk = jnp.where(inside & (skip == 0), k_cur, -1)
+        skip = jnp.where(inside, jnp.maximum(skip - 1, 0), skip)
+        d_cur = jnp.take_along_axis(diags_sorted, k_cur[:, None],
+                                    axis=1)[:, 0]
+        kp = jnp.clip(c - 2, 0, K - 1)
+        d_prev = jnp.take_along_axis(diags_sorted, kp[:, None],
+                                     axis=1)[:, 0]
+        n_ij = d_prev - d_cur                         # uint32 wrap
+        ins_j = is_switch & (n_ij >= jnp.uint32(1)) & (
+            n_ij <= jnp.uint32(scoring.max_insert))
+        skip = jnp.where(ins_j, n_ij.astype(jnp.int32), skip)
         k_cur = jnp.where(is_switch, c - 2, k_cur)
         done = done | is_start
-        return (k_cur, done, seg_idx, seg_q, seg_k), kk
+        return (k_cur, done, seg_idx, seg_q, seg_k, skip), kk
 
     def back(carry, xs):
         outs = []
@@ -318,13 +372,15 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
          jnp.full((pad,), -1, jnp.int32)])
     c_rev = c_rev.reshape(Lp // U, U, R, K)
     q_rev = q_rev.reshape(Lp // U, U)
-    (k_fin, done_fin, nsegs, seg_q_rev, seg_k_rev), kk_rev = jax.lax.scan(
-        back,
-        (best_k, jnp.zeros((R,), jnp.bool_),
-         jnp.zeros((R,), jnp.int32),
-         jnp.zeros((R, S), jnp.int32),
-         jnp.zeros((R, S), jnp.int32)),
-        (c_rev, q_rev))
+    (k_fin, done_fin, nsegs, seg_q_rev, seg_k_rev, _sk), kk_rev = \
+        jax.lax.scan(
+            back,
+            (best_k, jnp.zeros((R,), jnp.bool_),
+             jnp.zeros((R,), jnp.int32),
+             jnp.zeros((R, S), jnp.int32),
+             jnp.zeros((R, S), jnp.int32),
+             jnp.zeros((R,), jnp.int32)),
+            (c_rev, q_rev))
     kk = kk_rev.reshape(Lp, R)[:L][::-1]              # [L, R]
     kk = jnp.transpose(kk, (1, 0))                    # [R, L]
 
