@@ -214,7 +214,7 @@ def refine_unsolved(db, index, batch, res, config,
                     find_fusions=False, tr_records=None, L=None,
                     max_insertions=6, max_deletions=9, indel_endlength=4,
                     use_localdb=True, known_indels=None, quals=None,
-                    device_ctx=None, amb_out=None):
+                    device_ctx=None, amb_out=None, dict_all=False):
     """The post-cascade refinement ladder shared by the single-end and
     paired-end drivers: banded-DP indels, splice junctions (novel +
     known-partner + localscan salvage), ambiguous splice ends, fusions.
@@ -277,8 +277,10 @@ def refine_unsolved(db, index, batch, res, config,
                      < nsegs_l[:, None])
             has_ins = np.any(vpair & (sd[:, 1:] < sd[:, :-1]), axis=1)
             need_dict = sel & (end_short | start_short | has_ins)
-            if not have_native:
-                need_dict = sel        # no bulk path: dicts for all
+            if not have_native or dict_all:
+                # no bulk path (or a caller — the paired driver — whose
+                # emitter consumes dicts only): dicts for all
+                need_dict = sel
             for r in np.nonzero(need_dict)[0].tolist():
                 i = int(ch_idx[r])
                 ns = int(nsegs_l[r])

@@ -99,11 +99,12 @@ def _take_window(codes, starts, n, L):
     return jnp.take_along_axis(codes, idx, axis=1)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def align_batch_full(index, pbatch, config: AlignConfig, L: int,
                      scoring: pathdp.PathScoring,
                      splicing: bool, salvage: bool,
-                     r_chain: int, r_salv: int, r_indel: int):
+                     r_chain: int, r_salv: int, r_indel: int,
+                     keep_cands: bool = False):
     """One-jit GSNAP ladder. Returns a flat dict of device arrays:
 
     cascade fields (diag/strand/nmismatch/.../trim_*), plus
@@ -332,6 +333,56 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
     out["in_runlen"] = run_len
     out["in_startoff"] = ref["start_off"].astype(jnp.int16)
     # cand lists are only consumed on device now; don't ship them back
-    for key in ("cand_diags", "cand_strands", "cand_nmm"):
-        out.pop(key, None)
+    # (the paired wrapper keeps them for its in-program concordance)
+    if not keep_cands:
+        for key in ("cand_diags", "cand_strands", "cand_nmm"):
+            out.pop(key, None)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+def align_pair_full(index, pbatch, config: AlignConfig, L: int,
+                    scoring: pathdp.PathScoring,
+                    splicing: bool, salvage: bool,
+                    r_chain: int, r_salv: int, r_indel: int,
+                    pairmax: int, orientation: str,
+                    pairexpect: int, pairdev: int):
+    """Fused paired-end program: the full single-end ladder over the
+    interleaved flat batch (read 1 of pair p at row 2p, read 2 at
+    2p+1), PLUS the device concordance kernel over the cascade's
+    ranked candidate lists — one dispatch, one fetch per batch (the
+    Stage1_paired_read + concordance role, src/stage1hr-paired.c:5359,
+    src/concordance.c).
+
+    Extra result keys: pe_ci/pe_cj int32[B/2] (chosen candidate index
+    per end), pe_valid bool[B/2], pe_insert int32[B/2], and
+    pe_cd1/pe_cs1/pe_cn1/pe_cd2/pe_cs2/pe_cn2 (the per-end candidate
+    columns the host needs to apply the choice without the full lists).
+    """
+    from tpumap.gsnap.paired import concordance_device
+
+    out = align_batch_full(index, pbatch, config, L, scoring, splicing,
+                           salvage, r_chain, r_salv, r_indel,
+                           keep_cands=True)
+    lengths = pbatch["lengths"]
+    cd, cs, cn = (out.pop("cand_diags"), out.pop("cand_strands"),
+                  out.pop("cand_nmm"))
+    d1, d2 = cd[0::2], cd[1::2]
+    s1, s2 = cs[0::2], cs[1::2]
+    n1, n2 = cn[0::2], cn[1::2]
+    L1, L2 = lengths[0::2], lengths[1::2]
+    ci, cj, valid, insert = concordance_device(
+        d1, s1, n1, L1, d2, s2, n2, L2, pairmax, orientation,
+        pairexpect, pairdev)
+    out["pe_ci"] = ci
+    out["pe_cj"] = cj
+    out["pe_valid"] = valid
+    out["pe_insert"] = insert
+    take = lambda a, i: jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
+    out["pe_cd1"] = take(d1, ci)
+    out["pe_cs1"] = take(s1, ci)
+    out["pe_cn1"] = take(n1, ci)
+    out["pe_cd2"] = take(d2, cj)
+    out["pe_cs2"] = take(s2, cj)
+    out["pe_cn2"] = take(n2, cj)
     return out

@@ -214,13 +214,33 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             remapper = remap_mod.TranscriptRemapper(tr[0])
             tr[0]._remapper = remapper
 
+    # the fused paired program (ladder + in-program concordance) serves
+    # every request the device can express; host-context features keep
+    # the staged path (mirrors driver.align_records use_fused)
+    use_fused = (known is None and tr is None and known_indels is None
+                 and device_ctx is None)
+    # ONE (B, L) shape for the whole run (see driver.align_records)
+    run_L = pad_to_bucket(max((len(r.sequence)
+                               for p in pairs for r in p), default=1))
+    pad_tail = len(pairs) >= batch_size
+
     def _dispatch(start):
         chunk = pairs[start:start + batch_size]
         flat = [r for p in chunk for r in p]
-        B = pad_to_bucket(2 * len(chunk))
-        L = pad_to_bucket(max(len(r.sequence) for r in flat))
+        B = (2 * batch_size if (pad_tail or len(chunk) == batch_size)
+             else pad_to_bucket(2 * len(chunk)))
+        L = run_L
         batch = make_batch(flat, B, L)
-        if device_ctx is not None:
+        if use_fused:
+            from tpumap.gsnap import ladder
+            from tpumap.ops import pathdp
+            sc = pathdp.PathScoring(max_intron=max(max_intron, 9))
+            dev = ladder.align_pair_full(
+                index, _pack_batch(batch), config, L, sc,
+                novelsplicing, novelsplicing and use_localdb,
+                min(8192, B), min(2048, B), min(2048, B),
+                pairmax, orientation, pairexpect or 1000, pairdev)
+        elif device_ctx is not None:
             dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
         else:
             dev = align_batch_cascaded_packed(index, _pack_batch(batch),
@@ -229,7 +249,6 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
 
     from tpumap.io import sam_bulk as _sam_bulk
     bulk_ok = remapper is None and _sam_bulk._get_lib() is not None
-    bulk_rows = []
 
     out = []
     starts = list(range(0, len(pairs), batch_size))
@@ -239,31 +258,49 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
         pending = (_dispatch(starts[si + 1])
                    if si + 1 < len(starts) else None)
         n = len(chunk)
-        res = {k: np.asarray(v) for k, v in dev.items()}
+        from tpumap.gsnap.driver import device_fetch
+        res = device_fetch(dev)        # ONE transfer for the whole dict
 
         # joint concordance over the full candidate cross product — one
-        # device reduction for the whole batch (src/concordance.c role)
-        P = pad_to_bucket(n)
+        # device reduction for the whole batch (src/concordance.c role);
+        # the fused program already ran it in-program
+        if "pe_valid" in res:
+            cval = res["pe_valid"][:n]
+            cd1, cs1, cn1 = (res["pe_cd1"][:n], res["pe_cs1"][:n],
+                             res["pe_cn1"][:n])
+            cd2, cs2, cn2 = (res["pe_cd2"][:n], res["pe_cs2"][:n],
+                             res["pe_cn2"][:n])
+        else:
+            P = pad_to_bucket(n)
 
-        def _ends(arr, which, fill):
-            sub = arr[which:2 * n:2]
-            if P > n:
-                pad = np.full((P - n, *sub.shape[1:]), fill, sub.dtype)
-                sub = np.concatenate([sub, pad], axis=0)
-            return jnp.asarray(sub)
+            def _ends(arr, which, fill):
+                sub = arr[which:2 * n:2]
+                if P > n:
+                    pad = np.full((P - n, *sub.shape[1:]), fill, sub.dtype)
+                    sub = np.concatenate([sub, pad], axis=0)
+                return jnp.asarray(sub)
 
-        lens = np.asarray(batch["lengths"])
-        ci, cj, cval, _cins = concordance_device(
-            _ends(res["cand_diags"], 0, 0xFFFFFFFF),
-            _ends(res["cand_strands"], 0, 0),
-            _ends(res["cand_nmm"], 0, 2 ** 14),
-            _ends(lens[:, None], 0, 1)[:, 0],
-            _ends(res["cand_diags"], 1, 0xFFFFFFFF),
-            _ends(res["cand_strands"], 1, 0),
-            _ends(res["cand_nmm"], 1, 2 ** 14),
-            _ends(lens[:, None], 1, 1)[:, 0],
-            pairmax, orientation, pairexpect or 1000, pairdev)
-        ci, cj, cval = np.asarray(ci), np.asarray(cj), np.asarray(cval)
+            lens = np.asarray(batch["lengths"])
+            ci, cj, cval, _cins = concordance_device(
+                _ends(res["cand_diags"], 0, 0xFFFFFFFF),
+                _ends(res["cand_strands"], 0, 0),
+                _ends(res["cand_nmm"], 0, 2 ** 14),
+                _ends(lens[:, None], 0, 1)[:, 0],
+                _ends(res["cand_diags"], 1, 0xFFFFFFFF),
+                _ends(res["cand_strands"], 1, 0),
+                _ends(res["cand_nmm"], 1, 2 ** 14),
+                _ends(lens[:, None], 1, 1)[:, 0],
+                pairmax, orientation, pairexpect or 1000, pairdev)
+            ci, cj, cval = (np.asarray(ci)[:n], np.asarray(cj)[:n],
+                            np.asarray(cval)[:n])
+            take = lambda a, w, i: np.take_along_axis(
+                a[w:2 * n:2], i[:, None], axis=1)[:, 0]
+            cd1, cs1, cn1 = (take(res["cand_diags"], 0, ci),
+                             take(res["cand_strands"], 0, ci),
+                             take(res["cand_nmm"], 0, ci))
+            cd2, cs2, cn2 = (take(res["cand_diags"], 1, cj),
+                             take(res["cand_strands"], 1, cj),
+                             take(res["cand_nmm"], 1, cj))
 
         # mate rescue where exactly one end has candidates; pairs where
         # BOTH ends mapped but no concordant combination exists enter the
@@ -443,7 +480,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             max_insertions=max_insertions, max_deletions=max_deletions,
             indel_endlength=indel_endlength, use_localdb=use_localdb,
             known_indels=known_indels, quals=batch.get("quals"),
-            device_ctx=device_ctx, amb_out=amb_res)
+            device_ctx=device_ctx, amb_out=amb_res, dict_all=True)
         for bad, s_rep in repair_result.items():
             cur = splice_result.get(bad)
             if cur is not None:
@@ -461,129 +498,252 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                     continue
             splice_result[bad] = s_rep
 
-        for p in range(n):
-            i1, i2 = 2 * p, 2 * p + 1
-            r1, r2 = chunk[p]
-            L1 = int(batch["lengths"][i1])
-            L2 = int(batch["lengths"][i2])
+        # ---- vectorized end resolution over the whole batch ---------
+        B2 = 2 * n
+        len2 = np.asarray(batch["lengths"])[:B2].astype(np.int64)
+        ediag = res["diag"][:B2].astype(np.int64)
+        estrand = res["strand"][:B2].astype(np.int64)
+        enmm = res["nmismatch"][:B2].astype(np.int64)
+        evalid = res["mapped"][:B2].astype(bool).copy()
+        # prefer the jointly-concordant candidate combination found by
+        # the device concordance kernel
+        L1v, L2v = len2[0::2], len2[1::2]
+        ov = (np.asarray(cval, bool)
+              & (cn1.astype(np.int64) <= L1v * config.max_mismatch_frac)
+              & (cn2.astype(np.int64) <= L2v * config.max_mismatch_frac))
+        for (dst, src) in ((ediag[0::2], cd1), (estrand[0::2], cs1),
+                           (enmm[0::2], cn1), (ediag[1::2], cd2),
+                           (estrand[1::2], cs2), (enmm[1::2], cn2)):
+            dst[ov] = src[ov].astype(np.int64)
+        evalid[0::2] |= ov
+        evalid[1::2] |= ov
+        for i, (d, s, nm) in rescued.items():
+            ediag[i], estrand[i], enmm[i] = d, s, nm
+            evalid[i] = True
 
-            def end_info(i):
-                if i in rescued:
-                    return rescued[i]
-                if res["mapped"][i]:
-                    return (int(res["diag"][i]), int(res["strand"][i]),
-                            int(res["nmismatch"][i]))
-                return None
+        def end_info(i):
+            if evalid[i]:
+                return (int(ediag[i]), int(estrand[i]), int(enmm[i]))
+            return None
 
-            # prefer the jointly-concordant candidate combination found
-            # by the device concordance kernel
-            e1, e2 = end_info(i1), end_info(i2)
-            if cval[p]:
-                pi, pj = int(ci[p]), int(cj[p])
-                nm1 = int(res["cand_nmm"][i1][pi])
-                nm2 = int(res["cand_nmm"][i2][pj])
-                if (nm1 <= L1 * config.max_mismatch_frac
-                        and nm2 <= L2 * config.max_mismatch_frac):
-                    e1 = (int(res["cand_diags"][i1][pi]),
-                          int(res["cand_strands"][i1][pi]), nm1)
-                    e2 = (int(res["cand_diags"][i2][pj]),
-                          int(res["cand_strands"][i2][pj]), nm2)
-            # Altsplice_resolve (src/altsplice.c): an ambiguous splice
-            # end whose mate is located picks the distal placement
-            # nearest the expected insert — the junction is emitted
-            # after all; placements the mate cannot arbitrate keep the
-            # soft clip and surface as XA:Z: below.
-            if amb_res:
-                from tpumap.gsnap import spliceends as se
-                for i, li_e, other, lo in ((i1, L1, e2, L2),
-                                           (i2, L2, e1, L1)):
-                    ambs = amb_res.get(i)
-                    if not ambs or other is None:
+        # Altsplice_resolve (src/altsplice.c): an ambiguous splice end
+        # whose mate is located picks the distal placement nearest the
+        # expected insert — the junction is emitted after all;
+        # placements the mate cannot arbitrate keep the soft clip and
+        # surface as XA:Z: below.
+        if amb_res:
+            from tpumap.gsnap import spliceends as se
+            for i in sorted(amb_res):
+                if i >= B2:
+                    continue
+                other_i = i ^ 1
+                li_e = int(len2[i])
+                lo = int(len2[other_i])
+                other = end_info(other_i)
+                ambs = amb_res.get(i)
+                if not ambs or other is None:
+                    continue
+                mate_lo, mate_hi = other[0], other[0] + lo
+                keep = []
+                for amb in ambs:
+                    ix = se.resolve_with_mate(
+                        amb, li_e, mate_lo, mate_hi,
+                        pairexpect or 1000, pairdev)
+                    if ix is None:
+                        keep.append(amb)
                         continue
-                    mate_lo, mate_hi = other[0], other[0] + lo
-                    keep = []
-                    for amb in ambs:
-                        ix = se.resolve_with_mate(
-                            amb, li_e, mate_lo, mate_hi,
-                            pairexpect or 1000, pairdev)
-                        if ix is None:
+                    diag = amb.diags[ix]
+                    s = splice_result.get(i)
+                    if s is None:
+                        if "trim_qstart" not in res:
                             keep.append(amb)
                             continue
-                        diag = amb.diags[ix]
-                        s = splice_result.get(i)
-                        if s is None:
-                            if "trim_qstart" not in res:
-                                keep.append(amb)
-                                continue
-                            tqs = int(res["trim_qstart"][i])
-                            tqe = min(int(res["trim_qend"][i]), li_e)
-                            nmm = int(res.get("trim_nmm",
-                                              res["nmismatch"])[i])
-                            s = {"segs": [(tqs, int(res["diag"][i]))],
-                                 "q_start": tqs, "q_end": tqe,
-                                 "strand": int(res["strand"][i]),
-                                 "score": 8 * (tqe - tqs) - 32 * nmm,
-                                 "nmm": nmm}
-                            splice_result[i] = s
-                        if (amb.side == "qend"
-                                and amb.qb > s["segs"][-1][0]):
-                            s["score"] += 8 * (li_e - s["q_end"])
-                            s["segs"] = s["segs"] + [(amb.qb, diag)]
-                            s["q_end"] = li_e
-                        elif (amb.side == "qstart"
-                              and amb.qb < (s["segs"][1][0]
-                                            if len(s["segs"]) > 1
-                                            else s["q_end"])):
-                            s["score"] += 8 * s["q_start"]
-                            s["segs"] = ([(0, diag),
-                                          (amb.qb, s["segs"][0][1])]
-                                         + s["segs"][1:])
-                            s["q_start"] = 0
-                        else:
-                            keep.append(amb)
-                    if keep:
-                        amb_res[i] = keep
+                        tqs = int(res["trim_qstart"][i])
+                        tqe = min(int(res["trim_qend"][i]), li_e)
+                        nmm = int(res.get("trim_nmm",
+                                          res["nmismatch"])[i])
+                        s = {"segs": [(tqs, int(res["diag"][i]))],
+                             "q_start": tqs, "q_end": tqe,
+                             "strand": int(res["strand"][i]),
+                             "score": 8 * (tqe - tqs) - 32 * nmm,
+                             "nmm": nmm}
+                        splice_result[i] = s
+                    if (amb.side == "qend"
+                            and amb.qb > s["segs"][-1][0]):
+                        s["score"] += 8 * (li_e - s["q_end"])
+                        s["segs"] = s["segs"] + [(amb.qb, diag)]
+                        s["q_end"] = li_e
+                    elif (amb.side == "qstart"
+                          and amb.qb < (s["segs"][1][0]
+                                        if len(s["segs"]) > 1
+                                        else s["q_end"])):
+                        s["score"] += 8 * s["q_start"]
+                        s["segs"] = ([(0, diag),
+                                      (amb.qb, s["segs"][0][1])]
+                                     + s["segs"][1:])
+                        s["q_start"] = 0
                     else:
-                        amb_res.pop(i, None)
-            special = {k: _special_record(
-                           db, chunk[p][0 if k == i1 else 1],
-                           idx, res, dp_result, splice_result,
-                           int(batch["lengths"][idx]),
-                           config, int(mapq[idx]), known=known)
-                       for k, idx in ((i1, i1), (i2, i2))}
-            sp1, sp2 = special.get(i1), special.get(i2)
-            if (bulk_ok and sp1 is None and sp2 is None
-                    and e1 is not None and e2 is not None
-                    and i1 not in amb_res and i2 not in amb_res):
-                # both mates are plain ungapped records -> defer to one
-                # native bulk emission per chunk (io/sam_bulk.py)
-                plans = _pair_plan(r1, r2, e1, e2, pairmax,
-                                   resolve_inner=resolve_inner)
-                out.append([None, None])
-                for k, (idx, rec, pl) in enumerate(
-                        ((i1, r1, plans[0]), (i2, r2, plans[1]))):
-                    e = pl["e"]
-                    bulk_rows.append((len(out) - 1, k, idx, rec,
-                                      int(mapq[idx]), e, pl))
+                        keep.append(amb)
+                if keep:
+                    amb_res[i] = keep
+                else:
+                    amb_res.pop(i, None)
+
+        # specials: rows the refinement ladder solved beyond a plain
+        # ungapped record (sparse dicts — loop those rows only)
+        specials = {}
+        for i in sorted(set(splice_result) | set(dp_result)):
+            if i >= B2:
                 continue
-            out.append(_emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
+            sp = _special_record(db, chunk[i // 2][i & 1], i, res,
+                                 dp_result, splice_result, int(len2[i]),
+                                 config, int(mapq[i]), known=known)
+            if sp is not None:
+                specials[i] = sp
+
+        # pair classification: the plain both-mapped no-special rows
+        # (the overwhelming majority) emit through ONE native bulk call
+        # with every mate field computed VECTORIZED; everything else
+        # keeps the per-pair Python emitter
+        irregular = np.zeros(n, bool)
+        for i in specials:
+            irregular[i // 2] = True
+        for i in amb_res:
+            if i < B2:
+                irregular[i // 2] = True
+        both = evalid[0::2] & evalid[1::2]
+        plain = both & ~irregular if bulk_ok else np.zeros(n, bool)
+
+        out_chunk = [None] * n
+        for p in np.nonzero(~plain)[0].tolist():
+            i1, i2 = 2 * p, 2 * p + 1
+            r1, r2 = chunk[p]
+            e1, e2 = end_info(i1), end_info(i2)
+            special = {i1: specials.get(i1), i2: specials.get(i2)}
+            pair_rec = _emit_pair(db, r1, r2, e1, e2, int(mapq[i1]),
                                   int(mapq[i2]), pairmax,
                                   resolve_inner=resolve_inner,
-                                  special=special,
-                                  keys=(i1, i2)))
+                                  special=special, keys=(i1, i2))
             if amb_res:
                 from tpumap.gsnap.spliceends import xa_tag
-                for idx, r_out in ((i1, out[-1][0]), (i2, out[-1][1])):
+                for idx, r_out in ((i1, pair_rec[0]), (i2, pair_rec[1])):
                     if idx in amb_res and not r_out.flag & 4:
                         r_out.tags.append(xa_tag(amb_res[idx]))
             if remapper is not None:
                 # transcript remap + joint paired velocity (XX/XY tags)
-                remap_mod.tag_pair(remapper, db, out[-1][0], out[-1][1])
-        if bulk_rows:
-            _flush_paired_bulk(db, batch, bulk_rows, out, pairmax,
-                               resolve_inner)
-            bulk_rows = []
+                remap_mod.tag_pair(remapper, db, pair_rec[0], pair_rec[1])
+            out_chunk[p] = pair_rec
+
+        ip = np.nonzero(plain)[0]
+        if len(ip):
+            _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag, estrand,
+                                   enmm, len2, mapq, pairmax,
+                                   resolve_inner, out_chunk)
+        out.extend(out_chunk)
     return out
+
+
+def _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag, estrand, enmm,
+                           len2, mapq, pairmax, resolve_inner, out_chunk):
+    """Vectorized _pair_plan + one native bulk emission for the plain
+    both-mapped pairs (mate fields/FLAG/TLEN byte-compatible with
+    _plan_record; src/pathpair-eval.c:410-470 dovetail semantics)."""
+    from tpumap.io import sam_bulk
+
+    i1 = 2 * ip
+    i2 = i1 + 1
+    d1, d2 = ediag[i1], ediag[i2]
+    s1, s2 = estrand[i1], estrand[i2]
+    L1, L2 = len2[i1], len2[i2]
+    m = len(ip)
+    qs1 = np.zeros(m, np.int64)
+    qe1 = L1.copy()
+    qs2 = np.zeros(m, np.int64)
+    qe2 = L2.copy()
+    opp = s1 != s2
+    if resolve_inner:
+        # dovetail/read-through: clip the plus end past the fragment
+        # end, the minus end before the fragment start
+        plus1 = s1 == 0
+        dplus = np.where(plus1, d1, d2)
+        Lp = np.where(plus1, L1, L2)
+        dminus = np.where(plus1, d2, d1)
+        Lm = np.where(plus1, L2, L1)
+        over_hi = (dplus + Lp) - (dminus + Lm)
+        cut_hi = opp & (over_hi > 0) & (over_hi <= Lp - 20)
+        over_lo = dplus - dminus
+        cut_lo = opp & (over_lo > 0) & (over_lo <= Lm - 20)
+        qe_plus = np.where(cut_hi, Lp - over_hi, Lp)
+        qs_minus = np.where(cut_lo, over_lo, 0)
+        qe1 = np.where(plus1, qe_plus, qe1)
+        qe2 = np.where(~plus1, qe_plus, qe2)
+        qs1 = np.where(~plus1, qs_minus, qs1)
+        qs2 = np.where(plus1, qs_minus, qs2)
+    f1 = (np.full(m, 0x1 | 0x40, np.int32)
+          | np.where(s1 == 1, 16, 0) | np.where(s2 == 1, 0x20, 0))
+    f2 = (np.full(m, 0x1 | 0x80, np.int32)
+          | np.where(s2 == 1, 16, 0) | np.where(s1 == 1, 0x20, 0))
+    lo = np.minimum(d1 + qs1, d2 + qs2)
+    hi = np.maximum(d1 + qe1, d2 + qe2)
+    tlen = hi - lo
+    proper = opp & (tlen <= pairmax)
+    sign1 = np.where(d1 + qs1 <= d2 + qs2, 1, -1)
+    tlen1 = np.where(proper, sign1 * tlen, 0)
+    tlen2 = -tlen1
+    f1 |= np.where(proper, 2, 0)
+    f2 |= np.where(proper, 2, 0)
+
+    # interleave ends back into emission rows
+    M = 2 * m
+    rows = np.empty(M, np.int64)
+    rows[0::2] = i1
+    rows[1::2] = i2
+    diag_r = np.empty(M, np.uint64)
+    diag_r[0::2] = d1.astype(np.uint64)
+    diag_r[1::2] = d2.astype(np.uint64)
+    strand_r = np.empty(M, np.uint8)
+    strand_r[0::2] = s1
+    strand_r[1::2] = s2
+    flags_r = np.empty(M, np.int32)
+    flags_r[0::2] = f1
+    flags_r[1::2] = f2
+    mate_r = np.empty(M, np.uint64)
+    mate_r[0::2] = (d2 + qs2).astype(np.uint64)
+    mate_r[1::2] = (d1 + qs1).astype(np.uint64)
+    tlen_r = np.empty(M, np.int64)
+    tlen_r[0::2] = tlen1
+    tlen_r[1::2] = tlen2
+    qs_r = np.empty(M, np.int32)
+    qs_r[0::2] = qs1
+    qs_r[1::2] = qs2
+    qe_r = np.empty(M, np.int32)
+    qe_r[0::2] = qe1
+    qe_r[1::2] = qe2
+    mq_r = mapq[rows].astype(np.int32)
+    recs = [r for p in ip.tolist() for r in chunk[p]]
+    codes_np = np.asarray(batch["codes"])
+    nmask_np = np.asarray(batch["nmask"])
+    lines = sam_bulk.emit_ungapped_bulk(
+        db, recs, np.ascontiguousarray(codes_np[rows]),
+        np.ascontiguousarray(nmask_np[rows]), len2[rows],
+        diag_r, strand_r, mq_r, None, qs_r, qe_r,
+        np.ones(M, np.uint8), flags=flags_r, mate_u=mate_r, tlen=tlen_r)
+    for j, p in enumerate(ip.tolist()):
+        j1, j2 = 2 * j, 2 * j + 1
+        if lines is not None and lines[j1] is not None \
+                and lines[j2] is not None:
+            out_chunk[p] = (
+                sam_bulk.RawSamRecord(lines[j1], int(flags_r[j1]),
+                                      int(mq_r[j1])),
+                sam_bulk.RawSamRecord(lines[j2], int(flags_r[j2]),
+                                      int(mq_r[j2])))
+        else:                       # native emitter declined this row
+            r1, r2 = chunk[p]
+            e1 = (int(d1[j]), int(s1[j]), int(enmm[2 * p]))
+            e2 = (int(d2[j]), int(s2[j]), int(enmm[2 * p + 1]))
+            out_chunk[p] = _emit_pair(
+                db, r1, r2, e1, e2, int(mq_r[j1]), int(mq_r[j2]),
+                pairmax, resolve_inner=resolve_inner)
 
 
 def _special_record(db, rec, i, res, dp_result, splice_result, li, config,
@@ -702,36 +862,3 @@ def _emit_pair(db, r1, r2, e1, e2, mq1, mq2, pairmax, special=None,
             _plan_record(db, r2, plans[1], mq2, sp2))
 
 
-def _flush_paired_bulk(db, batch, bulk_rows, out, pairmax, resolve_inner):
-    """One native C call emits every deferred plain paired mate of the
-    chunk (full FLAG + RNEXT/PNEXT/TLEN columns, no NH/HI, matching
-    _plan_record output byte for byte)."""
-    from tpumap.io import sam_bulk
-    m = len(bulk_rows)
-    idxs = np.array([b[2] for b in bulk_rows], dtype=np.int64)
-    recs = [b[3] for b in bulk_rows]
-    mq = np.array([b[4] for b in bulk_rows], dtype=np.int32)
-    diag = np.array([b[5][0] for b in bulk_rows], dtype=np.uint64)
-    strand = np.array([b[5][1] for b in bulk_rows], dtype=np.uint8)
-    flags = np.array([(16 if b[5][1] else 0) | b[6]["flag_extra"]
-                      for b in bulk_rows], dtype=np.int32)
-    mate_u = np.array([b[6]["mate_u"] for b in bulk_rows],
-                      dtype=np.uint64)
-    tlen = np.array([b[6]["tlen"] for b in bulk_rows], dtype=np.int64)
-    qs = np.array([b[6]["qs"] for b in bulk_rows], dtype=np.int32)
-    qe = np.array([b[6]["qe"] for b in bulk_rows], dtype=np.int32)
-    lengths = np.asarray(batch["lengths"])[idxs]
-    lines = sam_bulk.emit_ungapped_bulk(
-        db, recs, np.ascontiguousarray(np.asarray(batch["codes"])[idxs]),
-        np.ascontiguousarray(np.asarray(batch["nmask"])[idxs]),
-        lengths, diag, strand, mq, None, qs, qe,
-        np.ones(m, dtype=np.uint8), flags=flags, mate_u=mate_u,
-        tlen=tlen)
-    for j, (oi, k, _idx, rec, mq_j, _e, pl) in enumerate(bulk_rows):
-        if lines is not None and lines[j] is not None:
-            r = sam_bulk.RawSamRecord(lines[j], int(flags[j]), int(mq_j))
-        else:
-            r = _plan_record(db, rec, pl, mq_j)
-        out[oi][k] = r
-    for oi in {b[0] for b in bulk_rows}:
-        out[oi] = tuple(out[oi])
