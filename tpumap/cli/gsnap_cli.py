@@ -399,8 +399,12 @@ def main(argv=None):
                     help="tie-break order among equally-scoring paths "
                          "(this implementation is deterministic: genomic)")
     ap.add_argument("-O", "--ordered", action="store_true",
-                    help="accepted for compatibility; output is always "
-                         "in input order")
+                    help="print output in input order; in a multi-process"
+                         " (DCN) run this merges every process's shard "
+                         "into ONE ordered stream written by process 0 "
+                         "(Outbuffer_thread_ordered role, "
+                         "src/outbuffer.c:1387); single-process output "
+                         "is always ordered")
     ap.add_argument("-t", "--nthreads", type=int, default=None,
                     help="accepted for compatibility; parallelism comes "
                          "from device batching, not worker threads")
@@ -675,6 +679,29 @@ def main(argv=None):
         if jax.process_count() > 1:
             part = (jax.process_index(), jax.process_count())
 
+    # gsnap --ordered in a multi-process run: record every output chunk
+    # with its global input ordinal, gather over DCN, process 0 writes
+    # the merged stream (parallel/outmerge.py)
+    merge = None
+    out_real, router_real = out, router
+    if args.ordered and part is not None and part[1] > 1:
+        from tpumap.parallel.outmerge import MergeRouter, OrderedMerge
+        merge = OrderedMerge(part)
+        out = merge.file(None)
+        router = MergeRouter(merge)
+    _mi = merge.iter if merge is not None else (lambda it: it)
+
+    def finish_output():
+        if merge is not None:
+            merge.finalize(lambda cat, text:
+                           (out_real if cat is None
+                            else router_real.get(cat)).write(text))
+        router_real.close()
+        if failed is not None:
+            failed.close()
+        if args.output:
+            out_real.close()
+
     def shard(it):
         for i, item in enumerate(it):
             if part is None or i % part[1] == part[0]:
@@ -708,7 +735,7 @@ def main(argv=None):
                                 batch_size=args.batch_size, known=known,
                                 tr=tr, **knob_kw)
         headers_to({out})
-        for (r1, r2), s in zip(pairs, results):
+        for (r1, r2), s in _mi(zip(pairs, results)):
             s.tags.extend(sc.sam_tags(r1.sequence, r1.quality,
                                       accession=r1.accession,
                                       wellpos=args.well_position))
@@ -756,20 +783,16 @@ def main(argv=None):
         headers_to({router.get(c) for c in cats} or {out})
         if args.format in ("default", "standard", "gsnap"):
             from tpumap.io.gsnapfmt import native_alignment
-            for (r1, r2), (s1, s2) in zip(pairs, results):
+            for (r1, r2), (s1, s2) in _mi(zip(pairs, results)):
                 for rr, ss in ((r1, s1), (r2, s2)):
                     hdr = ss.seq if ss.seq != "*" else rr.sequence
                     out.write(native_alignment(db, hdr, rr.accession, ss))
                 if (s1.flag & 4) and (s2.flag & 4):
                     write_failed(r1)
                     write_failed(r2)
-            router.close()
-            if failed is not None:
-                failed.close()
-            if args.output:
-                out.close()
+            finish_output()
             return 0
-        for (r1, r2), (s1, s2) in zip(pairs, results):
+        for (r1, r2), (s1, s2) in _mi(zip(pairs, results)):
             if (s1.flag & 4) and (s2.flag & 4):
                 write_failed(r1)
                 write_failed(r2)
@@ -833,7 +856,7 @@ def main(argv=None):
                         f"method {m}: {c} ({100.0 * c / total:.1f}%)\n")
         if args.format in ("default", "standard", "gsnap"):
             from tpumap.io.gsnapfmt import native_alignment
-            for rec, s in zip(records, results):
+            for rec, s in _mi(zip(records, results)):
                 s = maybe_excessive(s)
                 hdr_seq = s.seq if s.seq != "*" else rec.sequence
                 out.write(native_alignment(db, hdr_seq, rec.accession, s))
@@ -841,7 +864,7 @@ def main(argv=None):
                     write_failed(rec)
         elif args.format == "m8":
             from tpumap.io.m8 import m8_line
-            for rec, s in zip(records, results):
+            for rec, s in _mi(zip(records, results)):
                 if s.flag & 4:
                     write_failed(rec)
                     continue
@@ -860,7 +883,7 @@ def main(argv=None):
             cats = ({c for _r, s, c in shaped if cat_ok(c, s)}
                     if args.split_output else set())
             headers_to({router.get(c) for c in cats} or {out})
-            for rec, s, cat in shaped:
+            for rec, s, cat in _mi(shaped):
                 if s.flag & 4:
                     write_failed(rec)
                 if not cat_ok(cat, s):
@@ -873,11 +896,7 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         sys.stderr.write(f"Aligned {nreads} reads in {dt:.3f} s "
                          f"({nreads / max(dt, 1e-9):.1f} reads/sec)\n")
-    router.close()
-    if failed is not None:
-        failed.close()
-    if args.output:
-        out.close()
+    finish_output()
     return 0
 
 
