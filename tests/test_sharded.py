@@ -83,3 +83,49 @@ def test_sharded_matches_single_chip(db_and_reads, shape):
     for i, (p, rc) in enumerate(truth):
         assert res["diag"][i] == p
         assert res["strand"][i] == int(rc)
+
+
+def test_sharded_full_ladder(tmp_path):
+    """FULL-capability sharded-index mode (SURVEY §2.6 item 4): a
+    spliced read and a concordant pair solve THROUGH the oligo-sharded
+    path — trim + chain DP + paired concordance behind the all-gather
+    (src/Makefile.am:366 LARGE_GENOMES role, src/stage1hr-paired.c)."""
+    import jax.numpy as jnp
+    from tpumap.ops import pathdp
+    from tpumap.parallel.sharded import make_sharded_full_aligner
+    from tpumap.utils import dna as dna_mod
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(9)
+    g = list("ACGT"[i] for i in rng.integers(0, 4, 40000))
+    g[8200:8202] = list("GT")
+    g[8998:9000] = list("AG")
+    seq = "".join(g)
+    fa = tmp_path / "g.fa"
+    fa.write_text(">chr1\n" + seq + "\n")
+    db = build_db(fa, name="g", k=10, interval=3)
+    mesh = make_mesh(8, index_shards=2)
+    config = AlignConfig(top_k=4, max_occ=16)
+    arrays, align = make_sharded_full_aligner(
+        mesh, db, config, scoring=pathdp.PathScoring(max_intron=5000),
+        splicing=True, paired=True, pairmax=1500)
+    B, L = 16, 128
+    reads = [""] * B
+    reads[0] = seq[20000:20100]                       # pair 0: FR
+    reads[1] = dna_mod.revcomp(seq[20500:20600])
+    reads[2] = seq[8150:8200] + seq[9000:9050]        # pair 1: spliced r1
+    reads[3] = dna_mod.revcomp(seq[9300:9400])
+    for i in range(4, B):
+        p = 1000 + 61 * i
+        reads[i] = seq[p:p + 100]
+    batch = make_batch(reads, B, L)
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    res = {k: np.asarray(v) for k, v in align(arrays, dev_batch).items()}
+    assert bool(res["pe_valid"][0])
+    ch_ok = res["ch_sel"] & (res["ch_idx"] == 2) & (res["ch_nsegs"] >= 2)
+    assert bool(ch_ok.any())
+    row = int(np.nonzero(ch_ok)[0][0])
+    segd = res["ch_segd"][row]
+    assert int(segd[1]) - int(segd[0]) == 800       # the planted intron

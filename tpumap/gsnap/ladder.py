@@ -114,6 +114,23 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
     indel solutions for rows the splice pass did not solve).
     """
     res = align_batch_cascaded_packed(index, pbatch, config, L)
+    return refine_full(index, pbatch, res, config, L, scoring, splicing,
+                       salvage, r_chain, r_salv, r_indel, keep_cands)
+
+
+def refine_full(index, pbatch, res, config: AlignConfig, L: int,
+                scoring: pathdp.PathScoring,
+                splicing: bool, salvage: bool,
+                r_chain: int, r_salv: int, r_indel: int,
+                keep_cands: bool = False):
+    """The post-cascade refinement half of align_batch_full, callable
+    from any candidate producer — in particular the sharded-index path
+    (parallel/sharded.py), whose cascade all-gathers candidates across
+    index shards and then refines locally: chain/salvage/indel only
+    touch the (replicated) genome, so no further collectives are
+    needed.  `index` needs genome_packed/genome_nmask/genome_has_n/
+    chrom_offsets; `res` needs the cascade result incl. cand_* lists
+    and trim_* fields."""
     lengths = pbatch["lengths"]
     B = lengths.shape[0]
     diag = res["diag"]

@@ -91,7 +91,8 @@ def analyze_insertlengths(records):
 def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
                    batch_size: int = 1024, min_support: int = 1,
                    splices_dump: str | None = None,
-                   indels_dump: str | None = None, tr=None):
+                   indels_dump: str | None = None, tr=None,
+                   device_ctx=None):
     """Full two-pass single-end driver. Returns (sam_records, knownsplicing).
 
     Pass 1 also learns the indel table (Path_learn_indels analog); known
@@ -103,7 +104,7 @@ def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
     config = config or AlignConfig()
     pass1 = align_records(db, index, records, config, novelsplicing=True,
                           max_intron=max_intron, batch_size=batch_size,
-                          tr=tr)
+                          tr=tr, device_ctx=device_ctx)
     ks = learn_knownsplicing(db, pass1, min_support)
     ki = KnownIndels.from_sam(db, pass1, min_support)
     # multi-host runs all-gather each host's learned tables over DCN
@@ -118,5 +119,6 @@ def two_pass_align(db, index, records, config=None, max_intron: int = 200_000,
     pass2 = align_records(db, index, records, config, novelsplicing=True,
                           max_intron=max_intron, batch_size=batch_size,
                           known=ks if ks.nsites else None,
-                          known_indels=ki if ki.nsites else None, tr=tr)
+                          known_indels=ki if ki.nsites else None, tr=tr,
+                          device_ctx=device_ctx)
     return pass2, ks
