@@ -215,9 +215,11 @@ def oracle_chain(genome, codes, length, diags, sc=pathdp.PathScoring(),
                     break
             Hn[k] = val + s[k][q]
         H = Hn
-        for k in range(K):
-            if H[k] > best[0]:
-                best = (H[k], q, k)
+        row_best = max(H)
+        row_k = H.index(row_best)
+        # ties keep the LATEST co-optimal end (kernel tie rule)
+        if row_best >= best[0]:
+            best = (row_best, q, row_k)
     score, bq, bk = best
     # traceback
     segs = []

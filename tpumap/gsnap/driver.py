@@ -277,9 +277,10 @@ def refine_unsolved(db, index, batch, res, config,
                      < nsegs_l[:, None])
             has_ins = np.any(vpair & (sd[:, 1:] < sd[:, :-1]), axis=1)
             need_dict = sel & (end_short | start_short | has_ins)
-            if not have_native or dict_all:
+            if not have_native or dict_all or known is not None:
                 # no bulk path (or a caller — the paired driver — whose
-                # emitter consumes dicts only): dicts for all
+                # emitter consumes dicts only; or known splicing, whose
+                # XS annotation needs path_record): dicts for all
                 need_dict = sel
             for r in np.nonzero(need_dict)[0].tolist():
                 i = int(ch_idx[r])
@@ -1225,11 +1226,15 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             tr[0]._remapper = remapper
 
     # the fused device ladder (gsnap/ladder.py) serves every request the
-    # basic single-end path can express on device; features that need the
-    # candidate lists or extra host context keep the staged path
-    use_fused = (known is None and tr is None and not find_fusions
+    # basic single-end path can express on device — including known
+    # splicing (-s), whose partner derivation + site bonus run inside
+    # the one-jit program; features that need the candidate lists or
+    # extra host context keep the staged path
+    use_fused = (tr is None and not find_fusions
                  and known_indels is None and device_ctx is None
                  and npaths == 1)
+    known_dev_l = known.to_device() if (known is not None
+                                        and use_fused) else None
 
     # ONE (B, L) shape for the whole run: a bucketed tail batch would
     # compile a second program per shape — ~20-90 s through the tunnel,
@@ -1254,10 +1259,18 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             from tpumap.gsnap import ladder
             from tpumap.ops import pathdp
             sc = pathdp.PathScoring(max_intron=max(max_intron, MIN_INTRON))
-            dev = ladder.align_batch_full(
-                index, _pack_batch(batch), config, L, sc,
-                novelsplicing, novelsplicing and use_localdb,
-                min(8192, B), min(2048, B), min(2048, B))
+            splicing_on = novelsplicing or known is not None
+            if known_dev_l is not None:
+                dev = ladder.align_batch_full_known(
+                    index, _pack_batch(batch), config, L, sc,
+                    splicing_on, novelsplicing and use_localdb,
+                    min(8192, B), min(2048, B), min(2048, B),
+                    known=known_dev_l)
+            else:
+                dev = ladder.align_batch_full(
+                    index, _pack_batch(batch), config, L, sc,
+                    splicing_on, novelsplicing and use_localdb,
+                    min(8192, B), min(2048, B), min(2048, B))
         else:
             dev = align_batch_cascaded_packed(index, _pack_batch(batch),
                                               config, L)
@@ -1310,6 +1323,25 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         if bulk is not None:
             from tpumap.io.sam_bulk import RawSamRecord
             bulk_lines, bulk_flags, bulk_methods = bulk
+
+        # fast path: every row bulk-emitted, no dict overrides — skip
+        # the per-row branch ladder entirely (the 16 k-iteration Python
+        # loop costs more than the native emission on a 1-core host)
+        if (bulk is not None and not tr_records and not splice_result
+                and not fusion_result and not dp_result and not amb_result
+                and not show_method
+                and all(l is not None for l in bulk_lines)):
+            nvals = len(bulk_lines)
+            unm = bulk_methods == "unmapped"
+            mq_l = np.where(unm, 0, mapq[:nvals]).tolist()
+            if stats is not None:
+                vals, counts = np.unique(np.asarray(bulk_methods, object),
+                                         return_counts=True)
+                for v, c in zip(vals.tolist(), counts.tolist()):
+                    stats[v] = stats.get(v, 0) + int(c)
+            out.extend(map(RawSamRecord, bulk_lines,
+                           bulk_flags.tolist(), mq_l))
+            continue
 
         def _emit(record, method, nh=1):
             if not record.flag & 4 and i in amb_result:

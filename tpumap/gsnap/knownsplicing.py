@@ -185,7 +185,13 @@ class KnownSplicing:
 
     def to_device(self):
         """Sorted uint32 device arrays (empty sets become a single
-        impossible sentinel so the jit signature stays membership-safe)."""
+        impossible sentinel so the jit signature stays membership-safe).
+
+        Besides the four site-membership sets, ships the junction PAIR
+        table in two sorted views (by left and by right boundary) with
+        intron lengths, so the fused ladder can derive partner
+        diagonals ON DEVICE (the derived_pairs analog; src/path-solve.c
+        known-splice resolution)."""
         import jax.numpy as jnp
 
         def dev(arr):
@@ -193,9 +199,27 @@ class KnownSplicing:
                 arr = np.asarray([0xFFFFFFFF], dtype=np.uint64)
             return jnp.asarray(arr.astype(np.uint32))
 
+        pairs = np.concatenate(
+            [np.asarray(self.junctions, np.uint64).reshape(-1, 2),
+             np.asarray(self.anti_junctions, np.uint64).reshape(-1, 2)],
+            axis=0)
+        if len(pairs) == 0:
+            pairs = np.asarray([[0xFFFFFFFF, 0xFFFFFFFF]], np.uint64)
+        intron = (pairs[:, 1].astype(np.int64)
+                  - pairs[:, 0].astype(np.int64)).astype(np.int64)
+        lorder = np.argsort(pairs[:, 0], kind="stable")
+        rorder = np.argsort(pairs[:, 1], kind="stable")
         return {"donor": dev(self.donor), "acceptor": dev(self.acceptor),
                 "antidonor": dev(self.antidonor),
-                "antiacceptor": dev(self.antiacceptor)}
+                "antiacceptor": dev(self.antiacceptor),
+                "jleft": jnp.asarray(
+                    pairs[lorder, 0].astype(np.uint32)),
+                "jleft_intron": jnp.asarray(
+                    intron[lorder].astype(np.int32)),
+                "jright": jnp.asarray(
+                    pairs[rorder, 1].astype(np.uint32)),
+                "jright_intron": jnp.asarray(
+                    intron[rorder].astype(np.int32))}
 
 
 def coords_in_set(sorted_set, coords):

@@ -118,11 +118,30 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
                        salvage, r_chain, r_salv, r_indel, keep_cands)
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def align_batch_full_known(index, pbatch, config: AlignConfig, L: int,
+                           scoring: pathdp.PathScoring,
+                           splicing: bool, salvage: bool,
+                           r_chain: int, r_salv: int, r_indel: int,
+                           known=None):
+    """align_batch_full with known splicing fused in: the chain stage
+    derives partner diagonals from the known junction-pair table ON
+    DEVICE and scores boundaries with the known-site bonus — gsnap's
+    flagship -s mode stays on the one-jit fast path
+    (src/knownsplicing.c, src/path-solve.c known-splice resolution)."""
+    res = align_batch_cascaded_packed(index, pbatch, config, L)
+    return refine_full(index, pbatch, res, config, L, scoring, splicing,
+                       salvage, r_chain, r_salv, r_indel, known=known)
+
+
+N_PARTNER = 2   # partner diagonals derived per side of the primary diag
+
+
 def refine_full(index, pbatch, res, config: AlignConfig, L: int,
                 scoring: pathdp.PathScoring,
                 splicing: bool, salvage: bool,
                 r_chain: int, r_salv: int, r_indel: int,
-                keep_cands: bool = False):
+                keep_cands: bool = False, known=None):
     """The post-cascade refinement half of align_batch_full, callable
     from any candidate producer — in particular the sharded-index path
     (parallel/sharded.py), whose cascade all-gathers candidates across
@@ -172,6 +191,35 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
         cd = jnp.take(res["cand_diags"], idx, axis=0)
         cs = jnp.take(res["cand_strands"], idx, axis=0)
         cands = jnp.where(cs == st[:, None], cd, INVALID)
+        if known is not None:
+            # partner diagonals from the known junction-pair table (the
+            # derived_pairs analog, on device): a junction whose left
+            # boundary falls inside the read anchored at `adiag` implies
+            # partner diag + intron; one whose right boundary falls
+            # inside implies diag - intron
+            jl, jli = known["jleft"], known["jleft_intron"]
+            jr, jri = known["jright"], known["jright_intron"]
+            li_u = jnp.take(lengths, idx).astype(jnp.uint32)
+            offs = jnp.arange(N_PARTNER, dtype=jnp.int32)[None, :]
+
+            def partners(coords, introns, sign):
+                pos = jnp.searchsorted(coords, adiag + jnp.uint32(1))
+                ji = jnp.clip(pos[:, None] + offs, 0,
+                              coords.shape[0] - 1)
+                c = jnp.take(coords, ji)
+                n = jnp.take(introns, ji)
+                ok = ((c > adiag[:, None]) & (c < adiag[:, None] + li_u[:, None])
+                      & (n > 0) & (n <= jnp.int32(scoring.max_intron)))
+                nu = n.astype(jnp.uint32)
+                part = (adiag[:, None] + nu if sign > 0
+                        else adiag[:, None] - nu)
+                if sign < 0:
+                    ok = ok & (adiag[:, None] >= nu)
+                return jnp.where(ok, part, INVALID)
+
+            cands = jnp.concatenate(
+                [cands, partners(jl, jli, +1), partners(jr, jri, -1)],
+                axis=1)
         cands = _dedup_keep_first(cands)
 
         quals = None
@@ -186,7 +234,7 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
 
         c1 = pathdp.chain_solve(index, codes, nmask, li, cands,
                                 scoring=scoring, with_quals=with_quals,
-                                quals=quals)
+                                quals=quals, known=known)
 
         if salvage:
             rs = min(r_salv, rc)
@@ -194,7 +242,12 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
             # (the missing middle/short exon case)
             resid_pre = c1["q_start"]
             resid_suf = li - c1["q_end"]
-            need = sel & ((resid_pre >= MIN_FRAG) | (resid_suf >= MIN_FRAG))
+            # the trim/chain end absorbs ~1-2 chance-matching exon bases,
+            # so a hidden m-base exon often leaves only m-2 clipped; the
+            # run statistic (not the clip) is the discriminator, so the
+            # salvage NEED gate is looser than MIN_FRAG
+            need = sel & ((resid_pre >= MIN_FRAG - 2)
+                          | (resid_suf >= MIN_FRAG - 2))
             sprio = jnp.where(need, jnp.int32(2 * rc)
                               - jnp.arange(rc, dtype=jnp.int32), 0)
             _, sidx = jax.lax.top_k(sprio, rs)
@@ -214,37 +267,78 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
             s_adiag = jnp.take(adiag, sidx)
             first_d = jnp.where(has_sol, first_d, s_adiag)
             last_d = jnp.where(has_sol, last_d, s_adiag)
-            # suffix fragment: first SALVAGE_F bases after q_end, scanned
-            # downstream of the last segment's boundary coordinate
-            fl_s = jnp.clip(s_li - s_qe, 0, SALVAGE_F)
-            frag_s = _take_window(s_codes, s_qe, SALVAGE_F, L)
+            # the scan probes the FULL 16-base read end and ranks window
+            # offsets by the longest clean run ANCHORED at the read end
+            # (localscan.scan_fragment_runs): the hidden exon of length
+            # m scores run = m while a random offset needs P = 4^-run,
+            # and the run pins the junction boundary so the splice
+            # dinucleotide is checked at the EXACT spot — scanning just
+            # the m-base clip drowned in W/4^m chance perfect hits
+            # (the round-4 recall sweep: 7/20 found at m=6)
+            frag16_s = _take_window(s_codes, s_li - SALVAGE_F,
+                                    SALVAGE_F, L)
             ws_s = last_d + s_qe.astype(jnp.uint32) + jnp.uint32(
                 scoring.min_intron)
-            # prefix fragment: last bases before q_start, scanned upstream
-            fl_p = jnp.clip(s_qs, 0, SALVAGE_F)
-            frag_p = _take_window(s_codes, s_qs - fl_p, SALVAGE_F, L)
             base_p = first_d + s_qs.astype(jnp.uint32)
             ws_p = jnp.where(
                 base_p > jnp.uint32(SALVAGE_W + scoring.min_intron),
                 base_p - jnp.uint32(SALVAGE_W + scoring.min_intron),
                 jnp.uint32(0))
-            frag2 = jnp.concatenate([frag_s, frag_p], axis=0)
-            fl2 = jnp.concatenate([
-                jnp.where(fl_s >= MIN_FRAG, fl_s, 0),
-                jnp.where(fl_p >= MIN_FRAG, fl_p, 0)])
-            ws2 = jnp.concatenate([ws_s, ws_p])
-            pos2, mm2 = localscan.scan_fragment(
-                index.genome_packed, ws2, frag2, fl2, SALVAGE_W,
-                SALVAGE_F, 4)
-            ok2 = mm2 <= 1
-            pos_s, pos_p = pos2[:rs], pos2[rs:]
-            ok_s = ok2[:rs] & (fl_s >= MIN_FRAG)[:, None]
-            ok_p = ok2[rs:] & (fl_p >= MIN_FRAG)[:, None]
+            frag16_p = _take_window(s_codes, jnp.zeros_like(s_qs),
+                                    SALVAGE_F, L)
+            pos_s, run_s = localscan.scan_fragment_runs(
+                index.genome_packed, ws_s, frag16_s, SALVAGE_W, 8,
+                True)
+            pos_p, run_p = localscan.scan_fragment_runs(
+                index.genome_packed, ws_p, frag16_p, SALVAGE_W, 8,
+                False)
+            fl_s = jnp.clip(s_li - s_qe, 0, SALVAGE_F)
+            fl_p = jnp.clip(s_qs, 0, SALVAGE_F)
+            ok_s = ((run_s >= MIN_FRAG)
+                    & (fl_s >= MIN_FRAG - 2)[:, None]
+                    & (s_li >= SALVAGE_F)[:, None])
+            ok_p = ((run_p >= MIN_FRAG)
+                    & (fl_p >= MIN_FRAG - 2)[:, None]
+                    & (s_li >= SALVAGE_F)[:, None])
+            # splice-site anchor at the run-determined boundary: an
+            # acceptor (AG/AC) precedes the suffix exon, a donor
+            # (GT/CT) follows the prefix exon.  The clean run can
+            # EXTEND past the true boundary by chance (P ~ 1/3), so
+            # the junction may sit up to 3 bases inside the run — the
+            # dinucleotide is accepted at any of those 4 positions.
+            # Runs >= 9 are already statistically unique in a 65 kb
+            # window and skip the anchor.
+            exon_start = pos_s + jnp.uint32(SALVAGE_F) \
+                - run_s.astype(jnp.uint32)
+            din_s = verify.extract_codes_window(
+                index.genome_packed,
+                jnp.where(exon_start >= 2, exon_start - jnp.uint32(2),
+                          0), 6)
+            acc_ok = jnp.zeros(pos_s.shape, jnp.bool_)
+            for d in range(4):
+                acc_ok = acc_ok | (
+                    (din_s[..., d] == 0)
+                    & ((din_s[..., d + 1] == 2)
+                       | (din_s[..., d + 1] == 1))
+                    & (run_s - d >= MIN_FRAG))
+            ok_s = ok_s & (acc_ok | (run_s >= 9))
+            dp_start = pos_p + run_p.astype(jnp.uint32)
+            din_p = verify.extract_codes_window(
+                index.genome_packed,
+                jnp.where(dp_start >= 3, dp_start - jnp.uint32(3), 0),
+                6)
+            don_ok = jnp.zeros(pos_p.shape, jnp.bool_)
+            for d in range(4):
+                don_ok = don_ok | (
+                    ((din_p[..., d] == 2) | (din_p[..., d] == 1))
+                    & (din_p[..., d + 1] == 3)
+                    & (run_p - (3 - d) >= MIN_FRAG))
+            ok_p = ok_p & (don_ok | (run_p >= 9))
             # hit -> candidate diagonal
-            dB = pos_s - s_qe[:, None].astype(jnp.uint32)
+            dB = pos_s - (s_li - SALVAGE_F)[:, None].astype(jnp.uint32)
             ok_s = ok_s & ((dB - last_d[:, None])
                            <= jnp.uint32(scoring.max_intron))
-            dA = pos_p - (s_qs - fl_p)[:, None].astype(jnp.uint32)
+            dA = pos_p
             ok_p = ok_p & ((first_d[:, None] - dA)
                            <= jnp.uint32(scoring.max_intron))
             new_cands = jnp.concatenate(
@@ -262,8 +356,18 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
                        else None)
             c2 = pathdp.chain_solve(index, s_codes, s_nmask, s_li,
                                     new_cands, scoring=scoring,
-                                    with_quals=with_quals, quals=s_quals)
-            better = s_sel & (c2["score"] > jnp.take(c1["score"], sidx))
+                                    with_quals=with_quals, quals=s_quals,
+                                    known=known)
+            c1_sc = jnp.take(c1["score"], sidx)
+            c1_ns = jnp.take(c1["nsegs"], sidx)
+            # ties prefer the higher-coverage (more-segment) solution:
+            # a hidden exon of m bases with k chance-matched boundary
+            # bases nets exactly (m-k)*8 - 40, which TIES the clip at
+            # m-k = 5 — the junction explains more of the read at the
+            # same score (found_score coverage preference)
+            better = s_sel & ((c2["score"] > c1_sc)
+                              | ((c2["score"] == c1_sc)
+                                 & (c2["nsegs"] > c1_ns)))
             for key in ("score", "q_start", "q_end", "nsegs", "nmm"):
                 upd = jnp.where(better, c2[key], jnp.take(c1[key], sidx))
                 c1[key] = c1[key].at[sidx].set(upd)
@@ -279,7 +383,9 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
             best_other = jnp.take(res["trim_score"], idx)
         else:
             best_other = 8 * li_b - 32 * jnp.take(nmm, idx)
-        accept = sel & (c1["nsegs"] >= 1) & (c1["score"] > best_other)
+        accept = sel & (c1["nsegs"] >= 1) & (
+            (c1["score"] > best_other)
+            | ((c1["score"] == best_other) & (c1["nsegs"] >= 2)))
         # chromosome containment (uint32 chrom offsets, few chroms)
         co = index.chrom_offsets
         seg_start = c1["seg_diag"] + c1["seg_q"].astype(jnp.uint32)
@@ -363,7 +469,7 @@ def align_pair_full(index, pbatch, config: AlignConfig, L: int,
                     splicing: bool, salvage: bool,
                     r_chain: int, r_salv: int, r_indel: int,
                     pairmax: int, orientation: str,
-                    pairexpect: int, pairdev: int):
+                    pairexpect: int, pairdev: int, known=None):
     """Fused paired-end program: the full single-end ladder over the
     interleaved flat batch (read 1 of pair p at row 2p, read 2 at
     2p+1), PLUS the device concordance kernel over the cascade's
@@ -378,9 +484,10 @@ def align_pair_full(index, pbatch, config: AlignConfig, L: int,
     """
     from tpumap.gsnap.paired import concordance_device
 
-    out = align_batch_full(index, pbatch, config, L, scoring, splicing,
-                           salvage, r_chain, r_salv, r_indel,
-                           keep_cands=True)
+    res = align_batch_cascaded_packed(index, pbatch, config, L)
+    out = refine_full(index, pbatch, res, config, L, scoring, splicing,
+                      salvage, r_chain, r_salv, r_indel,
+                      keep_cands=True, known=known)
     lengths = pbatch["lengths"]
     cd, cs, cn = (out.pop("cand_diags"), out.pop("cand_strands"),
                   out.pop("cand_nmm"))

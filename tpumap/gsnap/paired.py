@@ -215,10 +215,13 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             tr[0]._remapper = remapper
 
     # the fused paired program (ladder + in-program concordance) serves
-    # every request the device can express; host-context features keep
-    # the staged path (mirrors driver.align_records use_fused)
-    use_fused = (known is None and tr is None and known_indels is None
+    # every request the device can express — incl. known splicing (-s),
+    # fused like the single-end path; host-context features keep the
+    # staged path (mirrors driver.align_records use_fused)
+    use_fused = (tr is None and known_indels is None
                  and device_ctx is None)
+    known_dev_p = known.to_device() if (known is not None
+                                        and use_fused) else None
     # ONE (B, L) shape for the whole run (see driver.align_records)
     run_L = pad_to_bucket(max((len(r.sequence)
                                for p in pairs for r in p), default=1))
@@ -237,9 +240,11 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             sc = pathdp.PathScoring(max_intron=max(max_intron, 9))
             dev = ladder.align_pair_full(
                 index, _pack_batch(batch), config, L, sc,
-                novelsplicing, novelsplicing and use_localdb,
+                novelsplicing or known is not None,
+                novelsplicing and use_localdb,
                 min(8192, B), min(2048, B), min(2048, B),
-                pairmax, orientation, pairexpect or 1000, pairdev)
+                pairmax, orientation, pairexpect or 1000, pairdev,
+                known=known_dev_p)
         elif device_ctx is not None:
             dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
         else:

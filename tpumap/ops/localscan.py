@@ -143,3 +143,83 @@ def scan_exact_sites(genome_packed: jax.Array, win_starts: jax.Array,
                           win_starts[:, None] + firstk.astype(jnp.uint32),
                           INVALID)
     return positions, count
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def scan_fragment_runs(genome_packed: jax.Array, win_starts: jax.Array,
+                       frag16: jax.Array, window: int, top_k: int = 4,
+                       suffix: bool = True):
+    """Rank window offsets by the longest clean RUN anchored at one end
+    of a 16-base fragment.
+
+    The missing-exon salvage problem: a clipped read end hides an exon
+    of unknown length m — scanning just the clip crowds in chance
+    perfect hits (E[hits] = W/4^m), while the FULL 16-base end window
+    mismatches at the junction.  The discriminating statistic is the
+    longest clean suffix (read tail) / prefix (read head) run: the true
+    exon diagonal scores run = m, a random offset P(run >= m) = 4^-m,
+    AND the run length pins the junction boundary exactly, so callers
+    can check the splice dinucleotide at pos + 16 - run (suffix) or
+    pos + run (prefix).  Runs are computed bit-parallel from the same
+    16-phase packed XOR stream as scan_fragment (a bit-smear + popcount
+    per phase, no per-base tensor).
+
+    frag16 uint8[R, 16] (suffix: the READ'S last 16 bases; prefix: the
+    first 16).  Returns (positions uint32[R, top_k], runs int32[R,
+    top_k]) sorted by run descending, offset ascending.
+    """
+    R = win_starts.shape[0]
+    nw = window // 16 + 1
+    win = verify.extract_packed_window(genome_packed, win_starts, nw + 1)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
+    fw = jnp.sum(frag16.astype(jnp.uint32) << shifts, axis=1,
+                 dtype=jnp.uint32)
+    lo = win[:, :nw]
+    hi = win[:, 1:nw + 1]
+    per_phase = []
+    for p in range(16):
+        if p == 0:
+            stream = lo
+        else:
+            stream = ((lo >> jnp.uint32(2 * p))
+                      | (hi << jnp.uint32(32 - 2 * p)))
+        x = stream ^ fw[:, None]
+        mm2 = (x | (x >> 1)) & LOW_PAIRS
+        y = mm2
+        if suffix:
+            # smear mismatches DOWN: ~y's high pairs = clean suffix
+            for s in (2, 4, 8, 16):
+                y = y | (y >> jnp.uint32(s))
+        else:
+            for s in (2, 4, 8, 16):
+                y = y | (y << jnp.uint32(s))
+        run = jax.lax.population_count(~y & LOW_PAIRS)
+        per_phase.append(run)
+    runs = (jnp.stack(per_phase, axis=2).reshape(R, nw * 16)[:, :window]
+            .astype(jnp.int32))
+    off = jnp.arange(window, dtype=jnp.int32)[None, :]
+    key = -runs * jnp.int32(131072) + off
+    BLK = 64
+    nb = (window + BLK - 1) // BLK
+    if nb * BLK != window:
+        key = jnp.concatenate(
+            [key, jnp.full((R, nb * BLK - window), 2 ** 30, jnp.int32)],
+            axis=1)
+        off = jnp.concatenate(
+            [off, jnp.full((1, nb * BLK - window), 2 ** 30, jnp.int32)],
+            axis=1)
+    poss, rr = [], []
+    for _ in range(top_k):
+        kb = key.reshape(R, nb, BLK)
+        bmin = jnp.min(kb, axis=2)
+        barg = jnp.argmin(kb, axis=2)
+        b = jnp.argmin(bmin, axis=1)
+        inner = jnp.take_along_axis(barg, b[:, None], axis=1)[:, 0]
+        o = b.astype(jnp.int32) * BLK + inner.astype(jnp.int32)
+        v = jnp.take_along_axis(bmin, b[:, None], axis=1)[:, 0]
+        poss.append(o)
+        rr.append(-(v >> jnp.int32(17)))
+        key = jnp.where(off == o[:, None], jnp.int32(2 ** 30), key)
+    idx = jnp.stack(poss, axis=1)
+    runs_k = jnp.stack(rr, axis=1)
+    return win_starts[:, None] + idx.astype(jnp.uint32), runs_k

@@ -299,7 +299,11 @@ def chain_solve(index, codes: jax.Array, nmask: jax.Array,
 
         row_best = jnp.max(H_next, axis=1)
         row_k = jnp.argmax(H_next, axis=1).astype(jnp.int32)
-        upd = (row_best > best_score) & (q < lengths)
+        # ties keep the LATEST co-optimal end (less trim, the
+        # reference's trim-scan tie rule — and a hidden tail exon whose
+        # net gain exactly equals the intron cost ties the clipped
+        # path: the junction explains more of the read at equal score)
+        upd = (row_best >= best_score) & (q < lengths)
         best_score = jnp.where(upd, row_best, best_score)
         best_q = jnp.where(upd, q, best_q)
         best_k = jnp.where(upd, row_k, best_k)
