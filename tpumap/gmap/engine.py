@@ -813,16 +813,15 @@ def _end_gap_extend(q_cmp, query_nmask, r_cmp, region_nmask, qspans,
         if best[1] is not None:
             p, dO, kind, glen = best[1]
             n_ins = glen if kind == "insertion" else 0
-            # outer piece's own start = the suffix run's argmax start
+            # outer piece start = argmax of the BOUNDARY-ANCHORED sums
+            # (the interval must reach the junction at p - n_ins, so no
+            # Kadane reset — that would pick a disconnected interval)
             sc_out = mm_score(dO, 0, p - n_ins)
-            acc, start, cur = 0, p - n_ins, p - n_ins
-            bestv = -(2 ** 30)
+            acc, start, bestv = 0, p - n_ins, 0
             for j in range(p - n_ins - 1, -1, -1):
                 acc += sc_out[j]
                 if acc >= bestv:
                     bestv, start = acc, j
-                if acc < 0:
-                    acc = 0
             qspans[0] = (p, qhi0, d0)
             qspans.insert(0, (start, p - n_ins, dO))
             introns.insert(0, Intron(kind, glen))
@@ -862,14 +861,13 @@ def _end_gap_extend(q_cmp, query_nmask, r_cmp, region_nmask, qspans,
             t, dO, kind, glen = best[1]
             n_ins = glen if kind == "insertion" else 0
             p = lo + t
+            # boundary-anchored prefix sums (see 5' side)
             sc_out = mm_score(dO, p + n_ins, Q)
-            acc, end, bestv = 0, p + n_ins, -(2 ** 30)
+            acc, end, bestv = 0, p + n_ins, 0
             for j in range(len(sc_out)):
                 acc += sc_out[j]
                 if acc >= bestv:
                     bestv, end = acc, p + n_ins + j + 1
-                if acc < 0:
-                    acc = 0
             qspans[-1] = (qloN, p, dN)
             qspans.append((p + n_ins, end, dO))
             introns.append(Intron(kind, glen))

@@ -134,7 +134,9 @@ def align_batch_full_known(index, pbatch, config: AlignConfig, L: int,
                        salvage, r_chain, r_salv, r_indel, known=known)
 
 
-N_PARTNER = 2   # partner diagonals derived per side of the primary diag
+N_PARTNER = 3   # partner diagonals derived per side of the primary diag
+#                 (a read can overlap several annotated junction
+#                 boundaries in densely-annotated regions)
 
 
 def refine_full(index, pbatch, res, config: AlignConfig, L: int,
@@ -177,9 +179,16 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
         rc = min(r_chain, B)
         chain_m = valid & ((trim_nmm >= SPLICE_NMM_TRIGGER)
                            | (clip >= CLIP_SPLICE_TRIGGER))
-        # stable compaction: selected rows in ascending batch order
-        prio = jnp.where(chain_m, jnp.int32(2 * B) - jnp.arange(B,
-                         dtype=jnp.int32), 0)
+        # compaction ranked by SIGNAL (clip + excess mismatches), batch
+        # order breaking ties: when trigger rows exceed r_chain, the
+        # weakest (trim-noise) rows overflow, not arbitrary real
+        # spliced reads (the round-4 recall collapse)
+        signal = jnp.clip(clip + trim_nmm, 0, 255)
+        prio = jnp.where(chain_m,
+                         signal * jnp.int32(2 * B)
+                         + (jnp.int32(B) - jnp.arange(B,
+                                                      dtype=jnp.int32)),
+                         0)
         _, idx = jax.lax.top_k(prio, rc)
         sel = jnp.take(chain_m, idx)
         st = jnp.take(strand, idx)
@@ -248,8 +257,12 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
             # salvage NEED gate is looser than MIN_FRAG
             need = sel & ((resid_pre >= MIN_FRAG - 2)
                           | (resid_suf >= MIN_FRAG - 2))
-            sprio = jnp.where(need, jnp.int32(2 * rc)
-                              - jnp.arange(rc, dtype=jnp.int32), 0)
+            # rank by residual size so overflow drops the weakest rows
+            sres = jnp.clip(jnp.maximum(resid_pre, resid_suf), 0, 255)
+            sprio = jnp.where(need,
+                              sres * jnp.int32(2 * rc)
+                              + (jnp.int32(rc)
+                                 - jnp.arange(rc, dtype=jnp.int32)), 0)
             _, sidx = jax.lax.top_k(sprio, rs)
             s_sel = jnp.take(need, sidx)
             s_codes = jnp.take(codes, sidx, axis=0)
@@ -341,8 +354,33 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
             dA = pos_p
             ok_p = ok_p & ((first_d[:, None] - dA)
                            <= jnp.uint32(scoring.max_intron))
+            # MIDDLE-exon fragments (the 2-junction case): pass 1 clips
+            # at the missing middle exon, whose bases start exactly at
+            # q_end / end at q_start — the read-END-anchored run scans
+            # above cannot see them, so the q_end-anchored forward (and
+            # q_start-anchored backward) mismatch scans stay alongside
+            frag_m = _take_window(s_codes, s_qe, SALVAGE_F, L)
+            pos_m, mm_m = localscan.scan_fragment(
+                index.genome_packed, ws_s, frag_m,
+                jnp.where(fl_s >= MIN_FRAG, fl_s, 0), SALVAGE_W,
+                SALVAGE_F, 4)
+            ok_m = (mm_m <= 1) & (fl_s >= MIN_FRAG)[:, None]
+            dM = pos_m - s_qe[:, None].astype(jnp.uint32)
+            ok_m = ok_m & ((dM - last_d[:, None])
+                           <= jnp.uint32(scoring.max_intron))
+            frag_mp = _take_window(s_codes, s_qs - fl_p, SALVAGE_F, L)
+            pos_mp, mm_mp = localscan.scan_fragment(
+                index.genome_packed, ws_p, frag_mp,
+                jnp.where(fl_p >= MIN_FRAG, fl_p, 0), SALVAGE_W,
+                SALVAGE_F, 4)
+            ok_mp = (mm_mp <= 1) & (fl_p >= MIN_FRAG)[:, None]
+            dMp = pos_mp - (s_qs - fl_p)[:, None].astype(jnp.uint32)
+            ok_mp = ok_mp & ((first_d[:, None] - dMp)
+                             <= jnp.uint32(scoring.max_intron))
             new_cands = jnp.concatenate(
                 [jnp.take(cands, sidx, axis=0),
+                 jnp.where(ok_m, dM, INVALID),
+                 jnp.where(ok_mp, dMp, INVALID),
                  jnp.where(ok_s, dB, INVALID),
                  jnp.where(ok_p, dA, INVALID)], axis=1)
             # keep the 8 best lanes: original candidates first, then hits

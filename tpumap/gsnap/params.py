@@ -15,13 +15,13 @@ CLIP_INDEL_TRIGGER = 5    # or >= this many soft-clipped bases: a short
 INDEL_BAND = 32
 INDEL_MARGIN = 4
 SPLICE_NMM_TRIGGER = 6    # and >= this many get the splice-junction pass
-CLIP_SPLICE_TRIGGER = 4   # or >= this many soft-clipped bases (a clipped
+CLIP_SPLICE_TRIGGER = 6   # or >= this many soft-clipped bases (a clipped
 #                           end is often an unplaced exon, spliceends.c;
-#                           4: a hidden exon of MIN_FRAG=6 bases often
-#                           leaves only ~4 clipped after the trim keeps
-#                           its chance-matching boundary bases; the
-#                           salvage run statistic does the real
-#                           discrimination (cf. min_shortend)
+#                           6 = MIN_FRAG: a hidden exon of >= 6 bases
+#                           leaves >= ~5-6 clipped; lower floods the
+#                           fixed chain compaction with trim noise and
+#                           OVERFLOWS real spliced rows out (the
+#                           round-4 recall collapse; cf. min_shortend)
 MAX_CAND_PAIRS = 8
 CHAIN_K = 8               # candidate diagonals per read in the chain solver
 MIN_INTRON = 9

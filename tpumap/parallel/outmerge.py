@@ -114,13 +114,25 @@ class OrderedMerge:
         boff = np.concatenate([[0], np.cumsum(n_blob)])
         rows = []
         mi = 0
+        hdr_cats = set()     # categories whose header chunk is kept
         for p in range(len(n_blob)):
             off = int(boff[p])
             for _ in range(int(n_meta.reshape(-1)[p])):
                 o, ci, ln = (int(all_meta[mi, 0]), int(all_meta[mi, 1]),
                              int(all_meta[mi, 2]))
-                if o >= 0 or p == 0:
+                if o >= 0:
                     rows.append((o, mi, ci, off, ln))
+                elif ci < 0:
+                    # default-stream headers: process 0's copy only
+                    if p == 0:
+                        rows.append((o, mi, ci, off, ln))
+                else:
+                    # split-output category headers: keep the FIRST
+                    # process's copy — a category may exist only in a
+                    # non-zero process's shard
+                    if ci not in hdr_cats:
+                        hdr_cats.add(ci)
+                        rows.append((o, mi, ci, off, ln))
                 off += ln
                 mi += 1
         rows.sort(key=lambda r: (r[0], r[1]))
