@@ -60,6 +60,73 @@ def shard_index_host(db: GenomeDB, n_shards: int) -> dict:
     }
 
 
+def _shard_arrays(mesh, db: GenomeDB, pad_words: int):
+    """Device arrays shared by both sharded builders: replicated genome,
+    oligo-sharded offsets/positions."""
+    parts = shard_index_host(db, mesh.shape[INDEX_AXIS])
+    repl = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(INDEX_AXIS))
+    arrays = {
+        "genome_packed": jax.device_put(
+            np.concatenate([db.genome_packed,
+                            np.zeros(pad_words, np.uint32)]), repl),
+        "genome_nmask": jax.device_put(
+            np.concatenate([db.genome_nmask,
+                            np.full(pad_words, 0xFFFFFFFF, np.uint32)]),
+            repl),
+        "offsets": jax.device_put(parts["offsets"], idx_sh),
+        "positions": jax.device_put(parts["positions"], idx_sh),
+    }
+    return arrays, parts["span"]
+
+
+def _strand_candidates(li, offsets, positions, k, span, config,
+                       c, m, lengths):
+    """One strand's candidate generation behind the oligo sharding:
+    local-range seeding, ICI all-gather of the union, prevalent-diagonal
+    ranking, verification against the replicated genome."""
+    oligos, valid = seed.query_oligos(c, m, lengths, k)
+    shard_id = jax.lax.axis_index(INDEX_AXIS).astype(jnp.uint32)
+    lo = shard_id * jnp.uint32(span)
+    in_range = (oligos >= lo) & (oligos < lo + jnp.uint32(span))
+    local_oligo = jnp.where(in_range, oligos - lo, 0)
+    NQ = oligos.shape[1]
+    qpos = jnp.arange(NQ, dtype=jnp.int32)
+    local = seed.lookup_diagonals(offsets, positions, local_oligo,
+                                  valid & in_range, qpos,
+                                  config.max_occ)
+    B = c.shape[0]
+    local = local.reshape(B, -1)
+    gathered = jax.lax.all_gather(local, INDEX_AXIS, axis=0)
+    allc = gathered.transpose(1, 0, 2).reshape(B, -1)
+    diags, _ = seed.prevalent_diagonals(allc, config.top_k)
+    packed = pack.pack_reads(c)
+    nmask2 = pack.pack_reads(m.astype(jnp.uint8))
+    nmm = verify.verify_diagonals(li, packed, nmask2, lengths, diags)
+    return diags, nmm
+
+
+def _cascade_result(li, offsets, positions, k, span, config,
+                    codes, nmask, lengths):
+    """Both-strand sharded cascade -> select_best dict."""
+    rc_codes = pack.revcomp_codes(codes, lengths)
+    rc_nmask = pack.revcomp_codes(
+        jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
+        lengths) == jnp.uint8(3)
+    fdiags, fnmm = _strand_candidates(li, offsets, positions, k, span,
+                                      config, codes, nmask, lengths)
+    rdiags, rnmm = _strand_candidates(li, offsets, positions, k, span,
+                                      config, rc_codes, rc_nmask,
+                                      lengths)
+    B, K = fdiags.shape
+    all_diags = jnp.concatenate([fdiags, rdiags], axis=1)
+    all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
+    strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
+                               jnp.ones((B, K), jnp.int32)], axis=1)
+    return select_best(all_diags, all_nmm, strands, lengths, config)
+
+
+
 def make_sharded_aligner(mesh, db: GenomeDB, config: AlignConfig,
                          pad_words: int = 64):
     """Build (device_arrays, jitted fn(device_arrays, batch) -> results).
@@ -68,35 +135,8 @@ def make_sharded_aligner(mesh, db: GenomeDB, config: AlignConfig,
     sharded along the index axis. batch arrays must be sharded along the
     data axis (or placed with the returned batch_sharding).
     """
-    n_index = mesh.shape[INDEX_AXIS]
-    parts = shard_index_host(db, n_index)
-    k, span = db.k, parts["span"]
-
-    repl = NamedSharding(mesh, P())
-    idx_sh = NamedSharding(mesh, P(INDEX_AXIS))
-    arrays = {
-        "genome_packed": jax.device_put(
-            np.concatenate([db.genome_packed, np.zeros(pad_words, np.uint32)]), repl),
-        "genome_nmask": jax.device_put(
-            np.concatenate([db.genome_nmask,
-                            np.full(pad_words, 0xFFFFFFFF, np.uint32)]), repl),
-        "offsets": jax.device_put(parts["offsets"], idx_sh),
-        "positions": jax.device_put(parts["positions"], idx_sh),
-    }
-
-    def local_seed(offsets, positions, codes, nmask, lengths):
-        """Seed a local read shard against the local oligo range."""
-        oligos, valid = seed.query_oligos(codes, nmask, lengths, k)
-        shard_id = jax.lax.axis_index(INDEX_AXIS).astype(jnp.uint32)
-        lo = shard_id * jnp.uint32(span)
-        in_range = (oligos >= lo) & (oligos < lo + jnp.uint32(span))
-        local_oligo = jnp.where(in_range, oligos - lo, 0)
-        NQ = oligos.shape[1]
-        qpos = jnp.arange(NQ, dtype=jnp.int32)
-        diags = seed.lookup_diagonals(offsets, positions, local_oligo,
-                                      valid & in_range, qpos, config.max_occ)
-        B = diags.shape[0]
-        return diags.reshape(B, -1)
+    arrays, span = _shard_arrays(mesh, db, pad_words)
+    k = db.k
 
     def body(genome_packed, genome_nmask, offsets, positions,
              codes, nmask, lengths):
@@ -108,30 +148,8 @@ def make_sharded_aligner(mesh, db: GenomeDB, config: AlignConfig,
         li.genome_packed = genome_packed
         li.genome_nmask = genome_nmask
 
-        rc_codes = pack.revcomp_codes(codes, lengths)
-        rc_nmask = pack.revcomp_codes(
-            jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)), lengths) == jnp.uint8(3)
-
-        def one_strand(c, m):
-            local = local_seed(offsets, positions, c, m, lengths)
-            # union of candidates across index shards (ICI all-gather)
-            gathered = jax.lax.all_gather(local, INDEX_AXIS, axis=0)
-            B = c.shape[0]
-            allc = gathered.transpose(1, 0, 2).reshape(B, -1)
-            diags, _ = seed.prevalent_diagonals(allc, config.top_k)
-            packed = pack.pack_reads(c)
-            nmask2 = pack.pack_reads(m.astype(jnp.uint8))
-            nmm = verify.verify_diagonals(li, packed, nmask2, lengths, diags)
-            return diags, nmm
-
-        fdiags, fnmm = one_strand(codes, nmask)
-        rdiags, rnmm = one_strand(rc_codes, rc_nmask)
-        B, K = fdiags.shape
-        all_diags = jnp.concatenate([fdiags, rdiags], axis=1)
-        all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
-        strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
-                                   jnp.ones((B, K), jnp.int32)], axis=1)
-        return select_best(all_diags, all_nmm, strands, lengths, config)
+        return _cascade_result(li, offsets, positions, k, span, config,
+                               codes, nmask, lengths)
 
     mapped = shard_map(
         body, mesh=mesh,
@@ -174,39 +192,11 @@ def make_sharded_full_aligner(mesh, db: GenomeDB, config: AlignConfig,
 
     if scoring is None:
         scoring = pathdp.PathScoring()
-    n_index = mesh.shape[INDEX_AXIS]
-    parts = shard_index_host(db, n_index)
-    k, span = db.k, parts["span"]
-
-    repl = NamedSharding(mesh, P())
-    idx_sh = NamedSharding(mesh, P(INDEX_AXIS))
-    arrays = {
-        "genome_packed": jax.device_put(
-            np.concatenate([db.genome_packed,
-                            np.zeros(pad_words, np.uint32)]), repl),
-        "genome_nmask": jax.device_put(
-            np.concatenate([db.genome_nmask,
-                            np.full(pad_words, 0xFFFFFFFF, np.uint32)]),
-            repl),
-        "offsets": jax.device_put(parts["offsets"], idx_sh),
-        "positions": jax.device_put(parts["positions"], idx_sh),
-    }
+    arrays, span = _shard_arrays(mesh, db, pad_words)
+    k = db.k
     chrom_offsets = np.asarray(db.chrom_offsets, np.uint32)
     genome_length = int(db.genome_length)
     has_n = bool(np.any(db.genome_nmask))
-
-    def local_seed(offsets, positions, codes, nmask, lengths):
-        oligos, valid = seed.query_oligos(codes, nmask, lengths, k)
-        shard_id = jax.lax.axis_index(INDEX_AXIS).astype(jnp.uint32)
-        lo = shard_id * jnp.uint32(span)
-        in_range = (oligos >= lo) & (oligos < lo + jnp.uint32(span))
-        local_oligo = jnp.where(in_range, oligos - lo, 0)
-        NQ = oligos.shape[1]
-        qpos = jnp.arange(NQ, dtype=jnp.int32)
-        diags = seed.lookup_diagonals(offsets, positions, local_oligo,
-                                      valid & in_range, qpos,
-                                      config.max_occ)
-        return diags.reshape(diags.shape[0], -1)
 
     def body(genome_packed, genome_nmask, offsets, positions,
              codes, nmask, lengths):
@@ -221,30 +211,8 @@ def make_sharded_full_aligner(mesh, db: GenomeDB, config: AlignConfig,
             genome_length=genome_length, k=k, genome_has_n=has_n)
 
         B, L = codes.shape
-        rc_codes = pack.revcomp_codes(codes, lengths)
-        rc_nmask = pack.revcomp_codes(
-            jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
-            lengths) == jnp.uint8(3)
-
-        def one_strand(c, m):
-            local = local_seed(offsets, positions, c, m, lengths)
-            gathered = jax.lax.all_gather(local, INDEX_AXIS, axis=0)
-            allc = gathered.transpose(1, 0, 2).reshape(B, -1)
-            diags, _ = seed.prevalent_diagonals(allc, config.top_k)
-            packed = pack.pack_reads(c)
-            nmask2 = pack.pack_reads(m.astype(jnp.uint8))
-            nmm = verify.verify_diagonals(li, packed, nmask2, lengths,
-                                          diags)
-            return diags, nmm
-
-        fdiags, fnmm = one_strand(codes, nmask)
-        rdiags, rnmm = one_strand(rc_codes, rc_nmask)
-        K = fdiags.shape[1]
-        all_diags = jnp.concatenate([fdiags, rdiags], axis=1)
-        all_nmm = jnp.concatenate([fnmm, rnmm], axis=1)
-        strands = jnp.concatenate([jnp.zeros((B, K), jnp.int32),
-                                   jnp.ones((B, K), jnp.int32)], axis=1)
-        res = select_best(all_diags, all_nmm, strands, lengths, config)
+        res = _cascade_result(li, offsets, positions, k, span, config,
+                              codes, nmask, lengths)
         if config.soft_clips:
             res.update(_trim_stage(li, codes, nmask, lengths, res,
                                    config))
