@@ -67,3 +67,24 @@ def ref_tests_dir():
     if not REF_TESTS.is_dir():
         pytest.skip("reference test fixtures unavailable")
     return REF_TESTS
+
+
+def pytest_runtest_teardown(item, nextitem):
+    """Periodically drop JAX's in-memory executable caches.
+
+    A single long pytest process accumulates hundreds of live compiled
+    executables; past ~300 tests the XLA CPU executable
+    serialize/deserialize path segfaults (observed twice at different
+    tests, always inside jax's compilation-cache read/write after the
+    same cumulative load; jaxlib 0.9.0).  Clearing the in-process
+    caches between modules bounds the live-executable count — the
+    persistent on-disk cache makes re-loads cheap."""
+    import sys
+    mod = sys.modules[__name__]
+    mod._teardown_count = getattr(mod, "_teardown_count", 0) + 1
+    if mod._teardown_count % 60 == 0:
+        import jax
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
