@@ -36,14 +36,21 @@ def _pack_batch(batch):
     tunnel-attached chip; unpacked again on device)."""
     import jax.numpy as jnp
     from tpumap.ops import pack
-    out = {"packed": jnp.asarray(pack.pack_reads_host(batch["codes"])),
-           "pnmask": (jnp.asarray(
-                          pack.pack_reads_host(
-                              batch["nmask"].astype(np.uint8)))
-                      if batch["nmask"].any()
-                      # N-free batch: (1,1) stub -> zeros made on device
-                      else jnp.zeros((1, 1), dtype=jnp.uint32)),
-           "lengths": jnp.asarray(batch["lengths"])}
+    if "packed" in batch:       # make_batch's one C pass already packed
+        out = {"packed": jnp.asarray(batch["packed"]),
+               "pnmask": (jnp.asarray(batch["pnmask"])
+                          if batch.get("has_n", True)
+                          else jnp.zeros((1, 1), dtype=jnp.uint32)),
+               "lengths": jnp.asarray(batch["lengths"])}
+    else:
+        out = {"packed": jnp.asarray(pack.pack_reads_host(batch["codes"])),
+               "pnmask": (jnp.asarray(
+                              pack.pack_reads_host(
+                                  batch["nmask"].astype(np.uint8)))
+                          if batch["nmask"].any()
+                          # N-free batch: (1,1) stub -> zeros on device
+                          else jnp.zeros((1, 1), dtype=jnp.uint32)),
+               "lengths": jnp.asarray(batch["lengths"])}
     if "quals" in batch:        # FASTQ input: quality-weighted MAPQ
         out["quals"] = jnp.asarray(batch["quals"])
     return out
@@ -59,27 +66,58 @@ def make_batch(records: list[Record], batch_size: int, L: int):
         lib = get_lib()
     except Exception:
         pass
+    any_qual = any(r.quality for r in records)
     if lib is not None and records:
-        # one C pass encodes every sequence (native encode_records)
+        # ONE C pass encodes every sequence into codes/nmask AND the
+        # 2-bit packed transfer layout (+ shifted quals when present)
         import ctypes
+        from tpumap.ops.pack import words_for
+        W = words_for(L)
+        packed = np.zeros((batch_size, W), dtype=np.uint32)
+        pnmask = np.zeros((batch_size, W), dtype=np.uint32)
         blob = "".join(r.sequence for r in records).encode("ascii")
         lens = np.fromiter((len(r.sequence) for r in records),
                            dtype=np.int64, count=len(records))
         starts = np.zeros(len(records), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
+        if any_qual:
+            quals = np.empty((batch_size, L), dtype=np.uint8)
+            quals[len(records):] = 30
+            qblob = "".join(r.quality or "" for r in records).encode(
+                "ascii", "replace")
+            qlens = np.fromiter((len(r.quality or "") for r in records),
+                                dtype=np.int64, count=len(records))
+            qstarts = np.zeros(len(records), dtype=np.int64)
+            np.cumsum(qlens[:-1], out=qstarts[1:])
+            has_q = (qlens >= lens).astype(np.uint8)
+        else:
+            quals = qblob = None
+            qstarts = has_q = None
         lp = ctypes.POINTER(ctypes.c_long)
-        lib.encode_records(
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        any_n = lib.encode_packed_batch(
             blob, starts.ctypes.data_as(lp), lens.ctypes.data_as(lp),
-            len(records), L,
-            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-    else:
-        for i, rec in enumerate(records):
-            c, m = dna.encode(rec.sequence)
-            codes[i, :len(c)] = c
-            nmask[i, :len(c)] = m
-            lengths[i] = len(c)
+            len(records),
+            qblob, qstarts.ctypes.data_as(lp) if any_qual else None,
+            has_q.ctypes.data_as(u8) if any_qual else None,
+            L, W,
+            codes.ctypes.data_as(u8),
+            nmask.ctypes.data_as(u8),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            pnmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            quals.ctypes.data_as(u8) if any_qual else None)
+        batch = {"codes": codes, "nmask": nmask, "lengths": lengths,
+                 "packed": packed, "pnmask": pnmask,
+                 "has_n": bool(any_n)}
+        if any_qual:
+            batch["quals"] = quals
+        return batch
+    for i, rec in enumerate(records):
+        c, m = dna.encode(rec.sequence)
+        codes[i, :len(c)] = c
+        nmask[i, :len(c)] = m
+        lengths[i] = len(c)
     quals = None
     for i, rec in enumerate(records):
         if rec.quality:
@@ -1191,6 +1229,130 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
     return lines, flags, methods
 
 
+def _mixed_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
+                      known):
+    """Row-order blob emission: classify every row (unmapped / ungapped /
+    chain-DP path / Python-override) and emit ALL native rows with one C
+    call (io/sam_bulk.emit_mixed_blob).  Returns (SamBlob, methods) or
+    None when the native library is unavailable.  Rows with kind 0 get
+    their lines from the Python per-row ladder and are spliced into the
+    blob by the streaming driver."""
+    from tpumap.io import sam_bulk
+    if sam_bulk._get_lib() is None:
+        return None
+    tr_records, splice_result, fusion_result, dp_result, amb_result = \
+        overrides
+    n = len(chunk)
+    li = np.asarray(batch["lengths"][:n]).astype(np.int32)
+    mapped = np.asarray(res["mapped"][:n]).astype(bool)
+    diag = np.asarray(res["diag"][:n]).astype(np.uint64)
+    strand = np.asarray(res["strand"][:n]).astype(np.uint8)
+    if config.soft_clips and "trim_qstart" in res:
+        tqs = np.asarray(res["trim_qstart"][:n]).astype(np.int32)
+        tqe = np.minimum(np.asarray(res["trim_qend"][:n]),
+                         li).astype(np.int32)
+    else:
+        tqs = np.zeros(n, np.int32)
+        tqe = li.copy()
+    trimmed = (tqs > 0) | (tqe < li)
+    alen = tqe - tqs
+    trim_nmm = np.asarray(res.get("trim_nmm", res["nmismatch"])[:n])
+    min_alen = np.maximum(20, (li * config.min_coverage).astype(np.int32))
+    max_nmm = np.maximum(1, (alen.astype(np.float64)
+                             * config.max_mismatch_frac).astype(np.int32))
+    valid = np.asarray(res["diag"][:n]) != 0xFFFFFFFF
+    trim_ok = valid & trimmed & (alen >= min_alen) & (trim_nmm <= max_nmm)
+    plain = mapped & ~trimmed
+    sub_ok = plain | trim_ok
+
+    kind = np.where(sub_ok, np.uint8(2), np.uint8(1))
+    qstart = np.where(plain, 0, tqs).astype(np.int32)
+    qend = np.where(plain, li, tqe).astype(np.int32)
+
+    # chain-DP path rows (array-form from the fused ladder + qualifying
+    # dict rows); known splicing keeps the Python path for XS annotation
+    S = res["ch_segq"].shape[1] if "ch_segq" in res else 8
+    counts = np.zeros(n, dtype=np.int64)
+    segq_m = np.zeros((n, S), np.int32)
+    segd_m = np.zeros((n, S), np.uint64)
+    if "sp_sel" in res and known is None:
+        rsel = np.nonzero(res["sp_sel"])[0]
+        ii = res["ch_idx"][rsel].astype(np.int64)
+        keep = ii < n
+        rsel, ii = rsel[keep], ii[keep]
+        a_qs = res["ch_qstart"][rsel].astype(np.int32)
+        a_qe = res["ch_qend"][rsel].astype(np.int32)
+        a_nmm = res["ch_nmm"][rsel].astype(np.int32)
+        al = a_qe - a_qs
+        ok = ((a_nmm <= np.maximum(
+                  1, (al * config.max_mismatch_frac).astype(np.int32)))
+              & (al >= np.maximum(
+                  20, (li[ii] * config.min_coverage).astype(np.int32))))
+        if amb_result or tr_records:
+            excl = np.fromiter((int(i_) in amb_result
+                                or int(i_) in tr_records for i_ in ii),
+                               dtype=bool, count=len(ii))
+            ok &= ~excl
+        rsel, ii = rsel[ok], ii[ok]
+        if len(ii):
+            kind[ii] = 3
+            qstart[ii] = res["ch_qstart"][rsel]
+            qend[ii] = res["ch_qend"][rsel]
+            counts[ii] = res["ch_nsegs"][rsel].astype(np.int64)
+            segq_m[ii] = res["ch_segq"][rsel]
+            segd_m[ii] = res["ch_segd"][rsel]
+    if known is None:
+        for i in sorted(splice_result):
+            if i >= n:
+                continue
+            s = splice_result[i]
+            kind[i] = 0             # default: Python path_record (odd
+            #                         paths, filters, XA-tagged rows)
+            if i in amb_result or i in tr_records:
+                continue
+            al_ = s["q_end"] - s["q_start"]
+            if not (s["nmm"] <= max(1, int(al_ * config.max_mismatch_frac))
+                    and al_ >= max(20, int(li[i] * config.min_coverage))):
+                continue
+            segs = s["segs"]
+            if (segs[0][0] != s["q_start"] or len(segs) > S
+                    or any(b[1] < a[1] for a, b in zip(segs, segs[1:]))):
+                continue            # odd paths keep Python semantics
+            kind[i] = 3
+            strand[i] = s["strand"]
+            qstart[i] = s["q_start"]
+            qend[i] = s["q_end"]
+            counts[i] = len(segs)
+            for c_, (q0, d0) in enumerate(segs):
+                segq_m[i, c_] = q0
+                segd_m[i, c_] = d0
+    else:
+        for i in splice_result:
+            if i < n:
+                kind[i] = 0
+    for d in (tr_records, fusion_result, dp_result, amb_result):
+        for i in d:
+            if i < n:
+                kind[i] = 0
+
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    segmask = (np.arange(S, dtype=np.int64)[None, :] < counts[:, None])
+    mq_eff = np.where(kind == 1, 0, mapq[:n]).astype(np.int32)
+    blob = sam_bulk.emit_mixed_blob(
+        db, chunk, batch["codes"], batch["nmask"], li, kind, diag, strand,
+        mq_eff, np.asarray(res["n_best"][:n]), qstart, qend, MIN_INTRON,
+        seg_off=off, seg_q=segq_m[segmask].astype(np.int32),
+        seg_d=segd_m[segmask].astype(np.uint64),
+        has_qual="quals" in batch)
+    if blob is None:
+        return None
+    methods = np.full(n, "sub", dtype=object)
+    methods[kind == 1] = "unmapped"
+    methods[(kind == 3) & (counts > 1)] = "splice"
+    return blob, methods
+
+
 def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   config: AlignConfig = AlignConfig(), novelsplicing: bool = False,
                   max_intron: int = 200_000,
@@ -1202,7 +1364,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                   indel_endlength: int = 4, use_localdb: bool = True,
                   merge_distant_samechr: bool = False,
                   known_indels=None,
-                  device_ctx=None) -> list[sam.SamRecord]:
+                  device_ctx=None, sink=None) -> list[sam.SamRecord]:
     """known: optional KnownSplicing (gsnap/knownsplicing.py) — adds a
     known-site bonus in splice scoring AND derives partner diagonals from
     known junction pairs for reads whose second exon anchor is too short
@@ -1212,7 +1374,14 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     transcriptome-guided rung (TR_EXACT1/TR_EXT analog) ahead of genomic
     search — reads solved on a transcript get their multi-intron junction
     structure from the exon table (src/stage1hr-single.c:202-260,
-    src/trpath-convert.c)."""
+    src/trpath-convert.c).
+
+    sink: optional callable taking bytes — STREAMING mode: final SAM text
+    is written to sink in input order (native rows as one blob per batch,
+    Python-override rows spliced in) and the function returns [] (use
+    `stats` for counts).  The per-record Python object layer disappears
+    from the hot path entirely (the Outbuffer file-writer role,
+    src/outbuffer.c)."""
     import jax
     import jax.numpy as jnp
 
@@ -1289,7 +1458,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             tr_records = _tr_rung(db, tr, chunk, batch, config)
         # ONE batched transfer for the whole result dict: each
         # np.asarray is a separate ~28 ms tunnel RPC on this backend
-        res = device_fetch(dev)
+        # (wire dtypes are narrow; widen before any host arithmetic)
+        from tpumap.utils.fetch import widen_ints
+        res = widen_ints(device_fetch(dev))
         if stats is not None and "stage2_overflow" in res:
             stats["stage2_overflow"] = (stats.get("stage2_overflow", 0)
                                         + int(res["stage2_overflow"]))
@@ -1312,17 +1483,39 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         # through ONE native C call; the Python branches below keep every
         # special case (SNP/mode spaces, XA, secondaries, remap tags)
         bulk = None
+        mix = None
+        overrides = (tr_records, splice_result, fusion_result, dp_result,
+                     amb_result)
         from tpumap.ops.mode import MODE_SPACES
-        if (npaths == 1 and remapper is None and not show_method
-                and not config.snp_tolerant
-                and MODE_SPACES[config.mode] == (None, None)):
-            bulk = _bulk_emit_chunk(
-                db, chunk, batch, res, mapq,
-                (tr_records, splice_result, fusion_result, dp_result,
-                 amb_result), config, known)
+        can_bulk = (npaths == 1 and remapper is None and not show_method
+                    and not config.snp_tolerant
+                    and MODE_SPACES[config.mode] == (None, None))
+        if sink is not None and can_bulk:
+            mix = _mixed_emit_chunk(db, chunk, batch, res, mapq,
+                                    overrides, config, known)
+        if can_bulk and mix is None:
+            bulk = _bulk_emit_chunk(db, chunk, batch, res, mapq,
+                                    overrides, config, known)
         if bulk is not None:
             from tpumap.io.sam_bulk import RawSamRecord
             bulk_lines, bulk_flags, bulk_methods = bulk
+
+        rows_iter = range(len(chunk))
+        row_marks = []
+        rows_py = ()
+        if mix is not None:
+            blob, methods_m = mix
+            rows_py = np.nonzero(blob.kind == 0)[0].tolist()
+            if stats is not None:
+                native = blob.kind != 0
+                vals, cnts = np.unique(methods_m[native],
+                                       return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    stats[v] = stats.get(v, 0) + int(c)
+            if not rows_py:
+                sink(blob.buf)
+                continue
+            rows_iter = rows_py
 
         # fast path: every row bulk-emitted, no dict overrides — skip
         # the per-row branch ladder entirely (the 16 k-iteration Python
@@ -1365,7 +1558,10 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                 stats[method] = stats.get(method, 0) + 1
             out.append(record)
 
-        for i, rec in enumerate(chunk):
+        mark0 = len(out)
+        for i in rows_iter:
+            rec = chunk[i]
+            row_marks.append(len(out))
             if bulk is not None and bulk_lines[i] is not None:
                 m = bulk_methods[i]
                 if stats is not None:
@@ -1494,6 +1690,27 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             else:
                 _emit(sam.unmapped_record(rec.accession, rec.sequence,
                                           rec.quality), "unmapped")
+
+        if sink is not None:
+            if mix is not None:
+                # splice the Python rows' lines into the native blob at
+                # their row offsets (input order preserved)
+                row_marks.append(len(out))
+                buf, off = blob.buf, blob.off
+                pos = 0
+                for k, i in enumerate(rows_py):
+                    a = int(off[i])
+                    if a > pos:
+                        sink(buf[pos:a])
+                    for r in out[row_marks[k]:row_marks[k + 1]]:
+                        sink(r.lines().encode())
+                    pos = int(off[i + 1])
+                if pos < len(buf):
+                    sink(buf[pos:])
+            else:
+                for r in out[mark0:]:
+                    sink(r.lines().encode())
+            del out[mark0:]
     return out
 
 

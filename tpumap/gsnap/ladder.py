@@ -113,9 +113,11 @@ def align_batch_full(index, pbatch, config: AlignConfig, L: int,
     in_idx/in_sel/in_score/in_ops/in_startoff [r_indel...] (banded-DP
     indel solutions for rows the splice pass did not solve).
     """
+    from tpumap.utils.fetch import narrow_result
     res = align_batch_cascaded_packed(index, pbatch, config, L)
-    return refine_full(index, pbatch, res, config, L, scoring, splicing,
-                       salvage, r_chain, r_salv, r_indel, keep_cands)
+    return narrow_result(
+        refine_full(index, pbatch, res, config, L, scoring, splicing,
+                    salvage, r_chain, r_salv, r_indel, keep_cands))
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
@@ -129,9 +131,11 @@ def align_batch_full_known(index, pbatch, config: AlignConfig, L: int,
     DEVICE and scores boundaries with the known-site bonus — gsnap's
     flagship -s mode stays on the one-jit fast path
     (src/knownsplicing.c, src/path-solve.c known-splice resolution)."""
+    from tpumap.utils.fetch import narrow_result
     res = align_batch_cascaded_packed(index, pbatch, config, L)
-    return refine_full(index, pbatch, res, config, L, scoring, splicing,
-                       salvage, r_chain, r_salv, r_indel, known=known)
+    return narrow_result(
+        refine_full(index, pbatch, res, config, L, scoring, splicing,
+                    salvage, r_chain, r_salv, r_indel, known=known))
 
 
 N_PARTNER = 3   # partner diagonals derived per side of the primary diag
@@ -547,4 +551,5 @@ def align_pair_full(index, pbatch, config: AlignConfig, L: int,
     out["pe_cd2"] = take(d2, cj)
     out["pe_cs2"] = take(s2, cj)
     out["pe_cn2"] = take(n2, cj)
-    return out
+    from tpumap.utils.fetch import narrow_result
+    return narrow_result(out)

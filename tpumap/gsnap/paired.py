@@ -264,7 +264,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                    if si + 1 < len(starts) else None)
         n = len(chunk)
         from tpumap.gsnap.driver import device_fetch
-        res = device_fetch(dev)        # ONE transfer for the whole dict
+        from tpumap.utils.fetch import widen_ints
+        res = widen_ints(device_fetch(dev))  # ONE transfer, then widen
 
         # joint concordance over the full candidate cross product — one
         # device reduction for the whole batch (src/concordance.c role);

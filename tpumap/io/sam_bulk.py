@@ -149,12 +149,17 @@ def _p(arr, typ):
     return arr.ctypes.data_as(typ)
 
 
-def _common_args(db, chunk):
-    """(chrom-table args, qname blob args, qual blob args) for a chunk."""
+def _common_args(db, chunk, has_qual=None):
+    """(chrom-table args, qname blob args, qual blob args) for a chunk.
+
+    has_qual: optional hint (driver batches know whether any read carries
+    quality) — saves a full generator scan per batch when False."""
     starts, spans, circ, n, rblob, roff = _db_tables(db)
     qnames = [r.accession for r in chunk]
     qblob, qoff = _blob_offsets(qnames)
-    if any(r.quality for r in chunk):
+    if has_qual is None:
+        has_qual = any(r.quality for r in chunk)
+    if has_qual:
         ublob, uoff = _blob_offsets([r.quality or "" for r in chunk])
         qual_args = (ublob, _p(uoff, _I64))
         keep = (ublob, uoff)
@@ -165,6 +170,20 @@ def _common_args(db, chunk):
                    _p(starts, _U64), _p(spans, _I64), _p(circ, _U8), n,
                    rblob, _p(roff, _I64))
     return genome_args, (qblob, _p(qoff, _I64)), qual_args, (qoff, keep)
+
+
+_scratch = bytearray()
+
+
+def _out_buffer(cap: int):
+    """Reused output buffer: create_string_buffer zeroes its allocation
+    (~17 ms at 32k-batch capacity) every call; a module-level bytearray
+    amortizes that.  Returns (ctypes view, backing bytearray) — callers
+    copy out the written prefix before the next call reuses it."""
+    global _scratch
+    if len(_scratch) < cap:
+        _scratch = bytearray(cap)
+    return (ctypes.c_char * len(_scratch)).from_buffer(_scratch), _scratch
 
 
 def _decode_lines(out_buf, line_off, total, B):
@@ -274,6 +293,90 @@ def emit_path_bulk(db, chunk, codes, rnmask, lengths, strand, mapq,
     if total < 0:
         return None
     return _decode_lines(out_buf.raw, line_off, total, B)
+
+
+class SamBlob:
+    """One batch's final SAM text as bytes + per-row line offsets.
+
+    The row-order mixed emitter's output: `buf[off[i]:off[i+1]]` is row
+    i's newline-terminated line (empty for rows kind 0 / skipped).  The
+    streaming driver writes `buf` straight to the output file object —
+    per-row Python strings exist only for rows a Python override edits.
+    """
+
+    __slots__ = ("buf", "off", "kind")
+
+    def __init__(self, buf: bytes, off, kind):
+        self.buf = buf
+        self.off = off          # int64[B+1]
+        self.kind = kind        # uint8[B]: 0 skip, 1 unmapped, 2 sub, 3 path
+
+    def line(self, i: int) -> bytes:
+        return self.buf[self.off[i]:self.off[i + 1]]
+
+
+def emit_mixed_blob(db, chunk, codes, rnmask, lengths, kind, diag, strand,
+                    mapq, nbest, qstart, qend, min_intron,
+                    seg_off=None, seg_q=None, seg_d=None,
+                    flags=None, mate_u=None, tlen=None, has_qual=None):
+    """Emit the whole batch's native rows in row order with ONE C call.
+
+    kind uint8[B]: 0 = skip (Python line spliced in later), 1 = unmapped,
+    2 = ungapped (optional soft clips), 3 = N-exon path.  Returns a
+    SamBlob, or None if the native library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None or not len(chunk):
+        return None
+    B = len(chunk)
+    genome_args, (qblob, qoffp), qual_args, (qoff, _keep) = _common_args(
+        db, chunk, has_qual=has_qual)
+    L = codes.shape[1]
+    qn_max = int(np.diff(qoff).max())
+    nseg = int(seg_off[-1]) if seg_off is not None else 0
+    cap = B * (8 * L + qn_max + 224) + 64 * nseg
+    out_buf, scratch = _out_buffer(cap)
+    line_off = np.zeros(B + 1, dtype=np.int64)
+    codes = np.ascontiguousarray(codes[:B], dtype=np.uint8)
+    rnmask = np.ascontiguousarray(rnmask[:B]).view(np.uint8)
+    lengths = np.ascontiguousarray(lengths[:B], dtype=np.int32)
+    kind = np.ascontiguousarray(kind[:B], dtype=np.uint8)
+    diag = np.ascontiguousarray(diag[:B], dtype=np.uint64)
+    strand = np.ascontiguousarray(strand[:B], dtype=np.uint8)
+    mapq = np.ascontiguousarray(np.clip(mapq[:B], 0, 255), dtype=np.uint8)
+    if nbest is not None:
+        nbest = np.ascontiguousarray(nbest[:B], dtype=np.int32)
+    qstart = np.ascontiguousarray(qstart[:B], dtype=np.int32)
+    qend = np.ascontiguousarray(qend[:B], dtype=np.int32)
+    if seg_off is None:
+        seg_off = np.zeros(B + 1, dtype=np.int64)
+        seg_q = np.zeros(0, dtype=np.int32)
+        seg_d = np.zeros(0, dtype=np.uint64)
+    seg_off = np.ascontiguousarray(seg_off, dtype=np.int64)
+    seg_q = np.ascontiguousarray(seg_q, dtype=np.int32)
+    seg_d = np.ascontiguousarray(seg_d, dtype=np.uint64)
+    if flags is not None:
+        flags = np.ascontiguousarray(flags[:B], dtype=np.int32)
+    if mate_u is not None:
+        mate_u = np.ascontiguousarray(mate_u[:B], dtype=np.uint64)
+    if tlen is not None:
+        tlen = np.ascontiguousarray(tlen[:B], dtype=np.int64)
+    total = lib.sam_emit_mixed(
+        *genome_args, qblob, qoffp,
+        _p(codes, _U8), _p(rnmask, _U8), L,
+        qual_args[0], qual_args[1],
+        _p(lengths, _I32), _p(kind, _U8),
+        _p(diag, _U64), _p(strand, _U8), _p(mapq, _U8),
+        _p(nbest, _I32) if nbest is not None else None,
+        _p(qstart, _I32), _p(qend, _I32),
+        _p(flags, _I32) if flags is not None else None,
+        _p(mate_u, _U64) if mate_u is not None else None,
+        _p(tlen, _I64) if tlen is not None else None,
+        _p(seg_off, _I64), _p(seg_q, _I32), _p(seg_d, _U64),
+        min_intron, B, out_buf, cap, _p(line_off, _I64))
+    if total < 0:
+        return None
+    return SamBlob(bytes(memoryview(scratch)[:total]), line_off, kind)
 
 
 def emit_unmapped_bulk(db, chunk, codes, rnmask, lengths, emit, flags=None):

@@ -66,6 +66,12 @@ def get_lib():
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.encode_packed_batch.restype = ctypes.c_long
+        lib.encode_packed_batch.argtypes = [
+            ctypes.c_char_p, c_long_p, c_long_p, ctypes.c_long,
+            ctypes.c_char_p, c_long_p, u8p,
+            ctypes.c_long, ctypes.c_long,
+            u8p, u8p, i32p, u32p, u32p, u8p]
         lib.anchor_runs.restype = None
         lib.anchor_runs.argtypes = [
             u32p, ctypes.c_long, u64p, u8p, ctypes.c_long, i32p,
@@ -90,6 +96,21 @@ def get_lib():
             ctypes.c_char_p, i64p,               # qual blob/off
             i32p, i32p,                          # lengths, flags
             u8p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, i64p]
+        lib.sam_emit_mixed.restype = ctypes.c_long
+        lib.sam_emit_mixed.argtypes = [
+            u32p, u32p,                          # genome packed/nmask
+            u64p, i64p, u8p, ctypes.c_long,      # chrom table
+            ctypes.c_char_p, i64p,               # rname blob/off
+            ctypes.c_char_p, i64p,               # qname blob/off
+            u8p, u8p, ctypes.c_long,             # codes/rnmask/Lstride
+            ctypes.c_char_p, i64p,               # qual blob/off
+            i32p, u8p,                           # lengths, kind
+            u64p, u8p, u8p, i32p,                # diag/strand/mapq/nbest
+            i32p, i32p,                          # qstart/qend
+            i32p, u64p, i64p,                    # flags/mate_u/tlen
+            i64p, i32p, u64p,                    # seg_off/seg_q/seg_d
+            ctypes.c_long, ctypes.c_long,        # min_intron, B
             ctypes.c_char_p, ctypes.c_long, i64p]
         lib.sam_emit_path.restype = ctypes.c_long
         lib.sam_emit_path.argtypes = [

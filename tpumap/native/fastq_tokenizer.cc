@@ -135,6 +135,74 @@ void encode_records(const char *buf,
   }
 }
 
+// One-pass batch assembly (src/shortread.c Shortread_new + src/compress.c
+// Compress_new_fwd roles fused): encode record sequences straight into
+// BOTH the per-base arrays the host emitters need (codes/nmask) and the
+// 2-bit packed words the device transfer wants (16 bases/uint32, base i
+// at bits 2*(i%16) — tpumap/ops/pack.py layout), plus shifted quality
+// values.  Replaces the Python make_batch + pack_reads_host pair (two
+// numpy passes + a 16k-iteration quality loop) with one C pass.
+// Returns 1 if any N was seen (caller then ships pnmask, else a stub).
+long encode_packed_batch(
+    const char* buf, const long* seq_start, const long* seq_len, long nrec,
+    const char* qbuf, const long* qual_start, const uint8_t* has_qual,
+    long max_len, long W,
+    uint8_t* codes, uint8_t* nmask, int32_t* lengths,
+    uint32_t* packed, uint32_t* pnmask, uint8_t* quals) {
+  static int8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    memset(lut, -1, sizeof(lut));
+    lut['A'] = lut['a'] = 0;
+    lut['C'] = lut['c'] = 1;
+    lut['G'] = lut['g'] = 2;
+    lut['T'] = lut['t'] = 3;
+    init = true;
+  }
+  long any_n = 0;
+  for (long r = 0; r < nrec; r++) {
+    long len = seq_len[r] < max_len ? seq_len[r] : max_len;
+    const char* s = buf + seq_start[r];
+    uint8_t* crow = codes + r * max_len;
+    uint8_t* mrow = nmask + r * max_len;
+    uint32_t* prow = packed + r * W;
+    uint32_t* nrow = pnmask + r * W;
+    memset(prow, 0, W * sizeof(uint32_t));
+    memset(nrow, 0, W * sizeof(uint32_t));
+    for (long j = 0; j < len; j++) {
+      int8_t v = lut[(uint8_t)s[j]];
+      uint32_t shift = 2u * (uint32_t)(j & 15);
+      if (v < 0) {
+        crow[j] = 0;
+        mrow[j] = 1;
+        nrow[j >> 4] |= 1u << shift;
+        any_n = 1;
+      } else {
+        crow[j] = (uint8_t)v;
+        mrow[j] = 0;
+        prow[j >> 4] |= ((uint32_t)v) << shift;
+      }
+    }
+    memset(crow + len, 0, max_len - len);
+    memset(mrow + len, 0, max_len - len);
+    lengths[r] = (int32_t)len;
+    if (quals) {
+      uint8_t* qrow = quals + r * max_len;
+      if (has_qual && has_qual[r]) {
+        const char* q = qbuf + qual_start[r];
+        for (long j = 0; j < len; j++) {
+          int qv = (uint8_t)q[j];
+          qrow[j] = (uint8_t)((qv > 33 ? qv : 33) - 33);
+        }
+        memset(qrow + len, 30, max_len - len);
+      } else {
+        memset(qrow, 30, max_len);
+      }
+    }
+  }
+  return any_n;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

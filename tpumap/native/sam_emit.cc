@@ -150,7 +150,275 @@ inline char* line_head(char* p, const char* qname, long qname_len,
     return p;
 }
 
+// Per-record emitter bodies shared by the bulk entry points and the
+// row-order mixed emitter.  Each returns the new cursor, or nullptr if
+// `avail` bytes do not suffice (callers translate to the -1 overflow
+// return).  Semantics match the original sam_emit_* loops exactly.
+
+struct EmitCtx {
+    const uint32_t* gpacked;
+    const uint32_t* gnmask;
+    ChromTab ct;
+    const char* qname_blob;
+    const int64_t* qname_off;
+    const uint8_t* codes;
+    const uint8_t* rnmask;
+    long Lstride;
+    const char* qual_blob;
+    const int64_t* qual_off;
+    const int32_t* lengths;
+};
+
+static char* one_unmapped(const EmitCtx& cx, long i, int flag,
+                          char* p, long avail, char* seqbuf) {
+    long L = cx.lengths[i];
+    if (L > 8000) return p;
+    if (avail < 2 * L + (cx.qname_off[i + 1] - cx.qname_off[i]) + 48)
+        return nullptr;
+    oriented_read(cx.codes + i * cx.Lstride, cx.rnmask + i * cx.Lstride,
+                  L, 0, seqbuf);
+    p = put_str(p, cx.qname_blob + cx.qname_off[i],
+                cx.qname_off[i + 1] - cx.qname_off[i]);
+    *p++ = '\t';
+    p = put_u64(p, (uint64_t)flag);
+    p = put_str(p, "\t*\t0\t0\t*\t*\t0\t0\t", 15);
+    p = put_str(p, seqbuf, L);
+    *p++ = '\t';
+    long qlen = cx.qual_off ? (cx.qual_off[i + 1] - cx.qual_off[i]) : 0;
+    if (qlen == L) {
+        p = put_str(p, cx.qual_blob + cx.qual_off[i], L);
+    } else {
+        *p++ = '*';
+    }
+    *p++ = '\n';
+    return p;
+}
+
+static char* one_ungapped(const EmitCtx& cx, long i, uint64_t diag,
+                          int strand, int mapq, long nbest_i,
+                          long q0, long q1,
+                          int flag, uint64_t mate_u_i, int64_t tlen_i,
+                          char* p, long avail,
+                          char* seqbuf, char* mdbuf) {
+    long L = cx.lengths[i];
+    if (L > 8000 || q1 > L || q0 < 0 || q0 >= q1) return p;
+    if (avail < 6 * L + (cx.qname_off[i + 1] - cx.qname_off[i]) + 192)
+        return nullptr;
+    oriented_read(cx.codes + i * cx.Lstride, cx.rnmask + i * cx.Lstride,
+                  L, strand, seqbuf);
+    long nm = 0;
+    long mdlen = md_scan(seqbuf, q0, q1, cx.gpacked, cx.gnmask, diag,
+                         mdbuf, &nm);
+    p = line_head(p, cx.qname_blob + cx.qname_off[i],
+                  cx.qname_off[i + 1] - cx.qname_off[i],
+                  flag, cx.ct, diag + (uint64_t)q0, mapq);
+    if (q0) { p = put_u64(p, (uint64_t)q0); *p++ = 'S'; }
+    p = put_u64(p, (uint64_t)(q1 - q0));
+    *p++ = 'M';
+    if (L - q1) { p = put_u64(p, (uint64_t)(L - q1)); *p++ = 'S'; }
+    if (mate_u_i != (uint64_t)-1) {
+        *p++ = '\t';
+        long mc = chrnum(cx.ct.starts, cx.ct.n_chroms, mate_u_i);
+        long sc = chrnum(cx.ct.starts, cx.ct.n_chroms,
+                         diag + (uint64_t)q0);
+        if (mc == sc) {
+            *p++ = '=';
+        } else {
+            p = put_str(p, cx.ct.rname_blob + cx.ct.rname_off[mc],
+                        cx.ct.rname_off[mc + 1] - cx.ct.rname_off[mc]);
+        }
+        *p++ = '\t';
+        uint64_t mpos = mate_u_i - cx.ct.starts[mc];
+        if (cx.ct.circularp[mc]) mpos %= (uint64_t)cx.ct.spans[mc];
+        p = put_u64(p, mpos + 1);
+        *p++ = '\t';
+        int64_t tl = tlen_i;
+        if (tl < 0) { *p++ = '-'; tl = -tl; }
+        p = put_u64(p, (uint64_t)tl);
+        *p++ = '\t';
+    } else {
+        p = put_str(p, "\t*\t0\t0\t", 7);
+    }
+    p = put_str(p, seqbuf, L);
+    *p++ = '\t';
+    long qlen = cx.qual_off ? (cx.qual_off[i + 1] - cx.qual_off[i]) : 0;
+    if (qlen == L) {
+        const char* q = cx.qual_blob + cx.qual_off[i];
+        if (!strand) p = put_str(p, q, L);
+        else for (long j = L - 1; j >= 0; j--) *p++ = q[j];
+    } else {
+        *p++ = '*';
+    }
+    p = put_str(p, "\tNM:i:", 6);
+    p = put_u64(p, (uint64_t)nm);
+    p = put_str(p, "\tMD:Z:", 6);
+    p = put_str(p, mdbuf, mdlen);
+    if (nbest_i >= 0) {
+        p = put_str(p, "\tNH:i:", 6);
+        p = put_u64(p, (uint64_t)(nbest_i > 1 ? nbest_i : 1));
+        p = put_str(p, "\tHI:i:1", 7);
+    }
+    *p++ = '\n';
+    return p;
+}
+
+static char* one_path(const EmitCtx& cx, long i, int strand, int mapq,
+                      long q0, long q1,
+                      const int32_t* seg_q, const uint64_t* seg_d,
+                      long s0, long s1, long min_intron,
+                      char* p, long avail, char* seqbuf, char* mdbuf) {
+    long L = cx.lengths[i];
+    if (L > 8000 || q1 > L || q0 < 0 || q0 >= q1 || s1 <= s0) return p;
+    if (avail < 8 * L + (cx.qname_off[i + 1] - cx.qname_off[i])
+                + 64 * (s1 - s0) + 224)
+        return nullptr;
+    oriented_read(cx.codes + i * cx.Lstride, cx.rnmask + i * cx.Lstride,
+                  L, strand, seqbuf);
+    p = line_head(p, cx.qname_blob + cx.qname_off[i],
+                  cx.qname_off[i + 1] - cx.qname_off[i],
+                  strand ? 16 : 0, cx.ct, seg_d[s0] + (uint64_t)q0, mapq);
+    char* md = mdbuf;
+    long run = 0, nm = 0;
+    long n_introns = 0, sense_sum = 0;
+    bool any_sense = false;
+    if (q0) { p = put_u64(p, (uint64_t)q0); *p++ = 'S'; }
+    for (long s = s0; s < s1; s++) {
+        long sq0 = (s == s0) ? q0 : seg_q[s];
+        long sq1 = (s + 1 < s1) ? seg_q[s + 1] : q1;
+        uint64_t d = seg_d[s];
+        p = put_u64(p, (uint64_t)(sq1 - sq0));
+        *p++ = 'M';
+        for (long j = sq0; j < sq1; j++) {
+            int g = genome_base(cx.gpacked, cx.gnmask, d + (uint64_t)j);
+            char gc = BASES[g];
+            char rc = seqbuf[j];
+            if ((rc == gc || rc == 'N') && g != 4) {
+                run++;
+            } else {
+                md = put_u64(md, (uint64_t)run);
+                *md++ = gc;
+                run = 0;
+                nm++;
+            }
+        }
+        if (s + 1 < s1) {
+            long gap = (long)(seg_d[s + 1] - d);
+            if (gap >= min_intron) {
+                p = put_u64(p, (uint64_t)gap);
+                *p++ = 'N';
+                n_introns++;
+                int sen = junction_sense(cx.gpacked, cx.gnmask,
+                                         d + (uint64_t)sq1,
+                                         seg_d[s + 1] + (uint64_t)sq1);
+                sense_sum += sen;
+                if (sen) any_sense = true;
+            } else {
+                p = put_u64(p, (uint64_t)gap);
+                *p++ = 'D';
+                md = put_u64(md, (uint64_t)run);
+                run = 0;
+                *md++ = '^';
+                for (long g2 = 0; g2 < gap; g2++)
+                    *md++ = BASES[genome_base(cx.gpacked, cx.gnmask,
+                                              d + (uint64_t)(sq1 + g2))];
+                nm += gap;
+            }
+        }
+    }
+    md = put_u64(md, (uint64_t)run);
+    if (L - q1) { p = put_u64(p, (uint64_t)(L - q1)); *p++ = 'S'; }
+    p = put_str(p, "\t*\t0\t0\t", 7);
+    p = put_str(p, seqbuf, L);
+    *p++ = '\t';
+    long qlen = cx.qual_off ? (cx.qual_off[i + 1] - cx.qual_off[i]) : 0;
+    if (qlen == L) {
+        const char* q = cx.qual_blob + cx.qual_off[i];
+        if (!strand) p = put_str(p, q, L);
+        else for (long j = L - 1; j >= 0; j--) *p++ = q[j];
+    } else {
+        *p++ = '*';
+    }
+    p = put_str(p, "\tNM:i:", 6);
+    p = put_u64(p, (uint64_t)nm);
+    p = put_str(p, "\tMD:Z:", 6);
+    p = put_str(p, mdbuf, md - mdbuf);
+    if (n_introns) {
+        p = put_str(p, "\tXS:A:", 6);
+        *p++ = !any_sense ? '?' : (sense_sum >= 0 ? '+' : '-');
+    }
+    p = put_str(p, "\tNH:i:1\tHI:i:1\n", 15);
+    return p;
+}
+
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// Row-order mixed emitter: ONE C call per batch emits every native row —
+// unmapped, ungapped and N-exon path records interleaved in input order
+// (the Outbuffer ordered-mode contract without any per-row Python).
+// kind[i]: 0 = skip (a Python override will splice its line in),
+// 1 = unmapped, 2 = ungapped, 3 = path.  Returns total bytes or -1 on
+// overflow.  nbest may be NULL to omit NH/HI on ungapped rows; flags
+// overrides the FLAG for unmapped/ungapped rows (mate_u/tlen add the
+// paired columns, as in sam_emit_ungapped).
+extern "C" long sam_emit_mixed(
+    const uint32_t* gpacked, const uint32_t* gnmask,
+    const uint64_t* chrom_starts, const int64_t* chrom_spans,
+    const uint8_t* circularp, long n_chroms,
+    const char* rname_blob, const int64_t* rname_off,
+    const char* qname_blob, const int64_t* qname_off,
+    const uint8_t* codes, const uint8_t* rnmask, long Lstride,
+    const char* qual_blob, const int64_t* qual_off,
+    const int32_t* lengths, const uint8_t* kind,
+    const uint64_t* diag, const uint8_t* strand,
+    const uint8_t* mapq, const int32_t* nbest,
+    const int32_t* qstart, const int32_t* qend,
+    const int32_t* flags, const uint64_t* mate_u, const int64_t* tlen,
+    const int64_t* seg_off, const int32_t* seg_q, const uint64_t* seg_d,
+    long min_intron, long B,
+    char* out, long out_cap, int64_t* line_off) {
+    EmitCtx cx = {gpacked, gnmask,
+                  {chrom_starts, chrom_spans, circularp, n_chroms,
+                   rname_blob, rname_off},
+                  qname_blob, qname_off, codes, rnmask, Lstride,
+                  qual_blob, qual_off, lengths};
+    char* p = out;
+    char seqbuf[8192];
+    char mdbuf[16384];
+    line_off[0] = 0;
+    for (long i = 0; i < B; i++) {
+        long avail = out_cap - (p - out);
+        char* np = p;
+        switch (kind[i]) {
+            case 1:
+                np = one_unmapped(cx, i, flags ? flags[i] : 4, p, avail,
+                                  seqbuf);
+                break;
+            case 2:
+                np = one_ungapped(
+                    cx, i, diag[i], strand[i], mapq[i],
+                    nbest ? (long)nbest[i] : -1,
+                    qstart[i], qend[i],
+                    flags ? flags[i] : (strand[i] ? 16 : 0),
+                    mate_u ? mate_u[i] : (uint64_t)-1,
+                    tlen ? tlen[i] : 0,
+                    p, avail, seqbuf, mdbuf);
+                break;
+            case 3:
+                np = one_path(cx, i, strand[i], mapq[i],
+                              qstart[i], qend[i], seg_q, seg_d,
+                              seg_off[i], seg_off[i + 1], min_intron,
+                              p, avail, seqbuf, mdbuf);
+                break;
+            default:
+                break;
+        }
+        if (!np) return -1;
+        p = np;
+        line_off[i + 1] = p - out;
+    }
+    return p - out;
+}
 
 // ---------------------------------------------------------------------------
 // Anchored-run delimitation for the localscan salvage path
@@ -220,85 +488,26 @@ extern "C" long sam_emit_ungapped(
     const int32_t* flags, const uint64_t* mate_u, const int64_t* tlen,
     const uint8_t* emit, long B,
     char* out, long out_cap, int64_t* line_off) {
-    ChromTab ct = {chrom_starts, chrom_spans, circularp, n_chroms,
-                   rname_blob, rname_off};
+    EmitCtx cx = {gpacked, gnmask,
+                  {chrom_starts, chrom_spans, circularp, n_chroms,
+                   rname_blob, rname_off},
+                  qname_blob, qname_off, codes, rnmask, Lstride,
+                  qual_blob, qual_off, lengths};
     char* p = out;
     char seqbuf[8192];
     char mdbuf[16384];
     line_off[0] = 0;
     for (long i = 0; i < B; i++) {
         if (!emit[i]) { line_off[i + 1] = p - out; continue; }
-        long L = lengths[i];
-        long q0 = qstart[i], q1 = qend[i];
-        if (L > 8000 || q1 > L || q0 < 0 || q0 >= q1) {
-            line_off[i + 1] = p - out;
-            continue;
-        }
-        if (out_cap - (p - out) < 6 * L + (qname_off[i + 1] - qname_off[i])
-                                  + 192)
-            return -1;
         int st = strand[i];
-        oriented_read(codes + i * Lstride, rnmask + i * Lstride, L, st,
-                      seqbuf);
-        long nm = 0;
-        // diag is the univcoord of query base 0; md_scan reads genome
-        // base diag+j for j in [q0, q1)
-        long mdlen = md_scan(seqbuf, q0, q1, gpacked, gnmask, diag[i],
-                             mdbuf, &nm);
-        int flag = flags ? flags[i] : (st ? 16 : 0);
-        p = line_head(p, qname_blob + qname_off[i],
-                      qname_off[i + 1] - qname_off[i],
-                      flag, ct, diag[i] + (uint64_t)q0, mapq[i]);
-        // CIGAR
-        if (q0) { p = put_u64(p, (uint64_t)q0); *p++ = 'S'; }
-        p = put_u64(p, (uint64_t)(q1 - q0));
-        *p++ = 'M';
-        if (L - q1) { p = put_u64(p, (uint64_t)(L - q1)); *p++ = 'S'; }
-        // RNEXT / PNEXT / TLEN
-        if (mate_u && mate_u[i] != (uint64_t)-1) {
-            *p++ = '\t';
-            long mc = chrnum(chrom_starts, n_chroms, mate_u[i]);
-            long sc = chrnum(chrom_starts, n_chroms,
-                             diag[i] + (uint64_t)q0);
-            if (mc == sc) {
-                *p++ = '=';
-            } else {
-                p = put_str(p, rname_blob + rname_off[mc],
-                            rname_off[mc + 1] - rname_off[mc]);
-            }
-            *p++ = '\t';
-            uint64_t mpos = mate_u[i] - chrom_starts[mc];
-            if (circularp[mc]) mpos %= (uint64_t)chrom_spans[mc];
-            p = put_u64(p, mpos + 1);
-            *p++ = '\t';
-            long tl = tlen ? tlen[i] : 0;
-            if (tl < 0) { *p++ = '-'; tl = -tl; }
-            p = put_u64(p, (uint64_t)tl);
-            *p++ = '\t';
-        } else {
-            p = put_str(p, "\t*\t0\t0\t", 7);
-        }
-        p = put_str(p, seqbuf, L);
-        *p++ = '\t';
-        // QUAL (reversed when strand)
-        long qlen = qual_off ? (qual_off[i + 1] - qual_off[i]) : 0;
-        if (qlen == L) {
-            const char* q = qual_blob + qual_off[i];
-            if (!st) p = put_str(p, q, L);
-            else for (long j = L - 1; j >= 0; j--) *p++ = q[j];
-        } else {
-            *p++ = '*';
-        }
-        p = put_str(p, "\tNM:i:", 6);
-        p = put_u64(p, (uint64_t)nm);
-        p = put_str(p, "\tMD:Z:", 6);
-        p = put_str(p, mdbuf, mdlen);
-        if (nbest) {
-            p = put_str(p, "\tNH:i:", 6);
-            p = put_u64(p, (uint64_t)(nbest[i] > 1 ? nbest[i] : 1));
-            p = put_str(p, "\tHI:i:1", 7);
-        }
-        *p++ = '\n';
+        char* np = one_ungapped(
+            cx, i, diag[i], st, mapq[i], nbest ? (long)nbest[i] : -1,
+            qstart[i], qend[i],
+            flags ? flags[i] : (st ? 16 : 0),
+            mate_u ? mate_u[i] : (uint64_t)-1, tlen ? tlen[i] : 0,
+            p, out_cap - (p - out), seqbuf, mdbuf);
+        if (!np) return -1;
+        p = np;
         line_off[i + 1] = p - out;
     }
     return p - out;
@@ -327,103 +536,23 @@ extern "C" long sam_emit_path(
     long min_intron,
     const uint8_t* emit, long B,
     char* out, long out_cap, int64_t* line_off) {
-    ChromTab ct = {chrom_starts, chrom_spans, circularp, n_chroms,
-                   rname_blob, rname_off};
+    EmitCtx cx = {gpacked, gnmask,
+                  {chrom_starts, chrom_spans, circularp, n_chroms,
+                   rname_blob, rname_off},
+                  qname_blob, qname_off, codes, rnmask, Lstride,
+                  qual_blob, qual_off, lengths};
     char* p = out;
     char seqbuf[8192];
     char mdbuf[16384];
     line_off[0] = 0;
     for (long i = 0; i < B; i++) {
         if (!emit[i]) { line_off[i + 1] = p - out; continue; }
-        long L = lengths[i];
-        long q0 = qstart[i], q1 = qend[i];
-        long s0 = seg_off[i], s1 = seg_off[i + 1];
-        if (L > 8000 || q1 > L || q0 < 0 || q0 >= q1 || s1 <= s0) {
-            line_off[i + 1] = p - out;
-            continue;
-        }
-        if (out_cap - (p - out) < 8 * L
-                                  + (qname_off[i + 1] - qname_off[i])
-                                  + 64 * (s1 - s0) + 224)
-            return -1;
-        int st = strand[i];
-        oriented_read(codes + i * Lstride, rnmask + i * Lstride, L, st,
-                      seqbuf);
-        p = line_head(p, qname_blob + qname_off[i],
-                      qname_off[i + 1] - qname_off[i],
-                      st ? 16 : 0, ct, seg_d[s0] + (uint64_t)q0, mapq[i]);
-        // CIGAR + MD in one pass over segments
-        char* md = mdbuf;
-        long run = 0, nm = 0;
-        long n_introns = 0, sense_sum = 0;
-        bool any_sense = false;
-        if (q0) { p = put_u64(p, (uint64_t)q0); *p++ = 'S'; }
-        for (long s = s0; s < s1; s++) {
-            long sq0 = (s == s0) ? q0 : seg_q[s];
-            long sq1 = (s + 1 < s1) ? seg_q[s + 1] : q1;
-            uint64_t d = seg_d[s];
-            p = put_u64(p, (uint64_t)(sq1 - sq0));
-            *p++ = 'M';
-            for (long j = sq0; j < sq1; j++) {
-                int g = genome_base(gpacked, gnmask, d + (uint64_t)j);
-                char gc = BASES[g];
-                char rc = seqbuf[j];
-                if ((rc == gc || rc == 'N') && g != 4) {
-                    run++;
-                } else {
-                    md = put_u64(md, (uint64_t)run);
-                    *md++ = gc;
-                    run = 0;
-                    nm++;
-                }
-            }
-            if (s + 1 < s1) {
-                long gap = (long)(seg_d[s + 1] - d);
-                if (gap >= min_intron) {
-                    p = put_u64(p, (uint64_t)gap);
-                    *p++ = 'N';
-                    n_introns++;
-                    int sen = junction_sense(gpacked, gnmask,
-                                             d + (uint64_t)sq1,
-                                             seg_d[s + 1] + (uint64_t)sq1);
-                    sense_sum += sen;
-                    if (sen) any_sense = true;
-                } else {
-                    p = put_u64(p, (uint64_t)gap);
-                    *p++ = 'D';
-                    // deletion: MD emits run ^bases; NM += gap
-                    md = put_u64(md, (uint64_t)run);
-                    run = 0;
-                    *md++ = '^';
-                    for (long g2 = 0; g2 < gap; g2++)
-                        *md++ = BASES[genome_base(gpacked, gnmask,
-                                                  d + (uint64_t)(sq1 + g2))];
-                    nm += gap;
-                }
-            }
-        }
-        md = put_u64(md, (uint64_t)run);
-        if (L - q1) { p = put_u64(p, (uint64_t)(L - q1)); *p++ = 'S'; }
-        p = put_str(p, "\t*\t0\t0\t", 7);
-        p = put_str(p, seqbuf, L);
-        *p++ = '\t';
-        long qlen = qual_off ? (qual_off[i + 1] - qual_off[i]) : 0;
-        if (qlen == L) {
-            const char* q = qual_blob + qual_off[i];
-            if (!st) p = put_str(p, q, L);
-            else for (long j = L - 1; j >= 0; j--) *p++ = q[j];
-        } else {
-            *p++ = '*';
-        }
-        p = put_str(p, "\tNM:i:", 6);
-        p = put_u64(p, (uint64_t)nm);
-        p = put_str(p, "\tMD:Z:", 6);
-        p = put_str(p, mdbuf, md - mdbuf);
-        if (n_introns) {
-            p = put_str(p, "\tXS:A:", 6);
-            *p++ = !any_sense ? '?' : (sense_sum >= 0 ? '+' : '-');
-        }
-        p = put_str(p, "\tNH:i:1\tHI:i:1\n", 15);
+        char* np = one_path(cx, i, strand[i], mapq[i],
+                            qstart[i], qend[i], seg_q, seg_d,
+                            seg_off[i], seg_off[i + 1], min_intron,
+                            p, out_cap - (p - out), seqbuf, mdbuf);
+        if (!np) return -1;
+        p = np;
         line_off[i + 1] = p - out;
     }
     return p - out;
@@ -440,32 +569,19 @@ extern "C" long sam_emit_unmapped(
     const int32_t* lengths, const int32_t* flags,
     const uint8_t* emit, long B,
     char* out, long out_cap, int64_t* line_off) {
+    EmitCtx cx = {nullptr, nullptr,
+                  {nullptr, nullptr, nullptr, 0, nullptr, nullptr},
+                  qname_blob, qname_off, codes, rnmask, Lstride,
+                  qual_blob, qual_off, lengths};
     char* p = out;
     char seqbuf[8192];
     line_off[0] = 0;
     for (long i = 0; i < B; i++) {
         if (!emit[i]) { line_off[i + 1] = p - out; continue; }
-        long L = lengths[i];
-        if (L > 8000) { line_off[i + 1] = p - out; continue; }
-        if (out_cap - (p - out) < 2 * L
-                                  + (qname_off[i + 1] - qname_off[i]) + 48)
-            return -1;
-        oriented_read(codes + i * Lstride, rnmask + i * Lstride, L, 0,
-                      seqbuf);
-        p = put_str(p, qname_blob + qname_off[i],
-                    qname_off[i + 1] - qname_off[i]);
-        *p++ = '\t';
-        p = put_u64(p, (uint64_t)(flags ? flags[i] : 4));
-        p = put_str(p, "\t*\t0\t0\t*\t*\t0\t0\t", 15);
-        p = put_str(p, seqbuf, L);
-        *p++ = '\t';
-        long qlen = qual_off ? (qual_off[i + 1] - qual_off[i]) : 0;
-        if (qlen == L) {
-            p = put_str(p, qual_blob + qual_off[i], L);
-        } else {
-            *p++ = '*';
-        }
-        *p++ = '\n';
+        char* np = one_unmapped(cx, i, flags ? flags[i] : 4, p,
+                                out_cap - (p - out), seqbuf);
+        if (!np) return -1;
+        p = np;
         line_off[i + 1] = p - out;
     }
     return p - out;

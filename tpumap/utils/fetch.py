@@ -37,6 +37,43 @@ def _get_packer(n: int):
     return p
 
 
+# Wire dtypes for result-dict fields: the tunnel moves device->host bytes
+# at ~30 MB/s, so fetched bytes are a first-order cost.  Narrowing happens
+# at the TOP-LEVEL jit boundary only (internal compute stays int32 —
+# where()/arithmetic on narrow unsigned types wraps); the driver widens
+# back to int32 right after the fetch (widen_ints) so host numpy never
+# sees a narrow unsigned type.
+_WIRE_DTYPES = {
+    "strand": "uint8", "nmismatch": "uint16", "second_nmismatch": "uint16",
+    "n_best": "uint16", "trim_qstart": "uint16", "trim_qend": "uint16",
+    "trim_nmm": "uint16", "qual_mean16": "uint16",
+    "in_idx": "int32", "in_startoff": "int16",
+    "pe_cs1": "uint8", "pe_cs2": "uint8",
+    "pe_cn1": "uint16", "pe_cn2": "uint16",
+    "pe_ci": "uint8", "pe_cj": "uint8",
+}
+
+
+def narrow_result(d: dict) -> dict:
+    """Cast known result fields to their wire dtypes (device side)."""
+    import jax.numpy as jnp
+    return {k: (v.astype(_WIRE_DTYPES[k]) if k in _WIRE_DTYPES else v)
+            for k, v in d.items()}
+
+
+def widen_ints(d: dict) -> dict:
+    """Host-side inverse: upcast narrow ints to int32 so downstream numpy
+    arithmetic can never wrap (uint16 - int, -1 sentinels, etc.)."""
+    out = {}
+    for k, v in d.items():
+        if (isinstance(v, np.ndarray)
+                and v.dtype in (np.uint8, np.uint16, np.int16, np.int8)):
+            out[k] = v.astype(np.int32)
+        else:
+            out[k] = v
+    return out
+
+
 def device_fetch(tree):
     """Fetch a pytree of device arrays to host numpy with ONE transfer."""
     import jax
