@@ -535,6 +535,40 @@ def _bcast(mask: jax.Array, like: jax.Array) -> jax.Array:
     return mask
 
 
+def indel_forward(index, codes: jax.Array, lengths: jax.Array,
+                  diags: jax.Array, band: int, margin: int = 8):
+    """Forward half of refine_indels: banded DP scores + direction
+    matrix, NO traceback.  The fused ladder compacts rows on the DP
+    score before walking the (sequential, per-step-gather) traceback —
+    on this chip the traceback loop costs ~2/3 of the whole indel stage
+    while only the few rows whose DP beats their substitution score
+    ever need a transcript."""
+    from tpumap.ops import dp
+
+    B, L = codes.shape
+    gstart = jnp.maximum(diags, jnp.uint32(margin)) - jnp.uint32(margin)
+    W = L + band + margin
+    gcodes = verify.extract_codes_window(index.genome_packed, gstart, W)
+    glens = jnp.minimum(
+        jnp.int32(W),
+        (jnp.uint32(index.genome_length) - gstart).astype(jnp.int32))
+    out = dp.banded_align(codes, lengths, gcodes, glens, band,
+                          mode="glocal")
+    out["gstart_off"] = (gstart.astype(jnp.int32)
+                         - diags.astype(jnp.int32))
+    return out
+
+
+def indel_traceback(fwd, lengths: jax.Array, band: int):
+    """Traceback half: edit transcripts + genome start offsets for the
+    (compacted) rows of an indel_forward result."""
+    from tpumap.ops import dp
+
+    ops, k_final = dp.traceback(fwd["dirs"], lengths, fwd["end_k"], band)
+    start_off = (k_final - band).astype(jnp.int32) + fwd["gstart_off"]
+    return {"score": fwd["score"], "ops": ops, "start_off": start_off}
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def refine_indels(index, codes: jax.Array, lengths: jax.Array,
                   diags: jax.Array, band: int, margin: int = 8):
@@ -549,20 +583,8 @@ def refine_indels(index, codes: jax.Array, lengths: jax.Array,
     Returns dict: score int32[B], ops uint8[B, S] (reverse transcripts),
     start_off int32[B] (alignment genome start relative to diag).
     """
-    from tpumap.ops import dp
-
-    B, L = codes.shape
-    gstart = jnp.maximum(diags, jnp.uint32(margin)) - jnp.uint32(margin)
-    W = L + band + margin
-    gcodes = verify.extract_codes_window(index.genome_packed, gstart, W)
-    glens = jnp.minimum(
-        jnp.int32(W),
-        (jnp.uint32(index.genome_length) - gstart).astype(jnp.int32))
-    out = dp.banded_align(codes, lengths, gcodes, glens, band, mode="glocal")
-    ops, k_final = dp.traceback(out["dirs"], lengths, out["end_k"], band)
-    start_off = (k_final - band).astype(jnp.int32) + (
-        gstart.astype(jnp.int32) - diags.astype(jnp.int32))
-    return {"score": out["score"], "ops": ops, "start_off": start_off}
+    fwd = indel_forward(index, codes, lengths, diags, band, margin)
+    return indel_traceback(fwd, lengths, band)
 
 
 @jax.jit

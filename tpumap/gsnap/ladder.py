@@ -471,7 +471,33 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
     icodes, _inm, ili = _oriented_rows_dev(
         pbatch["packed"], pbatch["pnmask"], lengths, iidx, ist, L)
     idg = jnp.where(jnp.take(valid, iidx), jnp.take(diag, iidx), 0)
-    ref = refine_indels(index, icodes, ili, idg, INDEL_BAND, INDEL_MARGIN)
+    from tpumap.gsnap.engine import indel_forward, indel_traceback
+    fwd = indel_forward(index, icodes, ili, idg, INDEL_BAND, INDEL_MARGIN)
+    # second compaction BEFORE the traceback: the sequential traceback
+    # walk (L+band steps of per-row gathers) costs ~2/3 of the indel
+    # stage, but only rows whose DP score beats what substitutions alone
+    # could score can ever be accepted by the host (its threshold is
+    # max(3L-6nmm, 3/8*trim_score) >= 3L-6nmm, so this gate is a strict
+    # superset of acceptance); trace only the best r_tb of those
+    r_tb = min(max(r_indel // 8, 32), ri)
+    sub_score = 3 * ili - 6 * jnp.take(nmm, iidx).astype(jnp.int32)
+    improves = isel & (fwd["score"] > sub_score)
+    gain = jnp.clip(fwd["score"] - sub_score, 0, 2 ** 20)
+    tprio = jnp.where(improves,
+                      gain * jnp.int32(2 * ri)
+                      + (jnp.int32(ri) - jnp.arange(ri, dtype=jnp.int32)),
+                      0)
+    _, tbx = jax.lax.top_k(tprio, r_tb)
+    out["indel_tb_overflow"] = jnp.maximum(
+        jnp.sum(improves.astype(jnp.int32)) - r_tb, 0)
+    isel = jnp.take(improves, tbx)
+    iidx = jnp.take(iidx, tbx)
+    fwd = {"score": jnp.take(fwd["score"], tbx),
+           "end_k": jnp.take(fwd["end_k"], tbx),
+           "dirs": jnp.take(fwd["dirs"], tbx, axis=0),
+           "gstart_off": jnp.take(fwd["gstart_off"], tbx)}
+    ili = jnp.take(ili, tbx)
+    ref = indel_traceback(fwd, ili, INDEL_BAND)
     # run-length-encode the edit transcript on device: the raw ops tensor
     # [R, L+band] was the largest single item in the result fetch
     from tpumap.ops.dp import T_END
