@@ -84,6 +84,67 @@ def _junctions(rec):
     return js
 
 
+def _parse_line(line: str):
+    """(flag, pos, cigar, xa) from one SAM text line (bench genome is
+    single-chromosome, so univcoord == chrpos)."""
+    c = line.split("\t")
+    xa = next((t[5:] for t in c[11:] if t.startswith("XA:Z:")), None)
+    return int(c[1]), int(c[3]), c[5], xa
+
+
+def _cigar_junctions(pos: int, cigar: str):
+    """Genomic (donor, acceptor) pairs from pos + CIGAR."""
+    if "N" not in cigar:
+        return ()
+    js = []
+    cur = pos - 1
+    num = 0
+    for ch in cigar:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            if ch == "N":
+                js.append((cur, cur + num))
+                cur += num
+            elif ch in "MD=X":
+                cur += num
+            num = 0
+    return js
+
+
+def _ref_span(cigar: str) -> int:
+    """Reference bases consumed by a CIGAR."""
+    n = num = 0
+    for ch in cigar:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            if ch in "MDN=X":
+                n += num
+            num = 0
+    return n
+
+
+def _xa_junctions(pos: int, cigar: str, xa: str):
+    """Candidate (donor, acceptor) pairs implied by the XA:Z: ambiguous
+    splice-end alternates (tied distal placements of a demoted terminal
+    exon, src/altsplice.c): qstart dists anchor at the record start
+    (acceptor side), qend dists at the record end (donor side)."""
+    if not xa:
+        return ()
+    qs, _, qe = xa.partition("|")
+    js = []
+    start = pos - 1
+    for d in qs.split(","):
+        if d:
+            js.append((start - int(d), start))
+    end = pos - 1 + _ref_span(cigar)
+    for d in qe.split(","):
+        if d:
+            js.append((end, end + int(d)))
+    return js
+
+
 def _sam_bytes(records):
     """Materialize final SAM text (the end-to-end contract)."""
     return sum(len(r.lines()) for r in records)
@@ -114,7 +175,7 @@ def main():
         db.save(str(dbdir))
     index = DeviceIndex.from_host(db)
     config = AlignConfig(top_k=4, max_occ=4)
-    B = 16384
+    B = 32768
     out = {"baseline": base_note}
 
     # ---- DNA end-to-end (headline) -----------------------------------
@@ -123,13 +184,20 @@ def main():
     # (B, L) shape, so ONE shape covers the whole run), and its wall time
     # is reported separately as warmup_s — cold start is a real cost but a
     # different number from throughput (VERDICT r3 weak #3).
+    # Timed path = the production streaming path (align_records sink=...):
+    # final SAM text bytes land in a buffer; accuracy is graded from the
+    # same bytes afterwards, untimed.
+    import io
     reads = list(read_fasta(rfa))
     t0 = time.perf_counter()
-    align_records(db, index, reads[:B], config, batch_size=B)  # warm
+    align_records(db, index, reads[:B], config, batch_size=B,
+                  sink=io.BytesIO().write)                        # warm
     out["warmup_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
-    recs = align_records(db, index, reads, config, batch_size=B)
-    nbytes = _sam_bytes(recs)
+    buf = io.BytesIO()
+    stats = {}
+    align_records(db, index, reads, config, batch_size=B,
+                  sink=buf.write, stats=stats)
     dna_dt = time.perf_counter() - t0
     dna_rps = len(reads) / dna_dt
     out.update({
@@ -138,11 +206,11 @@ def main():
         "unit": "reads/s/chip",
         "vs_baseline": _vs(dna_rps, base.get("dna")),
         "wall_s": round(dna_dt, 3),
-        "sam_mb": round(nbytes / 1e6, 1),
-        "aligned_frac": round(sum(1 for r in recs if not r.flag & 4)
-                              / len(recs), 4),
+        "sam_mb": round(buf.tell() / 1e6, 1),
+        "aligned_frac": round(1 - stats.get("unmapped", 0) / len(reads),
+                              4),
     })
-    del recs
+    del buf
 
     # ---- DNA device cascade alone (secondary) ------------------------
     N, L = len(reads), 112
@@ -180,26 +248,39 @@ def main():
     _, rna_rfa = bench_data.ensure_rna_files()
     rna_reads = list(read_fasta(rna_rfa))
     t0 = time.perf_counter()
-    align_records(db, index, rna_reads[:B], config,
-                  novelsplicing=True, batch_size=B)             # warm
+    align_records(db, index, rna_reads[:B], config, novelsplicing=True,
+                  batch_size=B, sink=io.BytesIO().write)         # warm
     out["rna_warmup_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
-    rna_out = align_records(db, index, rna_reads, config,
-                            novelsplicing=True, batch_size=B)
-    _sam_bytes(rna_out)
+    rbuf = io.BytesIO()
+    align_records(db, index, rna_reads, config, novelsplicing=True,
+                  batch_size=B, sink=rbuf.write)
     rna_dt = time.perf_counter() - t0
     truth = bench_data.rna_truth()
     tp = fp = fn = 0
+    xa_cred = 0
     n_loc = 0
     rna_spliced = 0
-    for rec, (tjs, tstart) in zip(rna_out, truth):
-        pjs = set(_junctions(rec))
+    rna_mapped = 0
+    lines = rbuf.getvalue().decode().splitlines()
+    assert len(lines) == len(truth)
+    for line, (tjs, tstart) in zip(lines, truth):
+        flag, pos, cigar, xa = _parse_line(line)
+        pjs = set(_cigar_junctions(pos, cigar))
         if pjs:
             rna_spliced += 1
+        if not flag & 4:
+            rna_mapped += 1
         tp += len(pjs & tjs)
         fp += len(pjs - tjs)
-        fn += len(tjs - pjs)
-        if not rec.flag & 4 and abs(rec.pos - 1 - tstart) <= 150:
+        missed = tjs - pjs
+        fn += len(missed)
+        if missed and xa:
+            # XA-credited: a truth junction among the tied alternates of
+            # a demoted ambiguous end counts as recalled (the demotion is
+            # altsplice.c behavior, not a miss)
+            xa_cred += len(missed & set(_xa_junctions(pos, cigar, xa)))
+        if not flag & 4 and abs(pos - 1 - tstart) <= 150:
             n_loc += 1
     prec = tp / max(tp + fp, 1)
     rec_ = tp / max(tp + fn, 1)
@@ -207,29 +288,31 @@ def main():
     out.update({
         "rna_reads_per_sec": round(rna_rps, 1),
         "rna_vs_baseline": _vs(rna_rps, base.get("rna")),
-        "rna_mapped_frac": round(sum(1 for r in rna_out
-                                     if not r.flag & 4) / len(rna_out), 4),
-        "rna_spliced_frac": round(rna_spliced / len(rna_out), 4),
+        "rna_mapped_frac": round(rna_mapped / len(rna_reads), 4),
+        "rna_spliced_frac": round(rna_spliced / len(rna_reads), 4),
         "rna_junction_precision": round(prec, 4),
         "rna_junction_recall": round(rec_, 4),
+        "rna_junction_recall_xa": round((tp + xa_cred) / max(tp + fn, 1),
+                                        4),
         "rna_junction_f1": round(2 * prec * rec_ / max(prec + rec_, 1e-9),
                                  4),
-        "rna_locus_acc": round(n_loc / len(rna_out), 4),
+        "rna_locus_acc": round(n_loc / len(rna_reads), 4),
     })
-    del rna_out
+    del rbuf, lines
 
     # ---- paired-end --------------------------------------------------
     f1, f2 = bench_data.ensure_pe_files()
     r1 = list(read_fasta(f1))
     r2 = list(read_fasta(f2))
     pairs = list(zip(r1, r2))
+    PB = 8192
     t0 = time.perf_counter()
-    align_paired_records(db, index, pairs[:4096], config,
-                         batch_size=4096, pairmax=1000)          # warm
+    align_paired_records(db, index, pairs[:PB], config,
+                         batch_size=PB, pairmax=1000)            # warm
     out["pe_warmup_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     pe_out = align_paired_records(db, index, pairs, config,
-                                  batch_size=4096, pairmax=1000)
+                                  batch_size=PB, pairmax=1000)
     for a, b in pe_out:
         a.lines(), b.lines()
     pe_dt = time.perf_counter() - t0
@@ -255,6 +338,11 @@ def main():
         out["gmap_queries_per_sec"] = round(len(queries) / gmap_dt, 1)
         out["gmap_vs_baseline"] = _vs(len(queries) / gmap_dt,
                                       base.get("gmap"))
+        # reference gmap is multithreaded (src/gmap.c:4867 worker pool);
+        # grade against the same 32-core equivalent as the gsnap rows
+        out["gmap_vs_baseline32"] = _vs(
+            len(queries) / gmap_dt,
+            base["gmap"] * BASELINE_CORES if base.get("gmap") else None)
         out["gmap_found_frac"] = round(sum(1 for x in res if x)
                                        / len(queries), 4)
     except Exception as exc:                # keep the bench JSON intact

@@ -31,6 +31,27 @@ def pad_to_bucket(n: int, buckets=(32, 64, 96, 128, 160, 192, 256, 384, 512)) ->
     return ((n + 511) // 512) * 512
 
 
+def _start_fetch(dev):
+    """Fetch a device result dict on a background thread.
+
+    The tunnel's blocking fetch RPC releases the GIL, so host work can
+    run under the device+RPC wait — the one form of overlap this
+    serializing backend supports.  Returns (box, thread); join the
+    thread, then read box["res"] (box["err"] re-raises)."""
+    import threading
+    box = {}
+
+    def run():
+        try:
+            box["res"] = device_fetch(dev)
+        except BaseException as exc:      # surfaced on the main thread
+            box["err"] = exc
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    return box, th
+
+
 def _pack_batch(batch):
     """Host-pack a make_batch dict for transfer (4x fewer bytes to the
     tunnel-attached chip; unpacked again on device)."""
@@ -1447,10 +1468,19 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
 
     starts = list(range(0, len(records), batch_size))
     pending = _dispatch(starts[0]) if starts else None
+    fetch = _start_fetch(pending[3]) if pending else None
     for si, start in enumerate(starts):
         chunk, batch, L, dev = pending
-        pending = (_dispatch(starts[si + 1])
-                   if si + 1 < len(starts) else None)
+        box, th = fetch
+        if si + 1 < len(starts):
+            # dispatch the NEXT batch and start ITS fetch thread before
+            # touching this batch's results: the tunnel fetch releases
+            # the GIL, so all host work below (refine, native emission,
+            # next batch's C encode) runs UNDER the next batch's
+            # device+RPC wait — the only overlap this serializing
+            # backend allows, worth ~40% end-to-end
+            pending = _dispatch(starts[si + 1])
+            fetch = _start_fetch(pending[3])
 
         # transcriptome-first rung
         tr_records = {}
@@ -1460,7 +1490,10 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         # np.asarray is a separate ~28 ms tunnel RPC on this backend
         # (wire dtypes are narrow; widen before any host arithmetic)
         from tpumap.utils.fetch import widen_ints
-        res = widen_ints(device_fetch(dev))
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        res = widen_ints(box["res"])
         if stats is not None and "stage2_overflow" in res:
             stats["stage2_overflow"] = (stats.get("stage2_overflow", 0)
                                         + int(res["stage2_overflow"]))

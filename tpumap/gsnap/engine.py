@@ -183,18 +183,16 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
     rc_codes = pack.revcomp_codes(codes, lengths)
     rc_nmask = pack.revcomp_codes(jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)),
                                   lengths) == jnp.uint8(3)
+    NE = 2 * _ends_iv(index)
 
     def end_candidates(c, m, space):
         if space is not None:
             c = jnp.take(jnp.asarray(CODE_MAPS[space]), c.astype(jnp.int32))
         offsets_a, positions_a = index.mode_index(
             "snp" if config.snp_tolerant else space)
-        # oligos at q in {0,1,2} and {qlast-2, qlast-1, qlast}: one of each
-        # trio lands on an index-sampled genome position (interval 3)
-        qlast = jnp.maximum(lengths - k, 0)
-        qpos_list = [jnp.zeros_like(qlast), jnp.minimum(1, qlast),
-                     jnp.minimum(2, qlast), jnp.maximum(qlast - 2, 0),
-                     jnp.maximum(qlast - 1, 0), qlast]
+        # oligos at q in {0..iv-1} and {qlast-iv+1..qlast}: one of each
+        # group lands on an index-sampled genome position (interval iv)
+        qpos_list = _end_qpos(index, lengths)
         oligo_list = []
         for qp in qpos_list:
             o = jnp.zeros((B,), jnp.uint32)
@@ -203,8 +201,8 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
                 o = (o << 2) | jnp.take_along_axis(
                     c, idx[:, None].astype(jnp.int32), axis=1)[:, 0].astype(jnp.uint32)
             oligo_list.append(o)
-        oligos = jnp.stack(oligo_list, axis=1)                 # [B, 6]
-        valid = jnp.ones((B, 6), jnp.bool_) & (lengths >= k)[:, None]
+        oligos = jnp.stack(oligo_list, axis=1)                 # [B, NE]
+        valid = jnp.ones((B, NE), jnp.bool_) & (lengths >= k)[:, None]
         qpos = jnp.stack(qpos_list, axis=1)
         # per-read qpos: lookup_diagonals wants shared qpos[NQ]; inline here
         start = jnp.take(offsets_a, oligos.astype(jnp.int32), mode="clip")
@@ -216,7 +214,8 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
         ok = valid[..., None] & (lane < count[..., None]) & (count <= occ)[..., None]
         diag = pos - qpos[..., None].astype(jnp.uint32)
         bad = ~ok | (pos < qpos[..., None].astype(jnp.uint32))
-        return jnp.where(bad, jnp.uint32(0xFFFFFFFF), diag).reshape(B, 6 * occ)
+        return jnp.where(bad, jnp.uint32(0xFFFFFFFF),
+                         diag).reshape(B, NE * occ)
 
     fcands = _dedup_lanes(end_candidates(codes, nmask, space_fwd), ENDS_K)
     rcands = _dedup_lanes(end_candidates(rc_codes, rc_nmask, space_rc),
@@ -260,6 +259,21 @@ def align_batch_ends(index: DeviceIndex, batch, config: AlignConfig):
 
 
 
+def _ends_iv(index) -> int:
+    """End-oligo group size: one probe per sampled offset class, so a
+    dense interval-1 index needs only {0} and {qlast} (3x fewer seed
+    gathers — the HBM-for-gathers trade the device index exists for)."""
+    return max(1, int(getattr(index, "interval", 3)))
+
+
+def _end_qpos(index, lengths):
+    k = index.k
+    iv = _ends_iv(index)
+    qlast = jnp.maximum(lengths - k, 0)
+    return ([jnp.minimum(j, qlast) for j in range(iv)]
+            + [jnp.maximum(qlast - j, 0) for j in range(iv - 1, -1, -1)])
+
+
 def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
     """Standard-mode fast rung: end-anchored candidates, no code gathers."""
     B, L = codes.shape
@@ -268,11 +282,9 @@ def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
     offsets_a, positions_a = index.mode_index(
         "snp" if config.snp_tolerant else None)
 
-    qlast = jnp.maximum(lengths - k, 0)
-    qpos_list = [jnp.zeros_like(qlast), jnp.minimum(1, qlast),
-                 jnp.minimum(2, qlast), jnp.maximum(qlast - 2, 0),
-                 jnp.maximum(qlast - 1, 0), qlast]
-    fwd_qpos = jnp.stack(qpos_list, axis=1)               # [B, 6]
+    qpos_list = _end_qpos(index, lengths)
+    NE = len(qpos_list)
+    fwd_qpos = jnp.stack(qpos_list, axis=1)               # [B, NE]
     # rolling k-mers over the whole read (k elementwise passes, NO
     # per-position gathers — gathered elements are the cost unit on this
     # chip), then one [B, 6] take for the end positions
@@ -299,7 +311,7 @@ def _ends_standard(index, codes, nmask, lengths, config: AlignConfig):
         diag = pos - qpos[..., None].astype(jnp.uint32)
         bad = ~ok | (pos < qpos[..., None].astype(jnp.uint32))
         return jnp.where(bad, jnp.uint32(0xFFFFFFFF),
-                         diag).reshape(B, 6 * occ)
+                         diag).reshape(B, NE * occ)
 
     fcands = _dedup_lanes(gather_diags(fwd_oligos, fwd_qpos), ENDS_K)
     rcands = _dedup_lanes(gather_diags(rc_oligos, rc_qpos), ENDS_K)

@@ -257,15 +257,24 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
 
     out = []
     starts = list(range(0, len(pairs), batch_size))
+    from tpumap.gsnap.driver import _start_fetch
     pending = _dispatch(starts[0]) if starts else None
+    fetch = _start_fetch(pending[3]) if pending else None
     for si, start in enumerate(starts):
         chunk, batch, L, dev = pending
-        pending = (_dispatch(starts[si + 1])
-                   if si + 1 < len(starts) else None)
+        box, th = fetch
+        if si + 1 < len(starts):
+            # next batch's dispatch + fetch thread first: host work on
+            # this batch overlaps the next batch's device+RPC wait
+            # (driver._start_fetch)
+            pending = _dispatch(starts[si + 1])
+            fetch = _start_fetch(pending[3])
         n = len(chunk)
-        from tpumap.gsnap.driver import device_fetch
         from tpumap.utils.fetch import widen_ints
-        res = widen_ints(device_fetch(dev))  # ONE transfer, then widen
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        res = widen_ints(box["res"])   # ONE transfer, then widen
 
         # joint concordance over the full candidate cross product — one
         # device reduction for the whole batch (src/concordance.c role);

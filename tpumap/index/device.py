@@ -36,6 +36,11 @@ class DeviceIndex:
     k: int                      # static
     genome_has_n: bool = True   # static: False lets verify skip the
     #                             genome N-mask window gather entirely
+    interval: int = 3           # static: positions sampling interval —
+    #                             the ends rung probes `interval` query
+    #                             offsets per read end (1 with a dense
+    #                             interval-1 index: 3x fewer seed
+    #                             gathers, 3x the positions HBM)
     # mode-transformed (offsets, positions) pairs, space -> arrays
     alt_offsets: dict = None
     alt_positions: dict = None
@@ -52,7 +57,7 @@ class DeviceIndex:
                     (self.genomealt_packed,) if self.genomealt_packed
                     is not None else ())
         return children, (self.genome_length, self.k, alt_keys,
-                          self.genome_has_n)
+                          self.genome_has_n, self.interval)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -61,6 +66,7 @@ class DeviceIndex:
         return cls(*main,
                    genome_length=aux[0], k=aux[1],
                    genome_has_n=aux[3],
+                   interval=aux[4] if len(aux) > 4 else 3,
                    alt_offsets=dict(zip(alt_keys, alt_off)) or None,
                    alt_positions=dict(zip(alt_keys, alt_pos)) or None,
                    genomealt_packed=galt[0] if galt else None)
@@ -112,6 +118,7 @@ class DeviceIndex:
             genome_length=db.genome_length,
             k=db.k,
             genome_has_n=bool(db.genome_nmask.any()),
+            interval=int(getattr(db, "interval", 3)),
             alt_offsets=alt_off or None,
             alt_positions=alt_pos or None,
             genomealt_packed=galt,

@@ -208,7 +208,8 @@ def make_sharded_full_aligner(mesh, db: GenomeDB, config: AlignConfig,
             genome_packed=genome_packed, genome_nmask=genome_nmask,
             offsets=offsets, positions=positions,
             chrom_offsets=jnp.asarray(chrom_offsets),
-            genome_length=genome_length, k=k, genome_has_n=has_n)
+            genome_length=genome_length, k=k, genome_has_n=has_n,
+            interval=int(getattr(db, "interval", 3)))
 
         B, L = codes.shape
         res = _cascade_result(li, offsets, positions, k, span, config,
@@ -230,6 +231,9 @@ def make_sharded_full_aligner(mesh, db: GenomeDB, config: AlignConfig,
         for key in ("ch_idx", "in_idx"):
             if key in out:
                 out[key] = out[key] + row0
+        # scalar diagnostics can't ride the P(DATA_AXIS) out_specs
+        out.pop("indel_tb_overflow", None)
+        out.pop("stage2_overflow", None)
         if paired:
             from tpumap.gsnap.paired import concordance_device
             cd, cs, cn = (out.pop("cand_diags"), out.pop("cand_strands"),
