@@ -831,8 +831,14 @@ def _late_stages(db, index, batch, res, config, dp_result, splice_result,
             ac, _m = _oriented_rows(batch, iis, sts, L)
             acodes = {int(ii): ac[k] for k, ii in enumerate(iis)}
         if amb_rows or review_rows:
-            se_res, se_amb = se.find_splice_ends(
-                db, index, acodes, amb_rows + review_rows, max_intron)
+            if "amb_pos" in res:
+                # the fused ladder already ran the review scan in-program
+                # (ladder.refine_full amb block): pool its hits, zero
+                # extra dispatches
+                se_res, se_amb = se.pool_device_results(res, max_intron)
+            else:
+                se_res, se_amb = se.find_splice_ends(
+                    db, index, acodes, amb_rows + review_rows, max_intron)
             for (i, a, tqs, tqe, li, _sides) in amb_rows:
                 sides = se_res.get(i)
                 if sides:
@@ -1450,29 +1456,45 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             from tpumap.ops import pathdp
             sc = pathdp.PathScoring(max_intron=max(max_intron, MIN_INTRON))
             splicing_on = novelsplicing or known is not None
+            # compaction sizes must scale with the batch: an RNA-seq
+            # batch can be ~50% genuinely spliced, so a fixed r_chain
+            # silently overflows real spliced reads out of the chain
+            # stage at large B (the round-5 recall collapse at B=32k)
+            r_chain = min(max(8192, B // 2), B)
+            r_salv = min(max(2048, B // 8), r_chain)
+            r_indel = min(2048, B)
             if known_dev_l is not None:
                 dev = ladder.align_batch_full_known(
                     index, _pack_batch(batch), config, L, sc,
                     splicing_on, novelsplicing and use_localdb,
-                    min(8192, B), min(2048, B), min(2048, B),
-                    known=known_dev_l)
+                    r_chain, r_salv, r_indel, known=known_dev_l)
             else:
                 dev = ladder.align_batch_full(
                     index, _pack_batch(batch), config, L, sc,
                     splicing_on, novelsplicing and use_localdb,
-                    min(8192, B), min(2048, B), min(2048, B))
+                    r_chain, r_salv, r_indel)
         else:
             dev = align_batch_cascaded_packed(index, _pack_batch(batch),
                                               config, L)
         return chunk, batch, L, dev
 
     starts = list(range(0, len(records), batch_size))
+    # refine_unsolved itself dispatches device work for some configs
+    # (staged-path splice-end review/salvage/chain, fusions,
+    # transcriptome rung); those small dispatches must not queue behind
+    # the NEXT batch's big program on the serializing tunnel, so
+    # next-batch dispatch happens after refine in that case.  The fused
+    # ladder runs the whole refinement (incl. the ambiguous-ends review
+    # scan) in ONE program, so it always dispatches early.
+    early_dispatch = (tr is None and not find_fusions
+                      and (use_fused
+                           or (not novelsplicing and known is None)))
     pending = _dispatch(starts[0]) if starts else None
     fetch = _start_fetch(pending[3]) if pending else None
     for si, start in enumerate(starts):
         chunk, batch, L, dev = pending
         box, th = fetch
-        if si + 1 < len(starts):
+        if si + 1 < len(starts) and early_dispatch:
             # dispatch the NEXT batch and start ITS fetch thread before
             # touching this batch's results: the tunnel fetch releases
             # the GIL, so all host work below (refine, native emission,
@@ -1511,6 +1533,11 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             indel_endlength=indel_endlength, use_localdb=use_localdb,
             known_indels=known_indels, quals=batch.get("quals"),
             device_ctx=device_ctx, amb_out=amb_result)
+        if si + 1 < len(starts) and not early_dispatch:
+            # refine's own device dispatches are done; NOW overlap the
+            # next batch with this batch's emission work
+            pending = _dispatch(starts[si + 1])
+            fetch = _start_fetch(pending[3])
 
         # hot-shape rows (plain/soft-clipped subs + chain-DP paths) emit
         # through ONE native C call; the Python branches below keep every

@@ -50,21 +50,25 @@ MIN_FRAG = 6
 
 
 def _oriented_rows_dev(packed, pnmask, lengths, idx, strands, L):
-    """Compacted rows as per-base codes in the aligned orientation."""
+    """Compacted rows as per-base codes in the aligned orientation.
+
+    Reverse-complement runs on the PACKED words (revcomp_packed: word
+    reversal + in-word bit games, gather-free) before unpacking — the
+    per-element [R, L] take_along_axis revcomp gathers this replaces ran
+    at ~20 M elem/s and were the top fusions in the RNA ladder."""
     p = jnp.take(packed, idx, axis=0)
     li = jnp.take(lengths, idx)
-    codes = pack.unpack_reads(p, L)
+    is_rc = (strands == 1)[:, None]
+    p_sel = jnp.where(is_rc, pack.revcomp_packed(p, li), p)
+    codes = pack.unpack_reads(p_sel, L)
     if pnmask.shape == packed.shape:
-        nm = pack.unpack_reads(jnp.take(pnmask, idx, axis=0), L)
-        nmask = nm.astype(jnp.bool_)
+        nm_p = jnp.take(pnmask, idx, axis=0)
+        nm_sel = jnp.where(is_rc,
+                           pack.revcomp_packed(nm_p, li, complement=False),
+                           nm_p)
+        nmask = pack.unpack_reads(nm_sel, L).astype(jnp.bool_)
     else:
         nmask = jnp.zeros(codes.shape, jnp.bool_)
-    is_rc = (strands == 1)
-    rc_codes = pack.revcomp_codes(codes, li)
-    rc_nmask = pack.revcomp_codes(
-        jnp.where(nmask, jnp.uint8(0), jnp.uint8(3)), li) == jnp.uint8(3)
-    codes = jnp.where(is_rc[:, None], rc_codes, codes)
-    nmask = jnp.where(is_rc[:, None], rc_nmask, nmask)
     return codes, nmask, li
 
 
@@ -523,6 +527,215 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
     out["in_runop"] = run_op
     out["in_runlen"] = run_len
     out["in_startoff"] = ref["start_off"].astype(jnp.int16)
+
+    # ---- in-program ambiguous splice-end review scan ----------------
+    # (src/spliceends.c trimmed-end candidate generation +
+    # src/altsplice.c coords).  The host used to dispatch this as a
+    # SECOND device program per batch (driver gap #1 / VERDICT r4 #3);
+    # here the task construction (boundary shifts x proximal-dinucleotide
+    # sense gating x fragment assembly) and the exact-site window scan
+    # run inside the one-jit ladder, and the host only pools the
+    # returned hits (spliceends.pool_device_results).
+    if splicing and "trim_qstart" in res:
+        from tpumap.gsnap.spliceends import (AMB_MAX, BOUNDARY_SHIFTS,
+                                             SCAN_W, TOP_ALTS)
+        from tpumap.gsnap.spliceends import MIN_INTRON as AMB_MIN_INTRON
+        F = AMB_MAX + 2
+        NS5 = len(BOUNDARY_SHIFTS)
+        W_amb = min(SCAN_W, max(1024, scoring.max_intron))
+        r_amb = min(max(512, B // 32), B)
+        r_task = min(max(1536, B // 16), r_amb * 2 * NS5)
+        indel_b = jnp.zeros((B,), jnp.bool_).at[iidx].set(isel)
+
+        u_v = tqs.astype(jnp.int32)
+        v_v = (lengths - tqe).astype(jnp.int32)
+        alen_t = (tqe - tqs).astype(jnp.int32)
+        maxmm = jnp.maximum(1, (alen_t.astype(jnp.float32)
+                                * config.max_mismatch_frac)
+                            .astype(jnp.int32))
+        trim_amb = (valid & (trim_nmm <= maxmm)
+                    & ~splice_accept_b & ~indel_b)
+        e_trim = trim_amb & (v_v >= 1) & (v_v <= AMB_MAX)
+        s_trim = trim_amb & (u_v >= 1) & (u_v <= AMB_MAX)
+
+        # review sides: chain-accepted rows whose terminal exon is short
+        # (scattered from the chain compaction; a = proximal segment's
+        # diagonal, qb0 = the junction's query boundary)
+        a_e_b = diag
+        qb_e_b = tqe.astype(jnp.int32)
+        a_s_b = diag
+        qb_s_b = tqs.astype(jnp.int32)
+        rev_e = jnp.zeros((B,), jnp.bool_)
+        rev_s = jnp.zeros((B,), jnp.bool_)
+        if splice_accept_b is not None and "ch_idx" in out:
+            ns_c = c1["nsegs"]
+            last_ix = jnp.maximum(ns_c - 1, 0)[:, None]
+            last_q = jnp.take_along_axis(c1["seg_q"], last_ix,
+                                         axis=1)[:, 0]
+            last_d = jnp.take_along_axis(c1["seg_diag"], last_ix,
+                                         axis=1)[:, 0]
+            prev_ix = jnp.maximum(ns_c - 2, 0)[:, None]
+            prev_d = jnp.take_along_axis(c1["seg_diag"], prev_ix,
+                                         axis=1)[:, 0]
+            seg1_q = c1["seg_q"][:, 1]
+            seg1_d = c1["seg_diag"][:, 1]
+            first_d = c1["seg_diag"][:, 0]
+            multi = accept & sel & (ns_c >= 2)
+            # signed gaps via bitcast (uint32 wrap-subtract is exact for
+            # |gap| < 2^31; astype would clamp large unsigned values)
+            gap_e = jax.lax.bitcast_convert_type(last_d - prev_d,
+                                                 jnp.int32)
+            gap_s = jax.lax.bitcast_convert_type(seg1_d - first_d,
+                                                 jnp.int32)
+            short_e = (c1["q_end"] - last_q >= 1) & (
+                c1["q_end"] - last_q <= AMB_MAX)
+            short_s = (seg1_q - c1["q_start"] >= 1) & (
+                seg1_q - c1["q_start"] <= AMB_MAX)
+            rv_e = multi & (gap_e >= scoring.min_intron) & short_e
+            rv_s = multi & (gap_s >= scoring.min_intron) & short_s
+            rev_e = rev_e.at[idx].set(rv_e)
+            rev_s = rev_s.at[idx].set(rv_s)
+            a_e_b = a_e_b.at[idx].set(jnp.where(rv_e, prev_d,
+                                                jnp.take(a_e_b, idx)))
+            qb_e_b = qb_e_b.at[idx].set(
+                jnp.where(rv_e, last_q, jnp.take(qb_e_b, idx)))
+            a_s_b = a_s_b.at[idx].set(jnp.where(rv_s, seg1_d,
+                                                jnp.take(a_s_b, idx)))
+            qb_s_b = qb_s_b.at[idx].set(
+                jnp.where(rv_s, seg1_q, jnp.take(qb_s_b, idx)))
+        e_ok_b = rev_e | e_trim
+        s_ok_b = rev_s | s_trim
+
+        row_need = e_ok_b | s_ok_b
+        rprio = jnp.where(row_need,
+                          jnp.int32(2 * B) - jnp.arange(B,
+                                                        dtype=jnp.int32),
+                          0)
+        _, ridx = jax.lax.top_k(rprio, r_amb)
+        rneed = jnp.take(row_need, ridx)
+        out["amb_row_overflow"] = jnp.maximum(
+            jnp.sum(row_need.astype(jnp.int32))
+            - jnp.sum(rneed.astype(jnp.int32)), 0)
+        rst = jnp.take(strand, ridx)
+        codes_a, _nm_a, li_a = _oriented_rows_dev(
+            pbatch["packed"], pbatch["pnmask"], lengths, ridx, rst, L)
+
+        shifts_v = jnp.asarray(BOUNDARY_SHIFTS, jnp.int32)[None, :]
+        glen = jnp.uint32(
+            getattr(index, "genome_length", 1 << 31))
+        ar_f = jnp.arange(F, dtype=jnp.int32)
+
+        def side_tasks(is_end):
+            if is_end:
+                ok0 = jnp.take(e_ok_b, ridx) & rneed
+                a_r = jnp.take(a_e_b, ridx)
+                qb0 = jnp.take(qb_e_b, ridx)
+            else:
+                ok0 = jnp.take(s_ok_b, ridx) & rneed
+                a_r = jnp.take(a_s_b, ridx)
+                qb0 = jnp.take(qb_s_b, ridx)
+            qb = qb0[:, None] + shifts_v                      # [r, 5]
+            g = a_r[:, None] + qb.astype(jnp.uint32)
+            if is_end:
+                v = li_a[:, None] - qb
+                ok = ok0[:, None] & (v >= 1) & (v <= AMB_MAX) & (qb >= 1)
+                ok = ok & (g + jnp.uint32(2) <= glen)
+                din = verify.extract_codes_window(
+                    index.genome_packed, g, 2)                # [r, 5, 2]
+                d0, d1 = din[..., 0], din[..., 1]
+                sense = jnp.where((d0 == 2) & ((d1 == 3) | (d1 == 1)),
+                                  jnp.int32(1),
+                                  jnp.where((d0 == 1) & (d1 == 3),
+                                            jnp.int32(-1), jnp.int32(0)))
+                ok = ok & (sense != 0)
+                # frag = [ACC dinuc, residue c[qb:li]]
+                resid = jnp.take_along_axis(
+                    codes_a[:, None, :].repeat(NS5, axis=1).reshape(
+                        r_amb * NS5, L),
+                    jnp.clip(qb.reshape(-1)[:, None] + (ar_f - 2)[None, :],
+                             0, L - 1), axis=1).reshape(r_amb, NS5, F)
+                acc1 = jnp.where(sense > 0, jnp.uint8(2), jnp.uint8(1))
+                frag = jnp.where(
+                    ar_f[None, None, :] == 0, jnp.uint8(0),
+                    jnp.where(ar_f[None, None, :] == 1, acc1[..., None],
+                              resid.astype(jnp.uint8)))
+                inres = (ar_f[None, None, :] - 2) < v[..., None]
+                frag = jnp.where((ar_f[None, None, :] < 2) | inres,
+                                 frag, 0)
+                flen = jnp.clip(v, 0, AMB_MAX) + 2
+                ws = g + jnp.uint32(AMB_MIN_INTRON - 2)
+            else:
+                u = qb
+                ok = (ok0[:, None] & (u >= 1) & (u <= AMB_MAX)
+                      & (qb <= li_a[:, None] - 1))
+                ok = ok & (g >= jnp.uint32(2))
+                din = verify.extract_codes_window(
+                    index.genome_packed,
+                    jnp.where(g >= 2, g - jnp.uint32(2), 0), 2)
+                d0, d1 = din[..., 0], din[..., 1]
+                sense = jnp.where((d0 == 0) & (d1 == 2), jnp.int32(1),
+                                  jnp.where((d0 == 0) & (d1 == 1),
+                                            jnp.int32(-1), jnp.int32(0)))
+                ok = ok & (sense != 0)
+                # frag = [c[0:u], DON dinuc]
+                head = codes_a[:, None, :F]
+                don0 = jnp.where(sense > 0, jnp.uint8(2), jnp.uint8(1))
+                frag = jnp.where(
+                    ar_f[None, None, :] < u[..., None],
+                    jnp.broadcast_to(head, (r_amb, NS5, F)),
+                    jnp.where(ar_f[None, None, :] == u[..., None],
+                              don0[..., None],
+                              jnp.where(ar_f[None, None, :]
+                                        == u[..., None] + 1,
+                                        jnp.uint8(3), jnp.uint8(0))))
+                flen = jnp.clip(u, 0, AMB_MAX) + 2
+                gi = (g.astype(jnp.int64) - W_amb
+                      - u.astype(jnp.int64))
+                ws = jnp.maximum(gi, 0).astype(jnp.uint32)
+            return ok, frag.astype(jnp.uint8), flen, ws, g, qb, sense
+
+        ok_e, frag_e, flen_e, ws_e, g_e, qb_e, sn_e = side_tasks(True)
+        ok_s, frag_s, flen_s, ws_s, g_s, qb_s, sn_s = side_tasks(False)
+
+        def flat(e, s):
+            return jnp.concatenate([e.reshape(r_amb * NS5, *e.shape[2:]),
+                                    s.reshape(r_amb * NS5, *s.shape[2:])])
+
+        ok_t = flat(ok_e, ok_s)
+        frag_t = flat(frag_e, frag_s)
+        flen_t = flat(flen_e, flen_s)
+        ws_t = flat(ws_e, ws_s)
+        g_t = flat(g_e, g_s)
+        qb_t = flat(qb_e, qb_s)
+        sn_t = flat(sn_e, sn_s)
+        side_t = jnp.concatenate(
+            [jnp.ones(r_amb * NS5, jnp.uint8),
+             jnp.zeros(r_amb * NS5, jnp.uint8)])
+        rows_t = jnp.concatenate([jnp.take(ridx, jnp.arange(r_amb)
+                                           .repeat(NS5))] * 2)
+        NT = 2 * r_amb * NS5
+        tprio = jnp.where(ok_t,
+                          jnp.int32(2 * NT) - jnp.arange(NT,
+                                                         dtype=jnp.int32),
+                          0)
+        _, tix = jax.lax.top_k(tprio, r_task)
+        t_ok = jnp.take(ok_t, tix)
+        out["amb_task_overflow"] = jnp.maximum(
+            jnp.sum(ok_t.astype(jnp.int32))
+            - jnp.sum(t_ok.astype(jnp.int32)), 0)
+        pos_a, count_a = localscan.scan_exact_sites(
+            index.genome_packed, jnp.take(ws_t, tix),
+            jnp.take(frag_t, tix, axis=0),
+            jnp.where(t_ok, jnp.take(flen_t, tix), 0),
+            W_amb, F, TOP_ALTS)
+        out["amb_valid"] = t_ok
+        out["amb_idx"] = jnp.take(rows_t, tix).astype(jnp.int32)
+        out["amb_side"] = jnp.take(side_t, tix)
+        out["amb_qb"] = jnp.take(qb_t, tix).astype(jnp.int16)
+        out["amb_sense"] = jnp.take(sn_t, tix).astype(jnp.int8)
+        out["amb_g"] = jnp.take(g_t, tix)
+        out["amb_pos"] = pos_a
+        out["amb_count"] = count_a.astype(jnp.uint16)
     # cand lists are only consumed on device now; don't ship them back
     # (the paired wrapper keeps them for its in-program concordance)
     if not keep_cands:

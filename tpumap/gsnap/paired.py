@@ -242,7 +242,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                 index, _pack_batch(batch), config, L, sc,
                 novelsplicing or known is not None,
                 novelsplicing and use_localdb,
-                min(8192, B), min(2048, B), min(2048, B),
+                min(max(8192, B // 2), B), min(max(2048, B // 8), B),
+                min(2048, B),
                 pairmax, orientation, pairexpect or 1000, pairdev,
                 known=known_dev_p)
         elif device_ctx is not None:

@@ -158,11 +158,22 @@ def find_splice_ends(db, index, aligned_codes, rows, max_intron):
         jnp.asarray(flens), W, F, TOP_ALTS)
     from tpumap.utils.fetch import device_fetch
     pos, count = device_fetch((pos, count))
+    meta = [(t[0], t[1], t[2], t[3], t[4]) for t in tasks]
+    return pool_scan_hits(meta, pos, count, max_intron)
 
-    # pool hits per (read, side) over all probed boundaries
+
+def pool_scan_hits(tasks, pos, count, max_intron):
+    """Shared second half of the review: pool exact-scan hits per
+    (read, side), dedup by the (wobble-invariant) distal diagonal, and
+    classify unique -> resolved / tied -> AmbEnd.
+
+    tasks: list of (i, side, sense, g, qb); pos uint32[T, TOP_ALTS]
+    ascending INVALID-padded; count int32[T] total exact matches."""
+    resolved: dict[int, list] = {}
+    ambiguous: dict[int, list] = {}
     by_side: dict[tuple, list] = {}
     overfull: set[tuple] = set()
-    for row, (i, side, sense, g, qb, _f, _fl, ws) in enumerate(tasks):
+    for row, (i, side, sense, g, qb) in enumerate(tasks):
         if int(count[row]) > TOP_ALTS:
             overfull.add((i, side))
             continue
@@ -201,6 +212,24 @@ def find_splice_ends(db, index, aligned_codes, rows, max_intron):
                 side, g0, sense0, [h[0] for h in hits],
                 [h[1] for h in hits], qb0))
     return resolved, ambiguous
+
+
+def pool_device_results(res, max_intron):
+    """Pool the FUSED ladder's in-program review scan (ladder.refine_full
+    amb_* keys): same classification as find_splice_ends, zero extra
+    device dispatches."""
+    valid = np.asarray(res["amb_valid"])
+    rows = np.nonzero(valid)[0]
+    idx = np.asarray(res["amb_idx"])
+    side = np.asarray(res["amb_side"])
+    sense = np.asarray(res["amb_sense"])
+    g = np.asarray(res["amb_g"]).astype(np.int64)
+    qb = np.asarray(res["amb_qb"])
+    tasks = [(int(idx[r]), "qend" if side[r] else "qstart",
+              int(sense[r]), int(g[r]), int(qb[r])) for r in rows]
+    pos = np.asarray(res["amb_pos"])[rows]
+    count = np.asarray(res["amb_count"])[rows]
+    return pool_scan_hits(tasks, pos, count, max_intron)
 
 
 def resolve_with_mate(amb: AmbEnd, li: int, mate_lo: int, mate_hi: int,

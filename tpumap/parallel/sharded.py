@@ -228,12 +228,13 @@ def make_sharded_full_aligner(mesh, db: GenomeDB, config: AlignConfig,
         # so the host consumers see batch-row indices after the
         # out_specs concatenation
         row0 = (jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * B)
-        for key in ("ch_idx", "in_idx"):
+        for key in ("ch_idx", "in_idx", "amb_idx"):
             if key in out:
                 out[key] = out[key] + row0
         # scalar diagnostics can't ride the P(DATA_AXIS) out_specs
-        out.pop("indel_tb_overflow", None)
-        out.pop("stage2_overflow", None)
+        for key in ("indel_tb_overflow", "stage2_overflow",
+                    "amb_row_overflow", "amb_task_overflow"):
+            out.pop(key, None)
         if paired:
             from tpumap.gsnap.paired import concordance_device
             cd, cs, cn = (out.pop("cand_diags"), out.pop("cand_strands"),
