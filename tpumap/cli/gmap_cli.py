@@ -103,15 +103,31 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
         if retry and retry[0] is not None and retry[0].exons:
             paths.append((retry[0], regions[0][0]))
     paths.sort(key=lambda p: -chain_goodness(p[0]))
-    # drop duplicate placements (same genomic span)
-    seen, uniq = set(), []
+    # drop duplicate/contained placements: overlapping region windows
+    # re-align the same locus (or a fragment of it) with slightly
+    # different spans, which the reference's clustered gregions never
+    # produce — an overlapping genomic span is the same path, keep the
+    # best-ranked copy (src/stage3.c Stage3_overlap role)
+    uniq = []
     for chain, off in paths:
-        key = (off + chain.exons[0].gstart, off + chain.exons[-1].gend,
-               chain.strand)
-        if key in seen:
-            continue
-        seen.add(key)
-        uniq.append((chain, off))
+        a = off + chain.exons[0].gstart
+        b = off + chain.exons[-1].gend
+        dup = False
+        for c2, o2 in uniq:
+            a2 = o2 + c2.exons[0].gstart
+            b2 = o2 + c2.exons[-1].gend
+            if c2.strand == chain.strand and min(b, b2) > max(a, a2):
+                dup = True
+                break
+        if not dup:
+            uniq.append((chain, off))
+    # suppress fragmentary suboptimal paths (coverage far below the
+    # best path's): the reference's stage1 only surfaces gregions with
+    # substantial support, so these never appear in its output
+    if uniq:
+        best_cov = max(c.coverage for c, _o in uniq)
+        uniq = [(c, o) for c, o in uniq
+                if c.coverage * 2 >= best_cov]
     return uniq[:npaths]
 
 
@@ -268,8 +284,9 @@ def main(argv=None):
     ap.add_argument("-s", "--use-splicing", dest="use_splicing",
                     help="known splice sites/introns map (.iit) biasing "
                          "intron placement")
-    ap.add_argument("-n", "--npaths", type=int, default=1,
-                    help="maximum number of paths to report per query")
+    ap.add_argument("-n", "--npaths", type=int, default=5,
+                    help="maximum number of paths to report per query "
+                         "(reference default 5, src/gmap.c:7075)")
     ap.add_argument("-I", "--invertmode", dest="invertmode", type=int,
                     default=0, choices=[0, 1, 2],
                     help="minus-strand display: 0 = original cDNA vs "

@@ -134,9 +134,10 @@ def main(argv=None):
                     help="write learned splice sites (.npz) after pass 1")
     ap.add_argument("--splices-read", dest="splices_read",
                     help="read previously learned splice sites (.npz)")
-    ap.add_argument("-n", "--npaths", type=int, default=1,
+    ap.add_argument("-n", "--npaths", type=int, default=100,
                     help="maximum alignments to report per read "
-                         "(co-optimal extras are flagged secondary)")
+                         "(co-optimal extras are flagged secondary; "
+                         "reference default 100, src/gsnap.c:523)")
     ap.add_argument("--pairmax", type=int, default=None,
                     help="max genomic span for a concordant pair "
                          "(overrides --pairmax-dna/--pairmax-rna)")

@@ -1102,8 +1102,8 @@ def _bulk_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
     from tpumap.io import sam_bulk
     if sam_bulk._get_lib() is None:
         return None
-    tr_records, splice_result, fusion_result, dp_result, amb_result = \
-        overrides
+    tr_records, splice_result, fusion_result, dp_result, amb_result, \
+        *_extra = overrides
     n = len(chunk)
     li = np.asarray(batch["lengths"][:n]).astype(np.int32)
     mapped = np.asarray(res["mapped"][:n]).astype(bool)
@@ -1267,8 +1267,8 @@ def _mixed_emit_chunk(db, chunk, batch, res, mapq, overrides, config,
     from tpumap.io import sam_bulk
     if sam_bulk._get_lib() is None:
         return None
-    tr_records, splice_result, fusion_result, dp_result, amb_result = \
-        overrides
+    tr_records, splice_result, fusion_result, dp_result, amb_result, \
+        *_extra = overrides
     n = len(chunk)
     li = np.asarray(batch["lengths"][:n]).astype(np.int32)
     mapped = np.asarray(res["mapped"][:n]).astype(bool)
@@ -1423,12 +1423,12 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
 
     # the fused device ladder (gsnap/ladder.py) serves every request the
     # basic single-end path can express on device — including known
-    # splicing (-s), whose partner derivation + site bonus run inside
-    # the one-jit program; features that need the candidate lists or
+    # splicing (-s, in-program partner derivation + site bonus) and
+    # multi-path reporting (-n > 1, via the sec_* compaction of
+    # multimapping rows' ranked candidate lists); features that need
     # extra host context keep the staged path
     use_fused = (tr is None and not find_fusions
-                 and known_indels is None and device_ctx is None
-                 and npaths == 1)
+                 and known_indels is None and device_ctx is None)
     known_dev_l = known.to_device() if (known is not None
                                         and use_fused) else None
 
@@ -1533,6 +1533,24 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             indel_endlength=indel_endlength, use_localdb=use_localdb,
             known_indels=known_indels, quals=batch.get("quals"),
             device_ctx=device_ctx, amb_out=amb_result)
+        # multimapping rows' ranked candidates (-n > 1 secondaries):
+        # the fused path ships them through the sec_* compaction; the
+        # staged path still carries the full cand lists
+        sec_map = {}
+        if npaths > 1:
+            if "sec_idx" in res:
+                for r in np.nonzero(res["sec_sel"])[0].tolist():
+                    i2 = int(res["sec_idx"][r])
+                    if i2 < len(chunk):
+                        sec_map[i2] = (res["sec_diags"][r],
+                                       res["sec_strands"][r],
+                                       res["sec_nmm"][r])
+            elif "cand_diags" in res:
+                nb_v = np.asarray(res["n_best"])[:len(chunk)]
+                for i2 in np.nonzero(nb_v > 1)[0].tolist():
+                    sec_map[i2] = (res["cand_diags"][i2],
+                                   res["cand_strands"][i2],
+                                   res["cand_nmm"][i2])
         if si + 1 < len(starts) and not early_dispatch:
             # refine's own device dispatches are done; NOW overlap the
             # next batch with this batch's emission work
@@ -1545,9 +1563,9 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
         bulk = None
         mix = None
         overrides = (tr_records, splice_result, fusion_result, dp_result,
-                     amb_result)
+                     amb_result, sec_map)
         from tpumap.ops.mode import MODE_SPACES
-        can_bulk = (npaths == 1 and remapper is None and not show_method
+        can_bulk = (remapper is None and not show_method
                     and not config.snp_tolerant
                     and MODE_SPACES[config.mode] == (None, None))
         if sink is not None and can_bulk:
@@ -1706,19 +1724,20 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                     int(mapq[i]), int(res["nmismatch"][i]), space=space,
                     snp=config.snp_tolerant), "sub",
                     nh=int(res["n_best"][i]))
-                if npaths > 1:
+                if npaths > 1 and i in sec_map:
                     # secondary alignments (gsnap -n, src/gsnap.c:704):
                     # further co-optimal candidates, flagged 0x100 and
                     # attached to the primary (results stay 1:1 with
                     # input reads; printers emit rec.secondaries after)
+                    sd, ss, sn = sec_map[i]
                     seen = {(int(res["diag"][i]), int(res["strand"][i]))}
                     secs = []
-                    for cix in range(res["cand_diags"].shape[1]):
+                    for cix in range(len(sd)):
                         if len(seen) >= npaths:
                             break
-                        dg = int(res["cand_diags"][i, cix])
-                        st = int(res["cand_strands"][i, cix])
-                        nm = int(res["cand_nmm"][i, cix])
+                        dg = int(sd[cix])
+                        st = int(ss[cix])
+                        nm = int(sn[cix])
                         if (dg == 0xFFFFFFFF or (dg, st) in seen
                                 or nm > res["nmismatch"][i]):
                             continue

@@ -736,9 +736,29 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
         out["amb_g"] = jnp.take(g_t, tix)
         out["amb_pos"] = pos_a
         out["amb_count"] = count_a.astype(jnp.uint16)
-    # cand lists are only consumed on device now; don't ship them back
-    # (the paired wrapper keeps them for its in-program concordance)
+    # cand lists are only consumed on device now; don't ship the full
+    # [B, K] tables back (the paired wrapper keeps them for its
+    # in-program concordance).  Multimapping rows (n_best > 1) keep
+    # their ranked lists through a small compaction so -n/--npaths > 1
+    # (reference default 100, src/gsnap.c:523) stays on the fused path —
+    # secondaries exist only for those rows.
     if not keep_cands:
+        r_sec = min(max(256, B // 64), B)
+        sec_need = valid & (res["n_best"] > 1)
+        sprio2 = jnp.where(sec_need,
+                           jnp.int32(2 * B) - jnp.arange(B,
+                                                         dtype=jnp.int32),
+                           0)
+        _, sidx2 = jax.lax.top_k(sprio2, r_sec)
+        out["sec_idx"] = sidx2.astype(jnp.int32)
+        out["sec_sel"] = jnp.take(sec_need, sidx2)
+        out["sec_overflow"] = jnp.maximum(
+            jnp.sum(sec_need.astype(jnp.int32)) - r_sec, 0)
+        out["sec_diags"] = jnp.take(res["cand_diags"], sidx2, axis=0)
+        out["sec_strands"] = jnp.take(res["cand_strands"], sidx2,
+                                      axis=0).astype(jnp.uint8)
+        out["sec_nmm"] = jnp.take(res["cand_nmm"], sidx2,
+                                  axis=0).astype(jnp.uint16)
         for key in ("cand_diags", "cand_strands", "cand_nmm"):
             out.pop(key, None)
     return out

@@ -228,12 +228,13 @@ def make_sharded_full_aligner(mesh, db: GenomeDB, config: AlignConfig,
         # so the host consumers see batch-row indices after the
         # out_specs concatenation
         row0 = (jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * B)
-        for key in ("ch_idx", "in_idx", "amb_idx"):
+        for key in ("ch_idx", "in_idx", "amb_idx", "sec_idx"):
             if key in out:
                 out[key] = out[key] + row0
         # scalar diagnostics can't ride the P(DATA_AXIS) out_specs
         for key in ("indel_tb_overflow", "stage2_overflow",
-                    "amb_row_overflow", "amb_task_overflow"):
+                    "amb_row_overflow", "amb_task_overflow",
+                    "sec_overflow"):
             out.pop(key, None)
         if paired:
             from tpumap.gsnap.paired import concordance_device
