@@ -196,9 +196,10 @@ def test_end_gap_indel_parity(tmp_path):
     """Indel-capable end gaps (Dynprog_end5/3_gap QUERYEND_INDELS,
     src/dynprog_end.h:26,48): a cDNA with a 1 bp indel a few bases from
     a query end must align FULL-length with the indel recovered — byte
-    parity vs reference gmap -A (translation annotation rows excluded:
-    the reference translates genome and cDNA frames independently
-    across a frameshifting insertion; tracked separately)."""
+    parity vs reference gmap -A INCLUDING the translation rows: the
+    genome and cDNA frames are translated independently across the
+    frameshifting indel (io/alignfmt.annotate_aa_genomic, the
+    Translation_via_genomic re-expression)."""
     import subprocess
     import numpy as np
     rng = np.random.default_rng(5)
@@ -221,9 +222,4 @@ def test_end_gap_indel_parity(tmp_path):
                        str(tmp_path / "q.fa"), "-A"])
     ours = buf.getvalue()
 
-    def strip(text):
-        return [l.rstrip() for l in text.splitlines()
-                if l.strip() and not l.startswith("aa.")
-                and "Translation:" not in l]
-
-    assert strip(ours) == strip(ref)
+    assert ours.splitlines() == ref.splitlines()

@@ -193,8 +193,22 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
             handles.append((subset, pairs,
                             align_cdna_windows_dispatch(index, pairs,
                                                         config)))
-        for subset, pairs, h in handles:
-            res = align_cdna_windows_finish(db, h, known=known)
+        # fetch group k+1 on a background thread (ONE bitcast-concat RPC)
+        # while group k's host junction refinement runs — the tunnel
+        # fetch releases the GIL (driver._start_fetch)
+        from tpumap.gsnap.driver import _start_fetch
+        fetches = [None] * len(handles)
+        if handles:
+            fetches[0] = _start_fetch(handles[0][2][2])
+        for gi, (subset, pairs, h) in enumerate(handles):
+            box, th = fetches[gi]
+            if gi + 1 < len(handles):
+                fetches[gi + 1] = _start_fetch(handles[gi + 1][2][2])
+            th.join()
+            if "err" in box:
+                raise box["err"]
+            res = align_cdna_windows_finish(db, h, known=known,
+                                            fetched=box["res"])
             for (qi, _r), p, ch in zip(subset, pairs, res):
                 if ch is None or not ch.exons:
                     continue

@@ -96,11 +96,13 @@ class ExonChain:
 @dataclass(frozen=True)
 class GmapConfig:
     index_k: int = 8
-    # per-oligo occurrence cap inside a region window. The anchor sort in
-    # anchors_to_segments costs ~N*Qp*max_occ*log^2: 64 -> 16 cut GMAP
-    # chain time ~25% with identical results on the bench (mostly-unique
-    # windows); raise for heavily repetitive targets
-    max_occ: int = 16
+    # per-oligo occurrence cap inside a region window. The anchor-lane
+    # gathers cost ~N*Qp*max_occ elements (the dominant chain-stage op
+    # on-trace); 64 -> 16 -> 8 each cut measurably with identical
+    # results on the bench AND the oracle byte-parity suite (at k=8 a
+    # 65 kb window averages ~1 occurrence/oligo); raise for heavily
+    # repetitive targets (the repetitive fallback already retries at 128)
+    max_occ: int = 8
     n_segments: int = 64
     max_intron: int = 500_000
     max_qgap: int = 24
@@ -247,13 +249,18 @@ def align_cdna_windows_dispatch(index, pairs: list,
     return (pairs, config, dev)
 
 
-def align_cdna_windows_finish(db, handle, known=None):
-    """Fetch a dispatched group's chains and run host refinement."""
-    pairs, config, (cdiag, cqs, cqe, cok) = handle
-    cdiag = np.asarray(cdiag)
-    cqs = np.asarray(cqs)
-    cqe = np.asarray(cqe)
-    cok = np.asarray(cok)
+def align_cdna_windows_finish(db, handle, known=None, fetched=None):
+    """Fetch a dispatched group's chains and run host refinement.
+
+    fetched: optional pre-fetched (cdiag, cqs, cqe, cok) numpy tuple —
+    the bulk driver fetches on a background thread (one bitcast-concat
+    RPC) so group k's host refinement overlaps group k+1's device wait.
+    """
+    pairs, config, dev = handle
+    if fetched is None:
+        from tpumap.utils.fetch import device_fetch
+        fetched = device_fetch(dev)
+    cdiag, cqs, cqe, cok = fetched
 
     from tpumap.ops.mode import MODE_SPACES
     spaces = MODE_SPACES[config.mode]
@@ -416,6 +423,14 @@ def _bucket(n: int) -> int:
 
 def _mm(query_codes, query_nmask, region_codes, region_nmask, diag, q0, q1):
     """bool[q1-q0] mismatch flags of query[q0:q1) on diagonal `diag`."""
+    g0, g1 = q0 + diag, q1 + diag
+    if 0 <= g0 and g1 <= len(region_codes):
+        # hot path: pure slice views, no index arrays (this helper runs
+        # thousands of times per bulk-GMAP batch on the 1-core host)
+        mm = query_codes[q0:q1] != region_codes[g0:g1]
+        np.logical_or(mm, query_nmask[q0:q1], out=mm)
+        np.logical_or(mm, region_nmask[g0:g1], out=mm)
+        return mm
     q = np.arange(q0, q1)
     g = q + diag
     inb = (g >= 0) & (g < len(region_codes))

@@ -58,6 +58,8 @@ class Column:
     aag: str = " "
     aac: str = " "
     aanum: int = -1      # aa index if an aa letter sits here
+    aapos: int = -1      # running aa_g count (reference pairs[i].aapos;
+    #                      per-row margin numbers read this)
     marker: int = -1     # intron-marker group id (-1 = not a marker col)
 
 
@@ -166,6 +168,74 @@ def build_columns(chain: ExonChain, query_codes: np.ndarray,
     return cols
 
 
+def annotate_aa_genomic(cols: list[Column], fulllength: bool = False):
+    """Forward aa annotation per the reference's Translation_via_genomic
+    (src/translation.c:1716): the ORF is found on the GENOME-side
+    sequence of the alignment; aa.g letters follow the genome frame
+    (deletion bases included, insertion columns skipped) and aa.c
+    letters translate the cDNA in ITS OWN frame from the same start,
+    ending at the cDNA's first stop — the two rows drift apart across
+    frameshifting indels (mark_cdna_forward/terminate_cdna_forward).
+    Margin numbers use the running aa_g count (pairs[i].aapos).
+
+    Mutates cols; returns (orf, orf_display) for path_summary, or
+    (None, None) when no translation exists."""
+    from tpumap.gmap.translation import _ACTIVE
+
+    body = [c for c in cols if c.marker < 0]
+    gcols = [c for c in body if c.gchar != " "]
+    if len(gcols) < 3:
+        return None, None
+    code_of = {"A": 0, "C": 1, "G": 2, "T": 3}
+    gcodes = np.array([code_of.get(c.gchar, 0) for c in gcols],
+                      dtype=np.uint8)
+    gs, ge, aa = best_orf(gcodes, fulllength=fulllength)
+    nlet = (ge - gs) // 3
+    letters = aa + ("*" if nlet == len(aa) + 1 else "")
+    if not letters:
+        return None, None
+    for k, ch in enumerate(letters):
+        if gs + 3 * k < len(gcols):
+            gcols[gs + 3 * k].aag = ch
+    aapos = 0
+    for c in cols:
+        if c.aag != " ":
+            aapos += 1
+        c.aapos = aapos
+    # cDNA translation from the same start column, query frame, stop at
+    # the first stop codon
+    start_idx = body.index(gcols[gs])
+    qseq = [c for c in body[start_idx:] if c.qchar != " "]
+    ci = 0
+    while ci + 3 <= len(qseq):
+        codon = qseq[ci].qchar + qseq[ci + 1].qchar + qseq[ci + 2].qchar
+        ch = _ACTIVE.get(codon, "X")
+        qseq[ci].aac = ch
+        ci += 3
+        if ch == "*":
+            break
+    # translation query span: min/max querypos over aa.g letters
+    # (deletion columns inherit the preceding query position), rightpos
+    # = maxpos + 2 clamped (translation.c:1825-1829)
+    lastq = 0
+    minq = maxq = None
+    qmax_seen = 0
+    for c in cols:
+        if c.qpos > 0:
+            lastq = c.qpos - 1
+            qmax_seen = max(qmax_seen, c.qpos)
+        if c.aag != " ":
+            q_eff = lastq
+            minq = q_eff if minq is None else min(minq, q_eff)
+            maxq = q_eff if maxq is None else max(maxq, q_eff)
+    if minq is None:
+        return None, None
+    right = min(maxq + 2, qmax_seen - 1)
+    orf = (minq, right + 1, aa)
+    orf_display = (minq + 1, right + 1)
+    return orf, orf_display
+
+
 def _complement_cols(cols: list[Column]) -> None:
     for c in cols:
         c.gchar = c.gchar.translate(_COMP)
@@ -216,8 +286,12 @@ def render_blocks(cols: list[Column], block: int = BLOCK,
         blk = cols[start:start + block]
         gnum = next((c.gpos for c in blk if c.gpos > 0), 0)
         qnum = next((c.qpos for c in blk if c.qpos > 0), 0)
-        aagnum = next((c.aanum for c in blk if c.aanum > 0), 0)
-        aacnum = aagnum
+        aagnum = next((c.aapos for c in blk if c.aag != " "), 0)
+        aacnum = next((c.aapos for c in blk if c.aac != " "), 0)
+        if aagnum <= 0 and aacnum <= 0:
+            # legacy (query-frame) annotation: one shared number
+            aagnum = next((c.aanum for c in blk if c.aanum > 0), 0)
+            aacnum = aagnum
         # every row is a fixed-width buffer (15 + block) — the reference
         # keeps all trailing spaces; aa rows drop their prefix entirely
         # when the block contains no amino-acid letter
@@ -412,10 +486,23 @@ def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
                 orf_for_cols = (qlen - e, qlen - s, aa)
             orf = orf_orig
             aa_dir = -1
-    else:
+    elif cdsstart is not None:
         orf = _orf(aligned)
         orf_display = None
         orf_for_cols = orf
+    else:
+        # plus strand, no -a: reference-faithful genomic-frame
+        # translation on the column stream (annotate_aa_genomic) — the
+        # ORF and both aa rows come from the annotation below
+        orf = orf_display = orf_for_cols = None
+    qpos_map = (lambda q: qlen - q) if minus else None
+    cols = build_columns(chain, aligned, np.asarray(region_codes),
+                         genome_offset, orf=orf_for_cols,
+                         qpos_map=qpos_map, ngap=ngap, nolengths=nolengths,
+                         aa_dir=aa_dir)
+    if not minus and cdsstart is None:
+        orf, orf_display = annotate_aa_genomic(cols,
+                                               fulllength=fulllength)
     parts = [f">{header}\n", "Paths (1):\n"]
     parts.append(path_summary(chain, qlen, chrname, genome_offset, orf=orf,
                               orf_display=orf_display))
@@ -428,11 +515,6 @@ def print_alignment(header: str, chain: ExonChain, query_codes_aligned,
         parts.append("\n")
         return "".join(parts)
     parts.append("\n")
-    qpos_map = (lambda q: qlen - q) if minus else None
-    cols = build_columns(chain, aligned, np.asarray(region_codes),
-                         genome_offset, orf=orf_for_cols,
-                         qpos_map=qpos_map, ngap=ngap, nolengths=nolengths,
-                         aa_dir=aa_dir)
     if minus:
         if invertmode == 0:
             cols = _reverse_cols(cols, ngap, nolengths)
