@@ -134,7 +134,8 @@ def align_query_paths(db: GenomeDB, index: DeviceIndex, qcodes, qnmask,
 def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
                        config: GmapConfig = GmapConfig(),
                        s1config: Stage1Config = Stage1Config(),
-                       known=None, strand=None, chr_range=None):
+                       known=None, strand=None, chr_range=None,
+                       device_ctx=None):
     """Best path for MANY queries with batched device calls: one stage-1
     call for the whole batch, then one chain call per (Qp, Rp) shape
     bucket — the per-call device latency otherwise dominates GMAP
@@ -191,8 +192,9 @@ def align_queries_bulk(db: GenomeDB, index: DeviceIndex, encoded: list,
                 continue
             pairs = [make_pair(qi, r) for qi, r in subset]
             handles.append((subset, pairs,
-                            align_cdna_windows_dispatch(index, pairs,
-                                                        config)))
+                            align_cdna_windows_dispatch(
+                                index, pairs, config,
+                                device_ctx=device_ctx)))
         # fetch group k+1 on a background thread (ONE bitcast-concat RPC)
         # while group k's host junction refinement runs — the tunnel
         # fetch releases the GIL (driver._start_fetch)

@@ -220,11 +220,14 @@ def _chain_pipeline_windows(genome_packed, genome_nmask, q_codes, q_valid,
 
 
 def align_cdna_windows_dispatch(index, pairs: list,
-                                config: GmapConfig = GmapConfig()):
+                                config: GmapConfig = GmapConfig(),
+                                device_ctx=None):
     """Dispatch the device chain stage for a window group WITHOUT
     blocking (async): returns an opaque handle for
     align_cdna_windows_finish. Dispatching several groups before
-    finishing any lets host-side refinement overlap device compute."""
+    finishing any lets host-side refinement overlap device compute.
+    device_ctx: optional MeshContext — window rows shard across the
+    mesh (parallel/pipeline.MeshContext.gmap_windows)."""
     Qp = _bucket(max(len(p[0]) for p in pairs))
     Rp = _bucket(max(p[3] for p in pairs))
     if Qp // 16 > config.n_segments:
@@ -242,10 +245,13 @@ def align_cdna_windows_dispatch(index, pairs: list,
         ws[i] = gstart
         wl[i] = glen
         sp[i] = strand          # strand selects the mode space (fwd/rc)
-    dev = _chain_pipeline_windows(
-        index.genome_packed, index.genome_nmask, jnp.asarray(qc),
-        jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl),
-        jnp.asarray(sp), Rp, config)
+    if device_ctx is not None:
+        dev = device_ctx.gmap_windows(qc, qv, ws, wl, sp, Rp, config)
+    else:
+        dev = _chain_pipeline_windows(
+            index.genome_packed, index.genome_nmask, jnp.asarray(qc),
+            jnp.asarray(qv), jnp.asarray(ws), jnp.asarray(wl),
+            jnp.asarray(sp), Rp, config)
     return (pairs, config, dev)
 
 

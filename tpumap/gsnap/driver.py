@@ -1426,9 +1426,12 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     # splicing (-s, in-program partner derivation + site bonus) and
     # multi-path reporting (-n > 1, via the sec_* compaction of
     # multimapping rows' ranked candidate lists); features that need
-    # extra host context keep the staged path
+    # extra host context keep the staged path.  A device mesh rides the
+    # same one-jit program through MeshContext.ladder_full.
     use_fused = (tr is None and not find_fusions
-                 and known_indels is None and device_ctx is None)
+                 and known_indels is None
+                 and (device_ctx is None
+                      or hasattr(device_ctx, "ladder_full")))
     known_dev_l = known.to_device() if (known is not None
                                         and use_fused) else None
 
@@ -1449,9 +1452,7 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
              else pad_to_bucket(len(chunk)))
         L = run_L
         batch = make_batch(chunk, B, L)
-        if device_ctx is not None:
-            dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
-        elif use_fused:
+        if use_fused:
             from tpumap.gsnap import ladder
             from tpumap.ops import pathdp
             sc = pathdp.PathScoring(max_intron=max(max_intron, MIN_INTRON))
@@ -1463,7 +1464,12 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
             r_chain = min(max(8192, B // 2), B)
             r_salv = min(max(2048, B // 8), r_chain)
             r_indel = min(2048, B)
-            if known_dev_l is not None:
+            if device_ctx is not None:
+                dev = device_ctx.ladder_full(
+                    _pack_batch(batch), config, L, sc,
+                    splicing_on, novelsplicing and use_localdb,
+                    r_chain, r_salv, r_indel, known=known_dev_l)
+            elif known_dev_l is not None:
                 dev = ladder.align_batch_full_known(
                     index, _pack_batch(batch), config, L, sc,
                     splicing_on, novelsplicing and use_localdb,
@@ -1473,6 +1479,8 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
                     index, _pack_batch(batch), config, L, sc,
                     splicing_on, novelsplicing and use_localdb,
                     r_chain, r_salv, r_indel)
+        elif device_ctx is not None:
+            dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
         else:
             dev = align_batch_cascaded_packed(index, _pack_batch(batch),
                                               config, L)

@@ -689,9 +689,9 @@ def refine_full(index, pbatch, res, config: AlignConfig, L: int,
                                         == u[..., None] + 1,
                                         jnp.uint8(3), jnp.uint8(0))))
                 flen = jnp.clip(u, 0, AMB_MAX) + 2
-                gi = (g.astype(jnp.int64) - W_amb
-                      - u.astype(jnp.int64))
-                ws = jnp.maximum(gi, 0).astype(jnp.uint32)
+                # ws = max(g - W - u, 0) without signed underflow
+                back = jnp.uint32(W_amb) + u.astype(jnp.uint32)
+                ws = jnp.where(g > back, g - back, jnp.uint32(0))
             return ok, frag.astype(jnp.uint8), flen, ws, g, qb, sense
 
         ok_e, frag_e, flen_e, ws_e, g_e, qb_e, sn_e = side_tasks(True)

@@ -219,7 +219,8 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
     # fused like the single-end path; host-context features keep the
     # staged path (mirrors driver.align_records use_fused)
     use_fused = (tr is None and known_indels is None
-                 and device_ctx is None)
+                 and (device_ctx is None
+                      or hasattr(device_ctx, "pair_full")))
     known_dev_p = known.to_device() if (known is not None
                                         and use_fused) else None
     # ONE (B, L) shape for the whole run (see driver.align_records)
@@ -238,14 +239,19 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             from tpumap.gsnap import ladder
             from tpumap.ops import pathdp
             sc = pathdp.PathScoring(max_intron=max(max_intron, 9))
-            dev = ladder.align_pair_full(
-                index, _pack_batch(batch), config, L, sc,
-                novelsplicing or known is not None,
-                novelsplicing and use_localdb,
-                min(max(8192, B // 2), B), min(max(2048, B // 8), B),
-                min(2048, B),
-                pairmax, orientation, pairexpect or 1000, pairdev,
-                known=known_dev_p)
+            args_f = (config, L, sc,
+                      novelsplicing or known is not None,
+                      novelsplicing and use_localdb,
+                      min(max(8192, B // 2), B),
+                      min(max(2048, B // 8), B), min(2048, B),
+                      pairmax, orientation, pairexpect or 1000, pairdev)
+            if device_ctx is not None:
+                dev = device_ctx.pair_full(_pack_batch(batch), *args_f,
+                                           known=known_dev_p)
+            else:
+                dev = ladder.align_pair_full(
+                    index, _pack_batch(batch), *args_f,
+                    known=known_dev_p)
         elif device_ctx is not None:
             dev = device_ctx.cascade(index, _pack_batch(batch), config, L)
         else:

@@ -86,6 +86,62 @@ class MeshContext(SingleChipContext):
             self._put_rows(lengths), self._put_rows(diags),
             quals=quals, known=known, **kw)
 
+    def _replicate_known(self, known):
+        if known is None:
+            return None
+        return {k: jax.device_put(np.asarray(v), self._repl)
+                for k, v in known.items()}
+
+    def ladder_full(self, pbatch, config, L, scoring, splicing, salvage,
+                    r_chain, r_salv, r_indel, known=None):
+        """The ONE-JIT fused ladder on the mesh: batch rows shard along
+        `data`, the index/genome replicate, and GSPMD places every
+        stage (compaction top_ks become all-gathers of the small
+        priority vectors) — multi-chip keeps the single-dispatch
+        property the ladder was built for."""
+        from tpumap.gsnap import ladder
+        pb = self._put_rows(pbatch)
+        if known is not None:
+            return ladder.align_batch_full_known(
+                self.index, pb, config, L, scoring, splicing, salvage,
+                r_chain, r_salv, r_indel,
+                known=self._replicate_known(known))
+        return ladder.align_batch_full(
+            self.index, pb, config, L, scoring, splicing, salvage,
+            r_chain, r_salv, r_indel)
+
+    def pair_full(self, pbatch, config, L, scoring, splicing, salvage,
+                  r_chain, r_salv, r_indel, pairmax, orientation,
+                  pairexpect, pairdev, known=None):
+        from tpumap.gsnap import ladder
+        pb = self._put_rows(pbatch)
+        return ladder.align_pair_full(
+            self.index, pb, config, L, scoring, splicing, salvage,
+            r_chain, r_salv, r_indel, pairmax, orientation, pairexpect,
+            pairdev, known=self._replicate_known(known))
+
+    def gmap_windows(self, qc, qv, ws, wl, sp, Rp, config):
+        """GMAP's chain stage on the mesh: window rows shard along
+        `data`, the genome replicates (reference gmap parallelizes the
+        same work across a worker pool, src/gmap.c:4867).  Groups pad up
+        to a mesh multiple; the finish half ignores the extra rows."""
+        from tpumap.gmap.engine import _chain_pipeline_windows
+        nd = self.mesh.shape[DATA_AXIS]
+        N = qc.shape[0]
+        pad = (-N) % nd
+        if pad:
+            qc = np.concatenate([qc, np.zeros((pad, qc.shape[1]),
+                                              qc.dtype)])
+            qv = np.concatenate([qv, np.zeros((pad, qv.shape[1]),
+                                              qv.dtype)])
+            ws = np.concatenate([ws, np.zeros(pad, ws.dtype)])
+            wl = np.concatenate([wl, np.ones(pad, wl.dtype)])
+            sp = np.concatenate([sp, np.zeros(pad, sp.dtype)])
+        return _chain_pipeline_windows(
+            self.index.genome_packed, self.index.genome_nmask,
+            self._put_rows(qc), self._put_rows(qv), self._put_rows(ws),
+            self._put_rows(wl), self._put_rows(sp), Rp, config)
+
 
 def make_mesh_context(mesh, db: GenomeDB) -> MeshContext:
     return MeshContext(mesh, db)
