@@ -126,7 +126,13 @@ def test_npaths_secondary(world):
     db2.save(str(d / "db2"))
     (d / "dup.fq").write_text(f"@dup\n{seq[2000:2100]}\n+\n{'I' * 100}\n")
 
-    _, one = _run(["-D", str(d / "db2"), str(d / "dup.fq"),
+    # bare default = reference default (-n 100, src/gsnap.c:523): both
+    # co-optimal loci come out, the second flagged secondary
+    _, dflt = _run(["-D", str(d / "db2"), str(d / "dup.fq"),
+                    "--no-sam-headers"])
+    assert len(dflt.splitlines()) == 2
+
+    _, one = _run(["-D", str(d / "db2"), "-n", "1", str(d / "dup.fq"),
                    "--no-sam-headers"])
     assert len(one.splitlines()) == 1
 
