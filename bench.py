@@ -372,6 +372,21 @@ def main():
     out["dp_cells_per_sec"] = round(
         NREP * DB * DLQ * (2 * DBAND + 1) / dp_dt, 0)
 
+    # ---- HBM-scale residency (tools/bench_large.py, run separately:
+    # the 500 Mbp build + k=15 compile are one-time costs cached on
+    # disk; its measured numbers fold into this line when present) ----
+    large = pathlib.Path(__file__).parent / "LARGE_GENOME.json"
+    if large.exists():
+        d = json.loads(large.read_text())
+        out.update({
+            "large_genome_bp": d.get("genome_bp"),
+            "large_index_hbm_gb": d.get("index_hbm_gb"),
+            "large_reads_per_sec": d.get("large_reads_per_sec"),
+            "large_vs_baseline": _vs(d.get("large_reads_per_sec", 0),
+                                     base.get("dna")),
+            "large_aligned_frac": d.get("aligned_frac"),
+        })
+
     print(json.dumps(out))
 
 
