@@ -311,23 +311,25 @@ def main():
     pairs = list(zip(r1, r2))
     PB = 8192
     t0 = time.perf_counter()
-    align_paired_records(db, index, pairs[:PB], config,
-                         batch_size=PB, pairmax=1000)            # warm
+    align_paired_records(db, index, pairs[:PB], config, batch_size=PB,
+                         pairmax=1000, sink=io.BytesIO().write)  # warm
     out["pe_warmup_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
-    pe_out = align_paired_records(db, index, pairs, config,
-                                  batch_size=PB, pairmax=1000)
-    for a, b in pe_out:
-        a.lines(), b.lines()
+    pbuf = io.BytesIO()
+    align_paired_records(db, index, pairs, config, batch_size=PB,
+                         pairmax=1000, sink=pbuf.write)
     pe_dt = time.perf_counter() - t0
     pe_rps = 2 * len(pairs) / pe_dt
-    conc = sum(1 for a, _b in pe_out if a.flag & 2) / len(pe_out)
+    first = [l for l in pbuf.getvalue().decode().splitlines()
+             if int(l.split("\t", 2)[1]) & 0x40]
+    conc = sum(1 for l in first
+               if int(l.split("\t", 2)[1]) & 2) / max(len(first), 1)
     out.update({
         "pe_reads_per_sec": round(pe_rps, 1),
         "pe_vs_baseline": _vs(pe_rps, base.get("pe")),
         "pe_concordant_frac": round(conc, 4),
     })
-    del pe_out
+    del pbuf
 
     # ---- GMAP cDNA ----------------------------------------------------
     try:

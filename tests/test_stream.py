@@ -73,6 +73,40 @@ def test_stream_matches_list(mixed_workload, novel):
     assert sum(stats.values()) == len(reads)
 
 
+def test_paired_stream_matches_list(mixed_workload):
+    """Paired sink mode: blob spans for plain pairs + spliced Python
+    pairs, byte-identical to the list path in pair order."""
+    from tpumap.gsnap.paired import align_paired_records
+    from tpumap.utils.dna import revcomp
+
+    db, index, reads = mixed_workload
+    cfg = AlignConfig(top_k=4, max_occ=8)
+    rng = np.random.default_rng(3)
+    seq = None
+    # rebuild pair fixtures from the genome itself
+    g = db.get_seq(0, db.genome_length)
+    pairs = []
+    for r in range(25):
+        p = int(rng.integers(0, len(g) - 700))
+        r1 = Record(f"pp{r}/1", "", g[p:p + 100], "I" * 100)
+        r2 = Record(f"pp{r}/2", "", revcomp(g[p + 400:p + 500]),
+                    "I" * 100)
+        pairs.append((r1, r2))
+    # one discordant pair (mate unmapped)
+    pairs.append((Record("dx/1", "", g[5000:5100]),
+                  Record("dx/2", "", "".join(
+                      "ACGT"[i] for i in rng.integers(0, 4, 100)))))
+    want = b"".join(
+        (a.lines() + b.lines()).encode()
+        for a, b in align_paired_records(db, index, pairs, cfg,
+                                         batch_size=16, pairmax=1000))
+    chunks = []
+    out = align_paired_records(db, index, pairs, cfg, batch_size=16,
+                               pairmax=1000, sink=chunks.append)
+    assert out == []
+    assert b"".join(bytes(c) for c in chunks) == want
+
+
 def test_stream_unbatched_tail(mixed_workload):
     """A run smaller than one batch (bucketed shapes) streams too."""
     db, index, reads = mixed_workload

@@ -194,7 +194,7 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
                          indel_endlength: int = 4,
                          use_localdb: bool = True, known_indels=None,
                          device_ctx=None, tr=None,
-                         resolve_inner: bool = True
+                         resolve_inner: bool = True, sink=None
                          ) -> list[tuple[sam.SamRecord, sam.SamRecord]]:
     """Paired ends run the same refinement ladder as single ends
     (refine_unsolved: indels, splices incl. salvage, no fusions in the
@@ -657,19 +657,49 @@ def align_paired_records(db: GenomeDB, index: DeviceIndex,
             out_chunk[p] = pair_rec
 
         ip = np.nonzero(plain)[0]
+        blob = None
         if len(ip):
-            _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag, estrand,
-                                   enmm, len2, mapq, pairmax,
-                                   resolve_inner, out_chunk)
-        out.extend(out_chunk)
+            blob = _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag,
+                                          estrand, enmm, len2, mapq,
+                                          pairmax, resolve_inner,
+                                          out_chunk, raw=sink is not None)
+        if sink is not None:
+            # streaming: plain pairs as blob byte spans (coalescing
+            # consecutive spans), irregular pairs as record lines
+            buf = blob.buf if blob is not None else b""
+            run_a = run_b = None
+            for item in out_chunk:
+                if isinstance(item, tuple) and item and \
+                        item[0] == "__blob__":
+                    _tag, a, b = item
+                    if run_b == a:
+                        run_b = b
+                    else:
+                        if run_a is not None:
+                            sink(buf[run_a:run_b])
+                        run_a, run_b = a, b
+                    continue
+                if run_a is not None:
+                    sink(buf[run_a:run_b])
+                    run_a = run_b = None
+                ra, rb = item
+                sink(ra.lines().encode())
+                sink(rb.lines().encode())
+            if run_a is not None:
+                sink(buf[run_a:run_b])
+        else:
+            out.extend(out_chunk)
     return out
 
 
 def _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag, estrand, enmm,
-                           len2, mapq, pairmax, resolve_inner, out_chunk):
+                           len2, mapq, pairmax, resolve_inner, out_chunk,
+                           raw=False):
     """Vectorized _pair_plan + one native bulk emission for the plain
     both-mapped pairs (mate fields/FLAG/TLEN byte-compatible with
-    _plan_record; src/pathpair-eval.c:410-470 dovetail semantics)."""
+    _plan_record; src/pathpair-eval.c:410-470 dovetail semantics).
+    With raw=True returns the SamBlob and marks out_chunk entries with
+    ("__blob__", start, end) byte spans (the streaming path)."""
     from tpumap.io import sam_bulk
 
     i1 = 2 * ip
@@ -749,7 +779,27 @@ def _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag, estrand, enmm,
         db, recs, np.ascontiguousarray(codes_np[rows]),
         np.ascontiguousarray(nmask_np[rows]), len2[rows],
         diag_r, strand_r, mq_r, None, qs_r, qe_r,
-        np.ones(M, np.uint8), flags=flags_r, mate_u=mate_r, tlen=tlen_r)
+        np.ones(M, np.uint8), flags=flags_r, mate_u=mate_r, tlen=tlen_r,
+        raw=raw)
+    if raw and lines is not None:
+        # streaming mode: mark each fully-emitted pair with its byte
+        # span in the blob (both mates are adjacent rows 2j, 2j+1)
+        blob = lines
+        off = blob.off
+        for j, p in enumerate(ip.tolist()):
+            a, b = int(off[2 * j]), int(off[2 * j + 2])
+            if (off[2 * j + 1] > off[2 * j]
+                    and off[2 * j + 2] > off[2 * j + 1]):
+                out_chunk[p] = ("__blob__", a, b)
+            else:                   # native emitter declined a row
+                r1, r2 = chunk[p]
+                e1 = (int(d1[j]), int(s1[j]), int(enmm[2 * p]))
+                e2 = (int(d2[j]), int(s2[j]), int(enmm[2 * p + 1]))
+                out_chunk[p] = _emit_pair(
+                    db, r1, r2, e1, e2, int(mq_r[2 * j]),
+                    int(mq_r[2 * j + 1]), pairmax,
+                    resolve_inner=resolve_inner)
+        return blob
     for j, p in enumerate(ip.tolist()):
         j1, j2 = 2 * j, 2 * j + 1
         if lines is not None and lines[j1] is not None \
@@ -766,6 +816,7 @@ def _emit_plain_pairs_bulk(db, batch, chunk, ip, ediag, estrand, enmm,
             out_chunk[p] = _emit_pair(
                 db, r1, r2, e1, e2, int(mq_r[j1]), int(mq_r[j2]),
                 pairmax, resolve_inner=resolve_inner)
+    return None
 
 
 def _special_record(db, rec, i, res, dp_result, splice_result, li, config,

@@ -199,7 +199,7 @@ def _decode_lines(out_buf, line_off, total, B):
 
 def emit_ungapped_bulk(db, chunk, codes, rnmask, lengths, diag, strand,
                        mapq, nbest, qstart, qend, emit,
-                       flags=None, mate_u=None, tlen=None):
+                       flags=None, mate_u=None, tlen=None, raw=False):
     """Emit final SAM lines for every emit[i]!=0 row in one C call.
 
     codes/rnmask: (B, L) uint8 row-major read codes + N mask (forward
@@ -208,7 +208,9 @@ def emit_ungapped_bulk(db, chunk, codes, rnmask, lengths, diag, strand,
     pass full `flags`, the mate univcoord (`mate_u`, UINT64_MAX = none)
     and signed `tlen`, with nbest=None to omit NH/HI (like the paired
     printers).  Returns a list of per-row SAM text (None where not
-    emitted), or None if the native library is unavailable.
+    emitted), or None if the native library is unavailable.  With
+    raw=True returns a SamBlob instead (bytes + per-row offsets, no
+    per-line Python strings — the streaming paired path).
     """
     lib = _get_lib()
     if lib is None or not len(chunk):
@@ -218,7 +220,10 @@ def emit_ungapped_bulk(db, chunk, codes, rnmask, lengths, diag, strand,
     L = codes.shape[1]
     qn_max = max(len(r.accession) for r in chunk)
     cap = B * (6 * L + qn_max + 192)
-    out_buf = ctypes.create_string_buffer(cap)
+    if raw:
+        out_buf, scratch = _out_buffer(cap)
+    else:
+        out_buf = ctypes.create_string_buffer(cap)
     line_off = np.zeros(B + 1, dtype=np.int64)
     codes = np.ascontiguousarray(codes[:B], dtype=np.uint8)
     rnmask = np.ascontiguousarray(rnmask[:B]).view(np.uint8)
@@ -251,6 +256,9 @@ def emit_ungapped_bulk(db, chunk, codes, rnmask, lengths, diag, strand,
         _p(emit, _U8), B, out_buf, cap, _p(line_off, _I64))
     if total < 0:
         return None
+    if raw:
+        return SamBlob(bytes(memoryview(scratch)[:total]), line_off,
+                       None)
     return _decode_lines(out_buf.raw, line_off, total, B)
 
 
