@@ -1428,7 +1428,10 @@ def align_records(db: GenomeDB, index: DeviceIndex, records: list[Record],
     # multimapping rows' ranked candidate lists); features that need
     # extra host context keep the staged path.  A device mesh rides the
     # same one-jit program through MeshContext.ladder_full.
-    use_fused = (tr is None and not find_fusions
+    # transcriptome-guided runs (-c) keep the fused genomic ladder:
+    # the TR rung stays its own small dispatch and its solved rows ride
+    # the override path, so TGGA no longer forces the staged pipeline
+    use_fused = (not find_fusions
                  and known_indels is None
                  and (device_ctx is None
                       or hasattr(device_ctx, "ladder_full")))
