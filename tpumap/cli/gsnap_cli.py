@@ -827,6 +827,56 @@ def main(argv=None):
                 inputs, read_seqs(args.reads2, args.read_files_command))
         records = list(shard(preprocess_reads(inputs, read_opts)))
         nreads = len(records)
+        # plain single-end SAM runs STREAM: native blob emission straight
+        # to the output file, no per-record Python objects (the default
+        # `tpumap-gsnap -D db reads.fq > out.sam` path).  Any option that
+        # reshapes/filters/tags records per-row keeps the record path.
+        plain_stream = (
+            args.format == "sam" and not args.two_pass
+            and not args.split_output and not args.failed_input
+            and not args.failsonly and not args.nofails
+            and not args.only_concordant
+            and not args.omit_concordant_uniq
+            and not args.omit_concordant_mult
+            and not args.omit_softclipped and args.min_coverage == 0
+            and not args.quiet_if_excessive and not args.chrsubset
+            and not args.extend_soft_clips and not args.show_univdiagonal
+            and not args.sam_extended_cigar and not args.sam_use_0m
+            and not args.force_xs_dir and not args.sam_sparse_secondaries
+            and not args.sam_multiple_primaries
+            and args.cigar_action in ("warning", "ignore")
+            and not args.rg_id and merge is None
+            and not args.show_method)
+        if plain_stream:
+            headers_to({out})
+            out.flush()         # text-layer bytes precede buffer writes
+            if hasattr(out, "buffer"):
+                bsink = out.buffer.write
+            else:
+                bsink = lambda b: out.write(bytes(b).decode())  # noqa
+            method_stats = {} if args.stats else None
+            align_records_isolated(
+                db, index, records, config,
+                novelsplicing=bool(args.novelsplicing),
+                max_intron=args.max_intron,
+                batch_size=args.batch_size, known=known,
+                tr=tr, find_fusions=args.find_fusions,
+                npaths=args.npaths, stats=method_stats,
+                merge_distant_samechr=args.merge_distant_samechr,
+                sink=bsink, **knob_kw)
+            if method_stats is not None:
+                total = sum(method_stats.values()) or 1
+                for m, c in sorted(method_stats.items(),
+                                   key=lambda kv: -kv[1]):
+                    sys.stderr.write(
+                        f"method {m}: {c} ({100.0 * c / total:.1f}%)\n")
+            if args.timing:
+                dt = time.perf_counter() - t0
+                sys.stderr.write(
+                    f"Aligned {nreads} reads in {dt:.3f} s "
+                    f"({nreads / max(dt, 1e-9):.1f} reads/sec)\n")
+            finish_output()
+            return 0
         if args.two_pass:
             from tpumap.gsnap.twopass import two_pass_align
             results, _ks = two_pass_align(db, index, records, config,

@@ -1869,13 +1869,29 @@ def align_records_isolated(db, index, records, config=AlignConfig(),
     groups; a group that raises is quarantined and re-run one read at a
     time, so a single poison read costs one batch retry instead of the
     whole run, and its accession is reported on stderr. Reads that still
-    fail are emitted as unmapped records."""
+    fail are emitted as unmapped records.
+
+    With sink=..., each group's streamed bytes are buffered locally and
+    flushed only when the group succeeds, so a quarantine retry never
+    duplicates partial output."""
+    sink = kw.pop("sink", None)
+
+    def run(grp):
+        if sink is None:
+            return align_records(db, index, grp, config,
+                                 batch_size=batch_size, **kw)
+        chunks = []
+        align_records(db, index, grp, config, batch_size=batch_size,
+                      sink=chunks.append, **kw)
+        for c in chunks:
+            sink(c)
+        return []
+
     out = []
     for i in range(0, len(records), batch_size):
         grp = records[i:i + batch_size]
         try:
-            out.extend(align_records(db, index, grp, config,
-                                     batch_size=batch_size, **kw))
+            out.extend(run(grp))
             continue
         except KeyboardInterrupt:
             raise
@@ -1885,14 +1901,17 @@ def align_records_isolated(db, index, records, config=AlignConfig(),
                              f"reads individually\n")
         for rec in grp:
             try:
-                out.extend(align_records(db, index, [rec], config,
-                                         batch_size=batch_size, **kw))
+                out.extend(run([rec]))
             except KeyboardInterrupt:
                 raise
             except Exception as exc:
                 sys.stderr.write(f"error: read {rec.accession} failed "
                                  f"({type(exc).__name__}: {exc}); "
                                  f"reported as unmapped\n")
-                out.append(sam.unmapped_record(rec.accession, rec.sequence,
-                                               rec.quality))
+                unm = sam.unmapped_record(rec.accession, rec.sequence,
+                                          rec.quality)
+                if sink is not None:
+                    sink(unm.lines().encode())
+                else:
+                    out.append(unm)
     return out
