@@ -387,7 +387,10 @@ def main():
             "large_vs_baseline": _vs(d.get("large_reads_per_sec", 0),
                                      base.get("dna")),
             "large_aligned_frac": d.get("aligned_frac"),
+            "large_hbm_upload_s": d.get("hbm_upload_s"),
         })
+        if d.get("partial"):
+            out["large_partial"] = True
 
     print(json.dumps(out))
 
